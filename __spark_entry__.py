@@ -1,38 +1,597 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark extraction engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship: wrap the sf0.001 documents table into
+HTML/PDF payloads, run the Arrow-batched extraction pipeline, return
+per-url results.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2, each runnable at any sf dir and (where SQL-expressible)
+checked against DuckDB on the same parquet.  Column names are aliased
+identically on both sides; floats are rounded to fixed precision;
+timestamps are emitted as formatted strings so value hashes agree
+across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the extraction pipeline end-to-end on sf0.001."""
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.sources import wrap_as_html, wrap_as_pdf
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    html_side = wrap_as_html(docs.filter(F.col("doc_id") % 2 == 0), "doc_id")
+    pdf_side = wrap_as_pdf(docs.filter(F.col("doc_id") % 2 == 1), "doc_id")
+    payloads = html_side.unionByName(pdf_side)
+    return extract_documents(payloads, n_partitions=8).select(
+        "url", "kind", "status", "text", "content_hash", "chars_out"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extraction round-trips (the byte-identity contract, DuckDB-checkable)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML wrap -> boilerplate-strip extraction == normalized text."""
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.sources import wrap_as_html
+
+    docs = _t(spark, sf_dir, "documents")
+    extracted = extract_documents(wrap_as_html(docs, "doc_id"), n_partitions=8)
+    return extracted.select(
+        F.col("url").cast("bigint").alias("doc_id"), "text"
+    )
+
+
+def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF wrap -> content-stream parse == normalized text."""
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.sources import wrap_as_pdf
+
+    docs = _t(spark, sf_dir, "documents")
+    extracted = extract_documents(wrap_as_pdf(docs, "doc_id"), n_partitions=8)
+    return extracted.select(
+        F.col("url").cast("bigint").alias("doc_id"), "text"
+    )
+
+
+_ORACLE_ROUNDTRIP = """
+SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: status predicate."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+    )
+
+
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: LIKE search over text."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").contains("window"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_filter_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 analog: size admission filter."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") <= 300)
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/J3: semi-join — orders having a high-quantity lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analog with built-ins: per-key ordered '\\n\\n' assembly
+    (sort_array over collected structs — no global sort)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("doc")
+    )
+
+
+def q_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 analog: per-group counts / sums / avgs / distinct."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: COUNT + SUM(CASE WHEN …) per group (reference
+    get_task_stats_by_user, database.py:796-845)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_p"),
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: status histogram."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").count().withColumnRenamed("count", "n")
+
+
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 analog: countDistinct + GROUP_CONCAT(DISTINCT …) + HAVING."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_set("user_id")), lambda x: x.cast("string"))
+            ).alias("user_list"),
+        )
+        .filter(F.col("n_users") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / time series (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: mean over the last 10 samples per key (rowsBetween(-9,0))."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("sliding_avg"),
+    )
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: latest row per key via ranking window."""
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+def q_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: time-window scan (last week of the event range)."""
+    events = _t(spark, sf_dir, "events")
+    return events.filter(F.col("ts") >= F.lit("2024-01-24 00:00:00")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: ORDER BY … DESC LIMIT n (TakeOrderedAndProject)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(10)
+        .select("event_id", F.round("value", 6).alias("value"))
+    )
+
+
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: LIMIT/OFFSET pagination on a deterministic order."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .offset(100)
+        .limit(50)
+        .select("doc_id", "source")
+    )
+
+
+def q_having_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/J2: HAVING + ORDER BY count DESC ranking."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("n_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_types") >= 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact ⟕ small dim with explicit broadcast; exact decimal sums."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region roll-up (broadcast dims)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / dedup (SURVEY §2.10) + training-data ops
+# ---------------------------------------------------------------------------
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: DISTINCT."""
+    return _t(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (hash-groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / word / punctuation features."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_chars = F.length("text")
+    n_space = n_chars - F.length(F.regexp_replace("text", " ", ""))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_space.alias("n_spaces"),
+        F.round((n_chars - n_space).cast("double") / n_words, 6).alias("avg_word_len"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: hash of normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return docs.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word screen over text."""
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    guess = (
+        F.when(padded.like("% the %") | padded.like("% a %"), "en")
+        .otherwise("other")
+    )
+    return docs.select("doc_id", guess.alias("lang_guess"))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against vec_id=0 (double math)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cand = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(F.col("embedding"), F.col("qvec")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("qvec"), F.col("qvec")))
+    )
+    return (
+        cand.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 scalar surface: JSON extraction, string fns, hashing."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k"),
+        F.lower("event_type").alias("lt"),
+        F.length("props").alias("lp"),
+        F.sha2(F.col("event_type"), 256).alias("h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_html_roundtrip": q_extract_html_roundtrip,
+        "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
+        "filter_status": q_filter_status,
+        "filter_like": q_filter_like,
+        "filter_size": q_filter_size,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "assembly": q_assembly,
+        "page_stats": q_page_stats,
+        "conditional_agg": q_conditional_agg,
+        "histogram": q_histogram,
+        "group_concat": q_group_concat,
+        "sliding_rate": q_sliding_rate,
+        "latest_per_key": q_latest_per_key,
+        "time_window": q_time_window,
+        "topn": q_topn,
+        "pagination": q_pagination,
+        "having_rank": q_having_rank,
+        "broadcast_join": q_broadcast_join,
+        "join_three_way": q_join_three_way,
+        "distinct": q_distinct,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "langid": q_langid,
+        "embedding_topk": q_embedding_topk,
+        "scalar_funcs": q_scalar_funcs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_html_roundtrip": _ORACLE_ROUNDTRIP,
+        "extract_pdf_roundtrip": _ORACLE_ROUNDTRIP,
+        "filter_status": """
+            SELECT event_id, user_id, round(value, 6) AS value
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "filter_like": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE text LIKE '%window%'
+        """,
+        "filter_size": """
+            SELECT doc_id, n_chars FROM documents WHERE n_chars <= 300
+        """,
+        "semi_join": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "assembly": """
+            SELECT user_id,
+                   string_agg(event_type, E'\n\n' ORDER BY ts, event_id) AS doc
+            FROM events GROUP BY user_id
+        """,
+        "page_stats": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "conditional_agg": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "histogram": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "group_concat": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_list
+            FROM events GROUP BY event_type
+            HAVING count(DISTINCT user_id) >= 5
+        """,
+        "sliding_rate": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS sliding_avg
+            FROM events
+        """,
+        "latest_per_key": """
+            SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "time_window": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        """,
+        "topn": """
+            SELECT event_id, round(value, 6) AS value FROM events
+            ORDER BY value DESC, event_id ASC LIMIT 10
+        """,
+        "pagination": """
+            SELECT doc_id, source FROM documents
+            ORDER BY doc_id LIMIT 50 OFFSET 100
+        """,
+        "having_rank": """
+            SELECT user_id, count(DISTINCT event_type) AS n_types,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+            HAVING count(DISTINCT event_type) >= 4
+        """,
+        "broadcast_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "join_three_way": """
+            SELECT r_name, count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "distinct": """
+            SELECT DISTINCT lang, source FROM documents
+        """,
+        "dedup_exact": """
+            SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id, length(text) AS n_chars,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                   length(text) - length(replace(text, ' ', '')) AS n_spaces,
+                   round(CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+                         / len(string_split_regex(trim(text), '\\s+')), 6) AS avg_word_len
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "langid": """
+            SELECT doc_id,
+                   CASE WHEN (' ' || text || ' ') LIKE '% the %'
+                          OR (' ' || text || ' ') LIKE '% a %'
+                        THEN 'en' ELSE 'other' END AS lang_guess
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id,
+                       round(
+                         list_dot_product(e.embedding, q.qvec) /
+                         (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                          sqrt(list_dot_product(q.qvec, q.qvec))), 4) AS cos_sim
+                FROM embeddings e, q WHERE e.vec_id <> 0)
+            SELECT vec_id, cos_sim FROM scored
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "scalar_funcs": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k,
+                   lower(event_type) AS lt, length(props) AS lp,
+                   sha256(event_type) AS h
+            FROM events
+        """,
+    }

@@ -1,0 +1,6 @@
+from .lineage import (  # noqa: F401
+    LINEAGE_SCHEMA,
+    lineage_rows,
+    pending_after_resume,
+    run_pipeline,
+)

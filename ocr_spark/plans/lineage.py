@@ -1,0 +1,204 @@
+"""Per-bucket lineage, metrics and resume — the engine's checkpointing.
+
+Replaces the reference's page-granular SQLite state machine
+(/root/reference/models/database.py:322-342 page_results;
+core/recovery_manager.py:270-334 checkpoints) with partition-granular
+lineage rows (FIXTURES.md §3): each url-hash *bucket* that finishes
+extraction appends one row ``(run_id, bucket, status, n_docs, n_ok,
+n_failed, bytes_in, chars_out, wall_ms, finished_at, content_hash)``
+to a lineage table; a rerun anti-joins the input's buckets against
+``status='done'`` lineage and processes only what's missing (the
+reference's restore-on-boot, task_queue.py:369-443, which *fails*
+interrupted tasks because the upload bytes are gone — here the source
+table is durable, so resume is true resume).
+
+``content_hash`` is sha256 over the bucket's sorted per-url text
+hashes (reference integrity hashing, recovery_manager.py:288-290),
+computed with built-in functions so it stays JVM-side; it matches
+``textops.content_hash_of`` byte-for-byte.
+
+Output layout: parquet partitioned by ``bucket`` — idempotent on
+resume (a re-written bucket replaces exactly its own directory,
+the MERGE-on-key analog of the reference's INSERT OR REPLACE upsert,
+database.py:860-869).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import url_bucket
+from ..operators.extract import extract_documents
+
+LINEAGE_SCHEMA = (
+    "run_id string, bucket int, status string, n_docs bigint, n_ok bigint, "
+    "n_failed bigint, bytes_in bigint, chars_out bigint, wall_ms bigint, "
+    "finished_at timestamp, content_hash string"
+)
+
+DEFAULT_N_BUCKETS = 64
+
+
+_LINEAGE_COLUMNS = [
+    "run_id",
+    "bucket",
+    "status",
+    "n_docs",
+    "n_ok",
+    "n_failed",
+    "bytes_in",
+    "chars_out",
+    "wall_ms",
+    "finished_at",
+    "content_hash",
+]
+
+
+def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Aggregate per-doc extraction rows (already carrying ``bucket``)
+    into one lineage row per bucket. All built-ins — no Python."""
+    agg = extracted.groupBy("bucket").agg(
+        F.lit(run_id).alias("run_id"),
+        F.lit("done").alias("status"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("status") == "completed", 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("status") != "completed", 1).otherwise(0)).alias(
+            "n_failed"
+        ),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("chars_out").alias("chars_out"),
+        (F.max("elapsed_us") / F.lit(1000)).cast("bigint").alias("wall_ms"),
+        F.current_timestamp().alias("finished_at"),
+        F.sha2(
+            F.concat(
+                F.concat_ws(
+                    "\n",
+                    F.array_sort(
+                        F.collect_list(F.coalesce("content_hash", F.lit("")))
+                    ),
+                ),
+                F.lit("\n"),
+            ),
+            256,
+        ).alias("content_hash"),
+    )
+    return agg.select(*_LINEAGE_COLUMNS)
+
+
+def done_buckets(spark: SparkSession, lineage_path: str) -> Optional[list]:
+    """Sorted bucket ids already completed by any prior run, or None if
+    no lineage exists yet.
+
+    Collected to the driver on purpose: the done-set is tiny (≤ the
+    bucket count) and materializing it FREEZES resume state at plan
+    time — a lazy read of the lineage table here would be re-evaluated
+    by later actions in the same job, after this run has appended its
+    own lineage rows, silently emptying the pending set.
+    """
+    try:
+        lineage = spark.read.parquet(lineage_path)
+    except Exception:
+        return None
+    rows = (
+        lineage.filter(F.col("status") == "done").select("bucket").distinct().collect()
+    )
+    return sorted(r.bucket for r in rows)
+
+
+# Above this many done buckets, prefer a broadcast anti-join over an
+# isin literal (driver-side predicates with huge literal lists bloat
+# the plan).  At 10^12-doc scale with ~10^5 buckets the anti-join path
+# is the one that runs; both avoid shuffling the big side.
+ISIN_MAX_BUCKETS = 10_000
+
+
+def pending_after_resume(
+    spark: SparkSession,
+    input_df: DataFrame,
+    lineage_path: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Input rows whose bucket has no 'done' lineage row.
+
+    strategy: 'auto' | 'isin' | 'anti_join'. 'isin' evaluates as a
+    plain row-level predicate (no join at all); 'anti_join' broadcasts
+    the done-set so the big side never shuffles. Both snapshot the
+    done-set at call time (see done_buckets).
+    """
+    with_bucket = input_df.withColumn("bucket", url_bucket(n_buckets))
+    done = done_buckets(spark, lineage_path)
+    if not done:
+        return with_bucket
+    if strategy == "isin" or (strategy == "auto" and len(done) <= ISIN_MAX_BUCKETS):
+        return with_bucket.filter(~F.col("bucket").isin(done))
+    done_df = spark.createDataFrame(
+        [(int(b),) for b in done], "bucket int"
+    )
+    return with_bucket.join(F.broadcast(done_df), "bucket", "left_anti")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    lineage_path: str,
+    run_id: Optional[str] = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    n_partitions: Optional[int] = None,
+) -> dict:
+    """The resumable extraction job (build plan §7.6).
+
+    scan -> resume anti-join -> extract -> write output partitioned by
+    bucket (dynamic overwrite: reruns replace exactly the buckets they
+    recompute) -> append lineage rows.
+
+    Returns a small summary dict (counts only — no data collected).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    docs = spark.read.parquet(input_path)
+    pending = pending_after_resume(spark, docs, lineage_path, n_buckets)
+
+    if pending.isEmpty():
+        return {"run_id": run_id, "buckets_processed": 0, "docs": 0}
+
+    extracted = extract_documents(pending, n_partitions=n_partitions).withColumn(
+        "bucket", url_bucket(n_buckets)
+    )
+    # One extraction pass reused for both writes; the lineage rows are
+    # collected (≤ n_buckets of them) rather than re-counted so no
+    # action re-evaluates the pending-set after lineage is appended.
+    extracted = extracted.persist()
+    try:
+        (
+            extracted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(output_path)
+        )
+        lineage_local = lineage_rows(extracted, run_id).collect()
+        spark.createDataFrame(lineage_local, schema=LINEAGE_SCHEMA).write.mode(
+            "append"
+        ).parquet(lineage_path)
+        n_docs = sum(r.n_docs for r in lineage_local)
+        n_buckets_done = len(lineage_local)
+    finally:
+        extracted.unpersist()
+    return {"run_id": run_id, "buckets_processed": n_buckets_done, "docs": n_docs}
+
+
+def output_is_complete(
+    spark: SparkSession, output_path: str, input_path: str
+) -> bool:
+    """Audit helper: every input url appears exactly once in output."""
+    out = spark.read.parquet(output_path).select("url")
+    inp = spark.read.parquet(input_path).select("url")
+    missing = inp.join(out, "url", "left_anti").count()
+    dupes = (
+        out.groupBy("url").count().filter(F.col("count") > 1).count()
+    )
+    return missing == 0 and dupes == 0

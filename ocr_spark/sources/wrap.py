@@ -1,0 +1,120 @@
+"""Deterministic payload wrappers: turn a plain-text table into
+Common-Crawl-shaped payloads (HTML or PDF) so the extraction pipeline
+can run against ANY text corpus — including the driver's reduced-shape
+``documents(doc_id, text, ...)`` testdata — with a SQL-expressible
+oracle: by construction, ``extract(wrap(text)) == normalize_ws(text)``
+(single whitespace rule, textops.normalize_ws), which DuckDB states as
+``regexp_replace(trim(text), '\\s+', ' ', 'g')``.
+
+The wrap is NOT a no-op for the extractor: the HTML wrapper buries the
+text in the same boilerplate skeleton the corpus generator uses
+(nav/header/sidebar/footer/script), so the round-trip exercises real
+boilerplate classification; the PDF wrapper emits a real
+flate-compressed content stream the parser must actually parse.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import zlib
+from typing import Iterator, List
+
+import pandas as pd
+
+_HTML_TEMPLATE_HEAD = (
+    "<!DOCTYPE html>\n<html><head><title>wrapped</title>"
+    "<style>body { margin:0 }</style>"
+    "<script>var nothing = '<p>decoy</p>';</script></head>\n<body>"
+    '<header class="masthead"><nav><ul>'
+    '<li><a href="/home">Home</a></li><li><a href="/about">About</a></li>'
+    '<li><a href="/docs">Docs</a></li></ul></nav></header>'
+    '<aside class="sidebar"><a href="/t/a">a</a> <a href="/t/b">b</a></aside>'
+    "<main><article>"
+)
+_HTML_TEMPLATE_TAIL = (
+    "</article></main>"
+    '<footer><p>footer boilerplate text for every page</p></footer>'
+    "</body></html>"
+)
+
+
+def wrap_text_html(text: str) -> bytes:
+    """Text -> boilerplate-wrapped HTML page whose main content is the
+    (escaped) text in a single paragraph."""
+    escaped = _htmllib.escape(text)
+    return (
+        _HTML_TEMPLATE_HEAD + "<p>" + escaped + "</p>" + _HTML_TEMPLATE_TAIL
+    ).encode("utf-8")
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def wrap_text_pdf(text: str) -> bytes:
+    """Text -> one-page PDF with the normalized text as a single Tj
+    run in a flate-compressed content stream."""
+    one_line = " ".join(text.split())
+    content = (
+        f"BT\n/F1 12 Tf\n72 720 Td\n({_pdf_escape(one_line)}) Tj\nET"
+    ).encode("latin-1")
+    comp = zlib.compress(content, 6)
+
+    objects: List[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
+        (f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n").encode()
+        + comp
+        + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _wrap_batches(kind: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wrapper = wrap_text_html if kind == "html" else wrap_text_pdf
+        for pdf_batch in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf_batch["url"],
+                    "html": [wrapper(t or "") for t in pdf_batch["text"]],
+                }
+            )
+
+    return fn
+
+
+def wrap_as_html(df, url_col: str = "url", text_col: str = "text"):
+    """DataFrame(text) -> DataFrame(url, html binary) of wrapped pages."""
+    from pyspark.sql import functions as F
+
+    narrowed = df.select(
+        F.col(url_col).cast("string").alias("url"), F.col(text_col).alias("text")
+    )
+    return narrowed.mapInPandas(_wrap_batches("html"), "url string, html binary")
+
+
+def wrap_as_pdf(df, url_col: str = "url", text_col: str = "text"):
+    from pyspark.sql import functions as F
+
+    narrowed = df.select(
+        F.col(url_col).cast("string").alias("url"), F.col(text_col).alias("text")
+    )
+    return narrowed.mapInPandas(_wrap_batches("pdf"), "url string, html binary")

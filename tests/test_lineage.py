@@ -1,0 +1,183 @@
+"""Lineage + resume tests (SURVEY.md §5.4): partial run, rerun,
+no duplicate work, identical final table, integrity hashes."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_spark import textops
+from ocr_spark.functions import url_bucket
+from ocr_spark.plans import pending_after_resume, run_pipeline
+from ocr_spark.plans.lineage import output_is_complete
+
+N_BUCKETS = 16
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return {
+        "output": str(tmp_path / "out"),
+        "lineage": str(tmp_path / "lineage"),
+    }
+
+
+class TestRunPipeline:
+    def test_full_run_then_noop_rerun(self, spark, corpus_path, paths):
+        summary = run_pipeline(
+            spark,
+            corpus_path,
+            paths["output"],
+            paths["lineage"],
+            run_id="r1",
+            n_buckets=N_BUCKETS,
+            n_partitions=8,
+        )
+        assert summary["docs"] == 300
+        assert summary["buckets_processed"] == N_BUCKETS
+        assert output_is_complete(spark, paths["output"], corpus_path)
+
+        # second run: everything checkpointed -> zero work
+        summary2 = run_pipeline(
+            spark,
+            corpus_path,
+            paths["output"],
+            paths["lineage"],
+            run_id="r2",
+            n_buckets=N_BUCKETS,
+        )
+        assert summary2["docs"] == 0
+        assert summary2["buckets_processed"] == 0
+
+    def test_partial_then_resume_identical(self, spark, corpus_path, paths):
+        """Simulate a killed run: lineage says only half the buckets
+        finished. The resume run must process exactly the missing
+        buckets and the final output must equal a clean full run."""
+        docs = spark.read.parquet(corpus_path)
+
+        # run 1 over only buckets < 8 (a 'partial' universe)
+        part1 = docs.withColumn("bucket", url_bucket(N_BUCKETS)).filter(
+            F.col("bucket") < 8
+        ).drop("bucket")
+        part1.write.parquet(paths["output"] + "_in1")
+        run_pipeline(
+            spark,
+            paths["output"] + "_in1",
+            paths["output"],
+            paths["lineage"],
+            run_id="partial",
+            n_buckets=N_BUCKETS,
+        )
+
+        # resume over the full input
+        summary = run_pipeline(
+            spark,
+            corpus_path,
+            paths["output"],
+            paths["lineage"],
+            run_id="resume",
+            n_buckets=N_BUCKETS,
+        )
+        assert 0 < summary["docs"] < 300  # only missing buckets
+        assert output_is_complete(spark, paths["output"], corpus_path)
+
+        # byte-identity of final output vs ground truth
+        out = spark.read.parquet(paths["output"]).select("url", "text")
+        truth = docs.select("url", F.col("text").alias("expected"))
+        mism = (
+            out.join(truth, "url")
+            .filter(F.col("text") != F.col("expected"))
+            .count()
+        )
+        assert mism == 0
+
+        # resumed run must not have re-processed done buckets
+        lineage = spark.read.parquet(paths["lineage"])
+        per_bucket_runs = (
+            lineage.groupBy("bucket").count().filter(F.col("count") > 1).count()
+        )
+        assert per_bucket_runs == 0
+
+    def test_lineage_content_hash_matches_oracle(self, spark, corpus_path, paths):
+        """The JVM-side combined hash equals textops.content_hash_of."""
+        run_pipeline(
+            spark,
+            corpus_path,
+            paths["output"],
+            paths["lineage"],
+            run_id="r1",
+            n_buckets=4,
+        )
+        lineage = {
+            r.bucket: r.content_hash
+            for r in spark.read.parquet(paths["lineage"]).collect()
+        }
+        out = spark.read.parquet(paths["output"]).select(
+            "bucket", "content_hash"
+        )
+        per_bucket = {}
+        for row in out.collect():
+            per_bucket.setdefault(row.bucket, []).append(row.content_hash or "")
+        for bucket, hashes in per_bucket.items():
+            assert lineage[bucket] == textops.content_hash_of(hashes), bucket
+
+    def test_lineage_metrics(self, spark, corpus_path, paths):
+        run_pipeline(
+            spark,
+            corpus_path,
+            paths["output"],
+            paths["lineage"],
+            run_id="r1",
+            n_buckets=4,
+        )
+        lineage = spark.read.parquet(paths["lineage"])
+        agg = lineage.agg(
+            F.sum("n_docs").alias("docs"),
+            F.sum("n_ok").alias("ok"),
+            F.sum("bytes_in").alias("bytes"),
+            F.sum("chars_out").alias("chars"),
+        ).collect()[0]
+        assert agg.docs == 300
+        assert agg.ok == 300
+        assert agg.bytes > 0 and agg.chars > 0
+
+
+class TestPendingAfterResume:
+    def test_no_lineage_means_everything_pending(self, spark, corpus_path, tmp_path):
+        docs = spark.read.parquet(corpus_path)
+        pending = pending_after_resume(
+            spark, docs, str(tmp_path / "missing"), n_buckets=8
+        )
+        assert pending.count() == 300
+
+    def test_anti_join_is_broadcast(self, spark, corpus_path, paths):
+        """The anti-join strategy must broadcast the tiny done-set, not
+        shuffle the documents table; the default (isin) strategy must
+        compile to a plain filter with no join at all."""
+        run_pipeline(
+            spark, corpus_path, paths["output"], paths["lineage"], n_buckets=8
+        )
+        docs = spark.read.parquet(corpus_path)
+        pending = pending_after_resume(
+            spark, docs, paths["lineage"], n_buckets=8, strategy="anti_join"
+        )
+        plan = pending._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+        pending_isin = pending_after_resume(
+            spark, docs, paths["lineage"], n_buckets=8, strategy="isin"
+        )
+        plan2 = pending_isin._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan2
+        assert pending_isin.count() == 0  # everything done
+
+    def test_done_set_frozen_at_plan_time(self, spark, corpus_path, paths):
+        """Regression: actions evaluated after this run appends its own
+        lineage must not see the new rows (the pending-set is frozen
+        when pending_after_resume is called)."""
+        docs = spark.read.parquet(corpus_path)
+        pending = pending_after_resume(spark, docs, paths["lineage"], n_buckets=8)
+        # now a run completes everything and appends lineage
+        run_pipeline(
+            spark, corpus_path, paths["output"], paths["lineage"], n_buckets=8
+        )
+        # the previously-planned DataFrame still sees the old state
+        assert pending.count() == 300
