@@ -24,6 +24,10 @@ from pyspark.sql import Window as W
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ocr_spark.functions import moderate as _moderate_sql  # noqa: E402
+from ocr_spark.operators import ann as _ann_sql  # noqa: E402
+from ocr_spark.operators import dedup as _dedup_sql  # noqa: E402
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -375,6 +379,110 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", guess.alias("lang_guess"))
 
 
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs (banded signatures,
+    bucket shuffle — no O(n²)) over documents + planted mutants."""
+    from ocr_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_candidate_pairs(dedup.neardup_corpus(docs))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (sign-of-sum over hashed
+    tokens, all built-ins)."""
+    from ocr_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup.simhash_col(F.col("text")).cast("bigint").alias("simhash")
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard verification of (orig, mutant)
+    pairs; the verify stage that follows LSH candidate generation."""
+    from ocr_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    mut = dedup._mutated_text(F.col("text"), F.col("n_chars"))
+    return docs.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(dedup.NEARDUP_OFFSET)).alias("doc_b"),
+        dedup.jaccard_col(
+            dedup.shingles_col(F.col("text")), dedup.shingles_col(mut)
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.5)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup pairs, cosine-verified."""
+    from ocr_spark.operators import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.neardup_pairs(ann.neardup_corpus(emb))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse-centroid cell."""
+    from ocr_spark.operators import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(emb, query_vec_id=0, k=10)
+
+
+_MODERATION_EXTRA_SQL = """
+    SELECT -1 AS doc_id, '' AS text
+    UNION ALL SELECT -2, repeat('x', 100001)
+    UNION ALL SELECT -3, 'plain badword text'
+    UNION ALL SELECT -4, CAST(NULL AS STRING)
+"""
+
+
+def q_moderation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: rule-based fail-closed moderation verdict as a column
+    expression (reference content_moderator.py:105-184). A few
+    synthetic rows exercise every rule, incl. NULL (fail-closed)."""
+    from ocr_spark.functions.moderate import moderation_blocked, moderation_reason
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(spark.sql(_MODERATION_EXTRA_SQL))
+    return corpus.select(
+        "doc_id",
+        moderation_blocked(F.col("text")).alias("blocked"),
+        moderation_reason(F.col("text")).alias("reason"),
+    )
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W4 as Structured Streaming: windowed event counts via
+    readStream + watermark + availableNow, materialized to memory."""
+    import os
+
+    from ocr_spark.streaming import (
+        run_stream_to_memory,
+        windowed_event_counts_stream,
+    )
+
+    stream = windowed_event_counts_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), window="1 minute"
+    )
+    return run_stream_to_memory(stream)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column -> Arrow-batched decode
+    UDF -> typed features. Payload bytes are genuinely parsed; the
+    fake format's closed form makes the output oracle-checkable."""
+    from ocr_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.fake_media_from_docs(docs)
+    return multimodal.decode_media(media).select(
+        "doc_id", "width", "height", "n_pixels", F.round("mean_luma", 6).alias("mean_luma")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against vec_id=0 (double math)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -440,6 +548,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_three_way": q_join_three_way,
         "distinct": q_distinct,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "moderation": q_moderation,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "multimodal_decode": q_multimodal_decode,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
@@ -551,6 +667,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+            FROM documents
+        """,
+        "dedup_minhash_lsh": _dedup_sql.sql_minhash_pairs(),
+        "dedup_simhash": _dedup_sql.sql_simhash_signatures(),
+        "dedup_jaccard": _dedup_sql.sql_jaccard_pairs(0.5),
+        "embedding_neardup_lsh": _ann_sql.sql_neardup_pairs(),
+        "ann_ivf_topk": _ann_sql.sql_ivf_topk(query_vec_id=0, k=10),
+        "moderation": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL {_MODERATION_EXTRA_SQL}
+            )
+            SELECT doc_id,
+                   ({_moderate_sql.sql_moderation_reason('text')}) <> 'ok'
+                       AS blocked,
+                   {_moderate_sql.sql_moderation_reason('text')} AS reason
+            FROM corpus
+        """,
+        "stream_windowed_counts": """
+            SELECT strftime(time_bucket(INTERVAL '1 minute', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 48 AS INT) AS width,
+                   CAST(16 + doc_id % 32 AS INT) AS height,
+                   (16 + doc_id % 48) * (16 + doc_id % 32) AS n_pixels,
+                   round(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS mean_luma
             FROM documents
         """,
         "token_count": """

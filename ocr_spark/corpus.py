@@ -321,25 +321,61 @@ def generate_rows(
         }
 
 
+_CORPUS_SCHEMA_FIELDS = (
+    ("url", "string"),
+    ("warc_ts", "timestamp"),
+    ("html", "binary"),
+    ("text", "string"),
+    ("lang", "string"),
+)
+
+
+def _arrow_schema():
+    import pyarrow as pa
+
+    mapping = {
+        "string": pa.string(),
+        "timestamp": pa.timestamp("us"),
+        "binary": pa.binary(),
+    }
+    return pa.schema(
+        [pa.field(name, mapping[kind]) for name, kind in _CORPUS_SCHEMA_FIELDS]
+    )
+
+
 def write_corpus(
-    path: str, n_docs: int, seed: int = 42, pdf_fraction: float = 0.1
+    path: str,
+    n_docs: int,
+    seed: int = 42,
+    pdf_fraction: float = 0.1,
+    n_files: int = 1,
 ) -> int:
-    """Write the corpus as a parquet file/dir; returns row count."""
+    """Write the corpus as parquet; returns row count.
+
+    ``n_files=1`` writes a single file at ``path`` (test fixtures).
+    ``n_files>1`` writes ``path`` as a directory of part files so a
+    Spark scan parallelizes across input splits — the shape a real
+    crawl table has (many files), and what the bench needs so the
+    scan stage isn't a single serial task.
+    """
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rows = list(generate_rows(n_docs, seed=seed, pdf_fraction=pdf_fraction))
-    table = pa.Table.from_pylist(
-        rows,
-        schema=pa.schema(
-            [
-                pa.field("url", pa.string()),
-                pa.field("warc_ts", pa.timestamp("us")),
-                pa.field("html", pa.binary()),
-                pa.field("text", pa.string()),
-                pa.field("lang", pa.string()),
-            ]
-        ),
-    )
-    pq.write_table(table, path)
+    schema = _arrow_schema()
+    if n_files <= 1:
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+        return len(rows)
+    os.makedirs(path, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            break
+        pq.write_table(
+            pa.Table.from_pylist(chunk, schema=schema),
+            os.path.join(path, f"part-{i:05d}.parquet"),
+        )
     return len(rows)

@@ -1,0 +1,292 @@
+"""Similarity search over embedding columns — brute-force baseline,
+random-hyperplane LSH near-dup pairing, and an IVF-style probe.
+
+The reference has no vector operations at all; these are the
+training-data-pipeline ops that sit next to extraction in a crawl
+pipeline (embedding-level near-dup removal, ANN retrieval).
+
+Design for 10^12-row scale:
+
+* **Brute-force top-k** (`__spark_entry__.q_embedding_topk`) — one
+  broadcast of the query vector, a single scan, TakeOrderedAndProject;
+  the baseline every approximate method is checked against.
+* **Hyperplane LSH** (`neardup_pairs`) — sign-of-dot-product against
+  deterministic ±1 hyperplanes, 8 planes per band x ``N_BANDS`` bands
+  (OR-construction).  Candidates = vectors sharing a (band, bucket);
+  the bucket groupBy/self-join shuffles on the bucket key only — no
+  O(n²) pair enumeration ever materializes.  Verification recomputes
+  exact cosine on the candidates.
+* **IVF probe** (`ivf_topk`) — coarse quantizer = the first
+  ``IVF_CENTROIDS`` vectors (deterministic stand-in for a k-means
+  codebook); every vector is assigned to its nearest centroid by a
+  broadcast cross join + ranking window; a query probes only its own
+  centroid's inverted list (~n/C of the data).
+
+All math is expressed with built-in higher-order functions
+(zip_with / aggregate — left-fold, JVM-side) so the DuckDB oracle can
+state the identical computation; hyperplanes are derived from md5 so
+both engines see the same literal constants.  At production scale the
+same formulas would move into an Arrow-batched pandas UDF over numpy
+(`matmul` per batch); the plan shape (broadcast + bucket shuffle)
+stays unchanged.
+
+Because the driver's `embeddings` testdata has no near-dup pairs
+(max natural cosine ~0.51), `neardup_corpus` plants a deterministic
+perturbed copy of every vector at vec_id + ANN_OFFSET with cosine
+~0.989 to its original; threshold 0.9 then separates planted pairs
+from natural ones exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+PLANES_PER_BAND = 8
+N_BANDS = 4
+ANN_OFFSET = 1_000_000
+PERTURB = 0.15 / 8.0  # per-component magnitude; ~0.989 cosine to original
+NEARDUP_THRESHOLD = 0.9
+IVF_CENTROIDS = 16
+
+
+def _sign(seed: str) -> float:
+    return 1.0 if hashlib.md5(seed.encode()).digest()[0] & 1 else -1.0
+
+
+def plane(j: int, dim: int = EMB_DIM) -> List[float]:
+    """Deterministic ±1 hyperplane ``j`` (seeded by md5, engine-neutral)."""
+    return [_sign(f"plane:{j}:{d}") for d in range(dim)]
+
+
+def perturb_vector(dim: int = EMB_DIM) -> List[float]:
+    """The deterministic offset added to make each planted near-dup."""
+    return [PERTURB * _sign(f"perturb:{d}") for d in range(dim)]
+
+
+def _lit_array(values: List[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def dot_col(vec: Column, other: Column) -> Column:
+    """Left-fold dot product in double precision (same association
+    order as the SQL mirror, so both engines produce identical bits)."""
+    return F.aggregate(
+        F.zip_with(vec, other, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (
+        F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b))
+    )
+
+
+def bucket_col(vec: Column, band: int) -> Column:
+    """LSH bucket id for one band: 8 sign bits packed into an int."""
+    out = F.lit(0)
+    for j in range(PLANES_PER_BAND):
+        p = _lit_array(plane(band * PLANES_PER_BAND + j))
+        out = out + F.when(dot_col(vec, p) > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return out
+
+
+def neardup_corpus(emb: DataFrame) -> DataFrame:
+    """embeddings(vec_id, embedding) + planted perturbed copies."""
+    pv = _lit_array(perturb_vector())
+    orig = emb.select("vec_id", "embedding")
+    mut = emb.select(
+        (F.col("vec_id") + F.lit(ANN_OFFSET)).alias("vec_id"),
+        F.zip_with(
+            F.col("embedding"), pv, lambda x, y: x.cast("double") + y
+        ).alias("embedding"),
+    )
+    return orig.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).unionByName(mut)
+
+
+def neardup_pairs(corpus: DataFrame) -> DataFrame:
+    """Candidate pairs sharing >=1 LSH band bucket, verified by exact
+    cosine >= NEARDUP_THRESHOLD. Returns (vec_a, vec_b, cos_sim)."""
+    buckets = F.array(
+        *[bucket_col(F.col("embedding"), b) for b in range(N_BANDS)]
+    )
+    keyed = corpus.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(buckets).alias("band", "bucket"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(NEARDUP_THRESHOLD))
+        .distinct()
+    )
+
+
+def ivf_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, centroid): nearest of the IVF_CENTROIDS
+    coarse centroids by cosine; broadcast join + ranking window."""
+    from pyspark.sql import Window as W
+
+    centroids = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.select("vec_id", "embedding").join(F.broadcast(centroids))
+    cos = cosine_col(F.col("embedding"), F.col("cvec"))
+    w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid"))
+    return (
+        scored.withColumn("ccos", F.round(cos, 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid")
+    )
+
+
+def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Top-k by cosine among vectors in the query's IVF cell only.
+    Returns (vec_id, cos_sim) — the approximate answer whose recall is
+    checked against the brute-force baseline in tests."""
+    assigned = ivf_assignments(emb)
+    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("centroid").alias("qcentroid")
+    )
+    cand = assigned.filter(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(q), F.col("centroid") == F.col("qcentroid")
+    )
+    cos = cosine_col(F.col("embedding"), F.col("qvec"))
+    return (
+        cand.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL mirrors
+# ---------------------------------------------------------------------------
+
+
+def _sql_lit_list(values: List[float]) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in values) + "]"
+
+
+def _sql_dot(vec_expr: str, lit_list: str) -> str:
+    """Left-fold double dot product against a literal list (mirrors
+    dot_col's association order via list_reduce over the products)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> CAST(({vec_expr})[i] AS DOUBLE) * ({lit_list})[i])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _sql_dot_cols(a_expr: str, b_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> CAST(({a_expr})[i] AS DOUBLE) * CAST(({b_expr})[i] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _sql_cosine(a_expr: str, b_expr: str) -> str:
+    return (
+        f"({_sql_dot_cols(a_expr, b_expr)} / "
+        f"(sqrt({_sql_dot_cols(a_expr, a_expr)}) * "
+        f"sqrt({_sql_dot_cols(b_expr, b_expr)})))"
+    )
+
+
+def _sql_bucket(vec_expr: str, band: int) -> str:
+    terms = []
+    for j in range(PLANES_PER_BAND):
+        p = _sql_lit_list(plane(band * PLANES_PER_BAND + j))
+        terms.append(
+            f"(CASE WHEN {_sql_dot(vec_expr, p)} > 0 THEN {2**j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_neardup_corpus() -> str:
+    pv = _sql_lit_list(perturb_vector())
+    return f"""
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + {ANN_OFFSET} AS vec_id,
+               list_transform(range(1, {EMB_DIM + 1}),
+                   i -> CAST(embedding[i] AS DOUBLE) + ({pv})[i]) AS embedding
+        FROM embeddings
+    """
+
+
+def sql_neardup_pairs() -> str:
+    buckets = "[" + ", ".join(
+        _sql_bucket("embedding", b) for b in range(N_BANDS)
+    ) + "]"
+    return f"""
+        WITH corpus AS ({sql_neardup_corpus()}),
+        keyed AS (
+            SELECT vec_id, embedding,
+                   unnest(range(0, {N_BANDS})) AS band,
+                   unnest({buckets}) AS bucket
+            FROM corpus
+        )
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_sql_cosine('a.embedding', 'b.embedding')}, 4) AS cos_sim
+        FROM keyed a JOIN keyed b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 4)
+              >= {NEARDUP_THRESHOLD}
+    """
+
+
+def sql_ivf_topk(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+        WITH centroids AS (
+            SELECT vec_id AS centroid, embedding AS cvec
+            FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, centroid FROM (
+                SELECT e.vec_id, e.embedding, c.centroid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({_sql_cosine('e.embedding', 'c.cvec')}, 6) DESC,
+                                    c.centroid ASC) AS rn
+                FROM embeddings e CROSS JOIN centroids c)
+            WHERE rn = 1
+        ),
+        q AS (
+            SELECT embedding AS qvec, centroid AS qcentroid
+            FROM assigned WHERE vec_id = {query_vec_id}
+        )
+        SELECT a.vec_id,
+               round({_sql_cosine('a.embedding', 'q.qvec')}, 4) AS cos_sim
+        FROM assigned a, q
+        WHERE a.centroid = q.qcentroid AND a.vec_id <> {query_vec_id}
+        ORDER BY cos_sim DESC, a.vec_id ASC LIMIT {k}
+    """

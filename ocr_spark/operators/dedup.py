@@ -1,0 +1,321 @@
+"""Near-duplicate detection suite — the training-data-pipeline ops a
+100 TB crawl needs before anything is fed to a model.
+
+The reference deduplicates nothing (every upload is a fresh task;
+`INSERT OR REPLACE` on (task_id, page) — models/database.py:860-869 —
+is its only uniqueness notion).  This module adds the standard
+web-corpus near-dup stack, each expressed with **built-in Spark SQL
+functions only** (JVM-side, codegen'd; zero Python on the hot path):
+
+* exact dedup           — hash groupBy (`__spark_entry__.q_dedup_exact`)
+* MinHash + LSH         — word-shingle minhash signatures, banded into
+                          LSH keys; candidate pairs = docs sharing a
+                          band bucket.  The bucket groupBy shuffles on
+                          the band key, so at cluster scale each band
+                          is an ordinary hash-partitioned aggregation —
+                          no pairwise O(n²) anywhere.
+* SimHash               — 16-bit sign-of-sum signature over hashed
+                          tokens; hamming-close docs are near-dups.
+* n-gram Jaccard        — exact shingle-set similarity for candidate
+                          verification (array_intersect / size).
+
+Every construction is generated twice from the same parameters: once
+as a PySpark Column, once as ANSI-ish SQL for the DuckDB oracle — the
+only hash used is md5 (identical hex output in both engines), and all
+integer math avoids engine-specific rounding (explicit floor before
+casts).
+
+Because the driver's `documents` testdata has no planted duplicates,
+`neardup_corpus` derives a deterministic mutated copy of every doc
+(word-truncation to ~90%) with doc_id offset +1,000,000; recall of the
+(orig, mutant) pairs is then a measurable property both engines agree
+on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3
+MINHASH_BANDS = 8  # LSH bands
+MINHASH_ROWS = 2  # minhashes per band (AND-construction within a band)
+SIMHASH_BITS = 16
+NEARDUP_OFFSET = 1_000_000
+MUTATE_KEEP = 0.9  # fraction of characters kept in the mutated copy
+
+_HEX = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# Spark Column builders
+# ---------------------------------------------------------------------------
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+
+
+def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
+    """k-word shingles; a doc shorter than k words yields one shingle
+    (all its words), so no doc drops out of the signature."""
+    words = words_col(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(k), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+
+
+def minhash_col(shingles: Column, seed: int) -> Column:
+    """One minhash: lexicographic min of md5('{seed}:' + shingle).
+    md5 hex compares identically in Spark and DuckDB."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def band_keys_col(
+    shingles: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS
+) -> Column:
+    """Array of LSH band keys: band j = md5 of its ``rows`` concatenated
+    minhashes (seeds j*rows .. j*rows+rows-1)."""
+    keys = []
+    for j in range(bands):
+        parts = [minhash_col(shingles, j * rows + r) for r in range(rows)]
+        keys.append(F.md5(F.concat(*parts)))
+    return F.array(*keys)
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash: per bit position p, sum +/-1 over distinct hashed
+    tokens by bit p of md5(token); sign of the sum is signature bit p.
+    md5 is computed once per token; each bit folds over the hash array."""
+    hashed = F.transform(F.array_distinct(words_col(text)), F.md5)
+
+    def _bit_merge(hex_pos: int, bit_shift: int):
+        def merge(acc, h):
+            digit = F.conv(F.substring(h, hex_pos, 1), 16, 10).cast("int")
+            bit = F.floor(digit / F.lit(2**bit_shift)) % 2
+            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    total = F.lit(0).cast("bigint")
+    for p in range(bits):
+        hex_pos = 1 + p // 4  # 1-based hex char
+        bit_shift = 3 - (p % 4)  # high bit first within the hex digit
+        score = F.aggregate(hashed, F.lit(0), _bit_merge(hex_pos, bit_shift))
+        total = total + F.when(score > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return total
+
+
+def jaccard_col(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard over distinct shingle sets."""
+    a = F.array_distinct(shingles_a)
+    b = F.array_distinct(shingles_b)
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.round(inter.cast("double") / union, 6)
+
+
+# ---------------------------------------------------------------------------
+# Derived near-dup corpus + candidate-pair pipelines
+# ---------------------------------------------------------------------------
+
+
+def _mutated_text(text: Column, n_chars: Column) -> Column:
+    keep = F.greatest(
+        F.floor(n_chars * F.lit(MUTATE_KEEP)).cast("int"), F.lit(40)
+    )
+    return F.trim(F.substring(text, 1, keep))
+
+
+def neardup_corpus(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, n_chars) -> union of originals and
+    deterministic ~90%-prefix mutants at doc_id + NEARDUP_OFFSET."""
+    orig = docs.select("doc_id", "text")
+    mut = docs.select(
+        (F.col("doc_id") + F.lit(NEARDUP_OFFSET)).alias("doc_id"),
+        _mutated_text(F.col("text"), F.col("n_chars")).alias("text"),
+    )
+    return orig.unionByName(mut)
+
+
+def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
+    """corpus(doc_id, text) -> distinct candidate pairs (doc_a < doc_b)
+    sharing at least one LSH band bucket.
+
+    Plan shape at scale: posexplode of the band-key array (bands x n
+    rows), one shuffle on (band, key), per-bucket pair expansion via a
+    self-join of bucket members — buckets are tiny by construction
+    (only near-dups collide), so the join fan-out is bounded.
+    """
+    n_seeds = MINHASH_BANDS * MINHASH_ROWS
+    # Explode shingles once and aggregate the 16 mins with a map-side
+    # combine, instead of inlining the shingle subtree into 16 array
+    # folds (which defeats codegen and re-tokenizes per seed — measured
+    # ~30x slower). The shuffle carries only n_docs x n_seeds hashes.
+    exploded = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(F.col("text")))).alias(
+            "shingle"
+        ),
+    )
+    hashed = exploded.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))).alias(
+                f"h{seed}"
+            )
+            for seed in range(n_seeds)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{seed}").alias(f"h{seed}") for seed in range(n_seeds)]
+    )
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"h{j * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+                )
+            )
+            for j in range(MINHASH_BANDS)
+        ]
+    )
+    keyed = sig.select("doc_id", F.posexplode(bands).alias("band", "key"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL mirrors (same constructions, string form)
+# ---------------------------------------------------------------------------
+
+
+def sql_words(text_expr: str) -> str:
+    return (
+        "string_split_regex(trim(regexp_replace("
+        f"{text_expr}, '\\s+', ' ', 'g')), ' ')"
+    )
+
+
+def sql_shingles(text_expr: str, k: int = SHINGLE_K) -> str:
+    words = sql_words(text_expr)
+    return (
+        f"list_transform(range(0, greatest(len({words}) - {k}, 0) + 1), "
+        f"i -> array_to_string(({words})[i + 1 : i + {k}], ' '))"
+    )
+
+
+def sql_minhash(shingles_expr: str, seed: int) -> str:
+    return (
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> md5('{seed}:' || s)))"
+    )
+
+
+def sql_band_keys(
+    shingles_expr: str, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS
+) -> str:
+    keys = []
+    for j in range(bands):
+        parts = " || ".join(
+            sql_minhash(shingles_expr, j * rows + r) for r in range(rows)
+        )
+        keys.append(f"md5({parts})")
+    return "[" + ", ".join(keys) + "]"
+
+
+def sql_simhash(text_expr: str, bits: int = SIMHASH_BITS) -> str:
+    hashed = f"list_transform(list_distinct({sql_words(text_expr)}), w -> md5(w))"
+    terms = []
+    for p in range(bits):
+        hex_pos = 1 + p // 4
+        bit_shift = 3 - (p % 4)
+        digit = f"(instr('{_HEX}', substr(h, {hex_pos}, 1)) - 1)"
+        score = (
+            f"list_sum(list_transform(hw, h -> CASE WHEN "
+            f"CAST(floor({digit} / {2 ** bit_shift}) AS INT) % 2 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {score} > 0 THEN {2 ** p} ELSE 0 END)")
+    return (
+        "(SELECT " + " + ".join(terms) + f" FROM (SELECT {hashed} AS hw) _sh)"
+    )
+
+
+def sql_mutated_text(text_expr: str = "text", n_chars_expr: str = "n_chars") -> str:
+    return (
+        f"trim(substr({text_expr}, 1, greatest("
+        f"CAST(floor({n_chars_expr} * {MUTATE_KEEP}) AS INT), 40)))"
+    )
+
+
+def sql_neardup_corpus() -> str:
+    """CTE body for the derived corpus over the `documents` view."""
+    return f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {NEARDUP_OFFSET} AS doc_id,
+               {sql_mutated_text()} AS text
+        FROM documents
+    """
+
+
+def sql_minhash_pairs() -> str:
+    return f"""
+        WITH corpus AS ({sql_neardup_corpus()}),
+        shingled AS (
+            SELECT doc_id, {sql_shingles('text')} AS sh FROM corpus
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   unnest(range(0, {MINHASH_BANDS})) AS band,
+                   unnest({sql_band_keys('sh')}) AS key
+            FROM shingled
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keyed a JOIN keyed b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+def sql_simhash_signatures() -> str:
+    return f"""
+        SELECT doc_id, {sql_simhash('text')} AS simhash
+        FROM documents
+    """
+
+
+def sql_jaccard_pairs(threshold: float) -> str:
+    mut = sql_mutated_text("o.text", "o.n_chars")
+    return f"""
+        WITH pairs AS (
+            SELECT o.doc_id AS doc_a,
+                   o.doc_id + {NEARDUP_OFFSET} AS doc_b,
+                   list_distinct({sql_shingles('o.text')}) AS sa,
+                   list_distinct({sql_shingles(mut)}) AS sb
+            FROM documents o
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                     / (len(sa) + len(sb) - len(list_intersect(sa, sb))),
+                     6) AS jaccard
+        FROM pairs
+        WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+              / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+              >= {threshold}
+    """

@@ -1,0 +1,161 @@
+"""Multimodal columns: image/audio payloads as opaque BINARY columns
+with typed metadata, decoded/feature-extracted in Arrow-batched UDFs.
+
+The reference's only "multimodal" handling is shipping image bytes to
+an external vision model (page_processor.py:883-989).  A training-data
+pipeline instead needs the *plumbing*: binary media columns flowing
+through scans/shuffles untouched, with decode / feature-extract /
+resize running as vectorized batch UDFs near the end of the plan.
+
+This container has no image/audio codec libraries, so the decode of
+real formats (JPEG/PNG/WAV magic bytes) is STUBBED with a clearly
+marked ``NotImplementedError`` branch; everything Spark-side — schema,
+Arrow batch shape, mapInPandas signatures, metadata struct, partition
+behavior — is real and tested against a deterministic fake format:
+
+    FAKE1IMG | u32 width | u32 height | width*height pixel bytes
+
+``fake_media_from_docs`` derives one fake image per document row with
+a *closed-form* relationship between doc_id and the decoded features
+(width = 16 + doc_id % 48, every pixel = (doc_id * 7) % 256), so the
+decode UDF's output is oracle-checkable in plain SQL even though the
+UDF genuinely parses bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FAKE_IMG_MAGIC = b"FAKE1IMG"
+# real-format magics we recognize but cannot decode in this container
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_WAV_MAGIC = b"RIFF"
+
+MEDIA_SCHEMA = "doc_id bigint, kind string, payload binary"
+DECODED_SCHEMA = (
+    "doc_id bigint, kind string, width int, height int, n_pixels bigint, "
+    "mean_luma double"
+)
+THUMB_SCHEMA = "doc_id bigint, width int, height int, payload binary"
+
+
+def fake_image_bytes(doc_id: int) -> bytes:
+    """Deterministic fake image: dimensions and pixel value are closed
+    forms of doc_id (see module docstring) so decode output is
+    SQL-predictable while the bytes still must actually be parsed."""
+    width = 16 + doc_id % 48
+    height = 16 + doc_id % 32
+    pixel = (doc_id * 7) % 256
+    return (
+        FAKE_IMG_MAGIC
+        + struct.pack("<II", width, height)
+        + bytes([pixel]) * (width * height)
+    )
+
+
+def decode_image(payload: bytes) -> tuple:
+    """(width, height, n_pixels, mean_luma) for one payload.
+
+    Real formats are recognized but unsupported here — the pipeline
+    seam where PIL/libvips would plug in on a production image.
+    """
+    if payload.startswith(_JPEG_MAGIC) or payload.startswith(_PNG_MAGIC):
+        raise NotImplementedError(
+            "real image codecs are not available in this container; "
+            "plug a PIL/libvips decode into this branch in production"
+        )
+    if not payload.startswith(FAKE_IMG_MAGIC):
+        raise ValueError("unknown media format")
+    width, height = struct.unpack_from("<II", payload, len(FAKE_IMG_MAGIC))
+    pixels = memoryview(payload)[len(FAKE_IMG_MAGIC) + 8 :]
+    n = width * height
+    if len(pixels) != n:
+        raise ValueError("truncated fake image")
+    mean = (sum(pixels) / n) if n else 0.0
+    return width, height, n, mean
+
+
+def thumbnail(payload: bytes, factor: int = 4) -> bytes:
+    """Deterministic 'resize': stride-subsample every ``factor``-th
+    pixel in both axes — the frame-sample/resize plumbing stand-in."""
+    w, h, _, _ = decode_image(payload)
+    pixels = memoryview(payload)[len(FAKE_IMG_MAGIC) + 8 :]
+    tw, th = max(1, w // factor), max(1, h // factor)
+    out = bytearray()
+    for y in range(0, th * factor, factor):
+        row = pixels[y * w : y * w + w]
+        out += bytes(row[x] for x in range(0, tw * factor, factor))
+    return FAKE_IMG_MAGIC + struct.pack("<II", tw, th) + bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas stages
+# ---------------------------------------------------------------------------
+
+
+def _media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        ids = b["doc_id"].tolist()
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "kind": ["image"] * len(ids),
+                "payload": [fake_image_bytes(int(i)) for i in ids],
+            }
+        )
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        out = {k: [] for k in ("doc_id", "kind", "width", "height", "n_pixels", "mean_luma")}
+        for doc_id, kind, payload in zip(b["doc_id"], b["kind"], b["payload"]):
+            w, h, n, mean = decode_image(payload)
+            out["doc_id"].append(doc_id)
+            out["kind"].append(kind)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_pixels"].append(n)
+            out["mean_luma"].append(mean)
+        df = pd.DataFrame(out)
+        df["width"] = df["width"].astype("int32")
+        df["height"] = df["height"].astype("int32")
+        df["n_pixels"] = df["n_pixels"].astype("int64")
+        yield df
+
+
+def _thumb_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        rows = {"doc_id": [], "width": [], "height": [], "payload": []}
+        for doc_id, payload in zip(b["doc_id"], b["payload"]):
+            t = thumbnail(payload)
+            w, h, _, _ = decode_image(t)
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["payload"].append(t)
+        df = pd.DataFrame(rows)
+        df["width"] = df["width"].astype("int32")
+        df["height"] = df["height"].astype("int32")
+        yield df
+
+
+def fake_media_from_docs(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, ...) -> media(doc_id, kind, payload binary)."""
+    return docs.select("doc_id").mapInPandas(_media_batches, MEDIA_SCHEMA)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """media -> per-item decoded metadata + features (Arrow-batched)."""
+    return media.mapInPandas(_decode_batches, DECODED_SCHEMA)
+
+
+def media_thumbnails(media: DataFrame) -> DataFrame:
+    """media -> stride-subsampled thumbnails (binary out, binary in)."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _thumb_batches, THUMB_SCHEMA
+    )

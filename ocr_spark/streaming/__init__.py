@@ -1,0 +1,8 @@
+"""Structured Streaming surfaces: windowed metrics over event/lineage
+streams (reference W1/W4 analogs, SURVEY.md §2.7)."""
+
+from .metrics import (  # noqa: F401
+    lineage_rates_stream,
+    run_stream_to_memory,
+    windowed_event_counts_stream,
+)

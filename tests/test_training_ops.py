@@ -1,0 +1,209 @@
+"""Training-data-pipeline operators: dedup (MinHash-LSH / SimHash /
+Jaccard), embedding near-dup + IVF ANN, multimodal plumbing, and the
+streaming metrics surface."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    from ocr_spark.operators import dedup
+
+    docs = _docs(spark)
+    n_docs = docs.count()
+    pairs = dedup.minhash_candidate_pairs(dedup.neardup_corpus(docs))
+    planted = pairs.filter(
+        F.col("doc_b") - F.col("doc_a") == dedup.NEARDUP_OFFSET
+    ).count()
+    # ~90%-prefix mutants have shingle-Jaccard ~0.9; with 8 bands x 2
+    # rows the per-pair detection probability is >0.999
+    assert planted >= 0.98 * n_docs
+
+
+def test_minhash_lsh_no_o_n_squared_blowup(spark):
+    """Candidate set stays near the planted-pair count — buckets don't
+    degenerate into giant cliques."""
+    from ocr_spark.operators import dedup
+
+    docs = _docs(spark)
+    n_docs = docs.count()
+    pairs = dedup.minhash_candidate_pairs(dedup.neardup_corpus(docs)).count()
+    assert pairs < 3 * n_docs
+
+
+def test_simhash_close_for_mutants_far_for_strangers(spark):
+    from ocr_spark.operators import dedup
+
+    docs = _docs(spark).limit(50)
+    corpus = dedup.neardup_corpus(docs)
+    sig = corpus.select(
+        "doc_id", dedup.simhash_col(F.col("text")).alias("s")
+    )
+    a = sig.filter(F.col("doc_id") < dedup.NEARDUP_OFFSET).alias("a")
+    b = sig.withColumn(
+        "doc_id", F.col("doc_id") - F.lit(dedup.NEARDUP_OFFSET)
+    ).alias("b")
+    joined = a.join(b, "doc_id").select(
+        F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s"))).alias("hamming")
+    )
+    avg_mutant = joined.agg(F.avg("hamming")).first()[0]
+    # strangers: consecutive doc pairs
+    s1 = sig.filter(F.col("doc_id") < dedup.NEARDUP_OFFSET)
+    s2 = s1.withColumn("doc_id", F.col("doc_id") - 1)
+    stranger = (
+        s1.alias("x")
+        .join(s2.alias("y"), "doc_id")
+        .select(
+            F.bit_count(F.col("x.s").bitwiseXOR(F.col("y.s"))).alias("hamming")
+        )
+        .agg(F.avg("hamming"))
+        .first()[0]
+    )
+    assert avg_mutant < stranger
+
+
+def test_jaccard_mutant_similarity_high(spark):
+    from ocr_spark.operators import dedup
+
+    docs = _docs(spark)
+    mut = dedup._mutated_text(F.col("text"), F.col("n_chars"))
+    j = docs.select(
+        dedup.jaccard_col(
+            dedup.shingles_col(F.col("text")), dedup.shingles_col(mut)
+        ).alias("j")
+    )
+    row = j.agg(F.min("j"), F.avg("j")).first()
+    assert row[0] > 0.3 and row[1] > 0.7
+
+
+def test_shingles_short_doc_single_shingle(spark):
+    from ocr_spark.operators import dedup
+
+    df = spark.createDataFrame([("one two",)], "text string")
+    sh = df.select(dedup.shingles_col(F.col("text")).alias("sh")).first().sh
+    assert sh == ["one two"]
+
+
+# ---------------------------------------------------------------------------
+# ann
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_neardup_recall_and_precision(spark):
+    from ocr_spark.operators import ann
+
+    emb = _emb(spark)
+    n = emb.count()
+    pairs = ann.neardup_pairs(ann.neardup_corpus(emb))
+    rows = pairs.collect()
+    planted = [r for r in rows if r.vec_b - r.vec_a == ann.ANN_OFFSET]
+    # OR-construction over 4 bands: a few misses allowed, no junk
+    assert len(planted) >= 0.97 * n
+    assert all(r.cos_sim >= ann.NEARDUP_THRESHOLD for r in rows)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from ocr_spark.operators import ann
+
+    emb = _emb(spark)
+    approx = {r.vec_id for r in ann.ivf_topk(emb, 0, 10).collect()}
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    cand = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = ann.cosine_col(F.col("embedding"), F.col("qvec"))
+    exact = {
+        r.vec_id
+        for r in cand.select("vec_id", cos.alias("c"))
+        .orderBy(F.desc("c"))
+        .limit(10)
+        .collect()
+    }
+    # probing one IVF cell of 16 must still catch most of the true
+    # top-10 (the query's own cluster dominates its neighbors)
+    assert len(approx & exact) >= 5
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_decode_roundtrip(spark):
+    from ocr_spark.operators import multimodal as M
+
+    docs = _docs(spark).limit(64)
+    decoded = M.decode_media(M.fake_media_from_docs(docs))
+    for r in decoded.collect():
+        assert r.width == 16 + r.doc_id % 48
+        assert r.height == 16 + r.doc_id % 32
+        assert r.n_pixels == r.width * r.height
+        assert r.mean_luma == (r.doc_id * 7) % 256
+
+
+def test_multimodal_thumbnail_dimensions(spark):
+    from ocr_spark.operators import multimodal as M
+
+    docs = _docs(spark).limit(16)
+    thumbs = M.media_thumbnails(M.fake_media_from_docs(docs))
+    for r in thumbs.collect():
+        w, h = 16 + r.doc_id % 48, 16 + r.doc_id % 32
+        assert (r.width, r.height) == (max(1, w // 4), max(1, h // 4))
+        dec_w, dec_h, n, _ = M.decode_image(bytes(r.payload))
+        assert (dec_w, dec_h) == (r.width, r.height)
+
+
+def test_multimodal_real_formats_are_explicit_stubs():
+    from ocr_spark.operators import multimodal as M
+
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(ValueError):
+        M.decode_image(b"garbage-bytes")
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+def test_lineage_rate_stream(spark, tmp_path):
+    """Run the batch pipeline, then stream its lineage table and check
+    the windowed rollup covers every extracted doc."""
+    from ocr_spark.corpus import write_corpus
+    from ocr_spark.plans.lineage import run_pipeline
+    from ocr_spark.streaming import lineage_rates_stream, run_stream_to_memory
+
+    inp = str(tmp_path / "docs.parquet")
+    write_corpus(inp, 120, seed=11)
+    lineage = str(tmp_path / "lineage")
+    out = str(tmp_path / "out")
+    summary = run_pipeline(
+        spark, inp, out, lineage, run_id="streamtest", n_buckets=8
+    )
+    assert summary["docs"] == 120
+
+    rates = run_stream_to_memory(
+        lineage_rates_stream(spark, lineage, window="1 minute")
+    )
+    rows = rates.collect()
+    assert sum(r.docs for r in rows) == 120
+    assert all(r.run_id == "streamtest" for r in rows)
