@@ -65,23 +65,34 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
 
 
+def _hash60(col: Column) -> Column:
+    """md5 truncated to its first 15 hex chars as a BIGINT (60 bits).
+    Fixed-width hex means integer order == lexicographic order, and a
+    bigint aggregation buffer keeps min() hash-aggregable (min over
+    STRING forces Spark into SortAggregate) while the shuffle carries
+    8 bytes instead of a 32-char string per signature slot."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def minhash_col(shingles: Column, seed: int) -> Column:
-    """One minhash: lexicographic min of md5('{seed}:' + shingle).
-    md5 hex compares identically in Spark and DuckDB."""
+    """One minhash: min of hash60('{seed}:' + shingle)."""
     return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+        F.transform(shingles, lambda s: _hash60(F.concat(F.lit(f"{seed}:"), s)))
     )
 
 
 def band_keys_col(
     shingles: Column, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS
 ) -> Column:
-    """Array of LSH band keys: band j = md5 of its ``rows`` concatenated
-    minhashes (seeds j*rows .. j*rows+rows-1)."""
+    """Array of LSH band keys: band j = md5 of its ``rows``
+    ':'-joined decimal minhashes (seeds j*rows .. j*rows+rows-1)."""
     keys = []
     for j in range(bands):
-        parts = [minhash_col(shingles, j * rows + r) for r in range(rows)]
-        keys.append(F.md5(F.concat(*parts)))
+        parts = [
+            minhash_col(shingles, j * rows + r).cast("string")
+            for r in range(rows)
+        ]
+        keys.append(F.md5(F.concat_ws(":", *parts)))
     return F.array(*keys)
 
 
@@ -163,7 +174,7 @@ def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
     hashed = exploded.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))).alias(
+            _hash60(F.concat(F.lit(f"{seed}:"), F.col("shingle"))).alias(
                 f"h{seed}"
             )
             for seed in range(n_seeds)
@@ -175,8 +186,12 @@ def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
     bands = F.array(
         *[
             F.md5(
-                F.concat(
-                    *[F.col(f"h{j * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{j * MINHASH_ROWS + r}").cast("string")
+                        for r in range(MINHASH_ROWS)
+                    ],
                 )
             )
             for j in range(MINHASH_BANDS)
@@ -221,9 +236,11 @@ def sql_shingles(text_expr: str, k: int = SHINGLE_K) -> str:
 
 
 def sql_minhash(shingles_expr: str, seed: int) -> str:
+    """Mirror of minhash_col: min over 60-bit truncated md5 as BIGINT
+    (fixed-width hex ⇒ integer order == lexicographic order)."""
     return (
         f"list_min(list_transform({shingles_expr}, "
-        f"s -> md5('{seed}:' || s)))"
+        f"s -> CAST('0x' || substr(md5('{seed}:' || s), 1, 15) AS BIGINT)))"
     )
 
 
@@ -232,8 +249,9 @@ def sql_band_keys(
 ) -> str:
     keys = []
     for j in range(bands):
-        parts = " || ".join(
-            sql_minhash(shingles_expr, j * rows + r) for r in range(rows)
+        parts = " || ':' || ".join(
+            f"CAST({sql_minhash(shingles_expr, j * rows + r)} AS VARCHAR)"
+            for r in range(rows)
         )
         keys.append(f"md5({parts})")
     return "[" + ", ".join(keys) + "]"

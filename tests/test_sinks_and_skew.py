@@ -1,0 +1,122 @@
+"""Export sinks (S6), quarantine routing (F1/F3), the spark-submit job
+entrypoint, and the url-hash salting skew guarantee (north rule)."""
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _corpus(spark, tmp_path, n=200, seed=5):
+    from ocr_spark.corpus import write_corpus
+
+    path = str(tmp_path / "docs.parquet")
+    write_corpus(path, n, seed=seed)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+
+def test_export_three_formats(spark, tmp_path):
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.sources import sinks
+
+    extracted = extract_documents(_corpus(spark, tmp_path), n_partitions=4)
+    jd, td, md = (str(tmp_path / x) for x in ("j", "t", "m"))
+    sinks.export_json(extracted, jd)
+    sinks.export_text(extracted, td)
+    sinks.export_markdown(extracted, md)
+
+    jrows = spark.read.json(jd)
+    assert jrows.count() == 200
+    assert {"url", "status", "text", "content_hash"} <= set(jrows.columns)
+    assert spark.read.text(md).filter(
+        F.col("value").startswith("# https://")
+    ).count() == 200
+
+
+def test_quarantine_rejects(spark, tmp_path):
+    from ocr_spark.sources import sinks
+
+    good = _corpus(spark, tmp_path, n=50)
+    bad = spark.createDataFrame(
+        [("bad://1", bytearray(b"\x00\x01binary-junk"))], "url string, html binary"
+    )
+    n = sinks.quarantine_rejects(good.unionByName(bad, allowMissingColumns=True).select("url", "html"), str(tmp_path / "q"))
+    assert n == 1
+    row = spark.read.parquet(str(tmp_path / "q")).first()
+    assert row.url == "bad://1" and row.reject_reason == "unsupported payload type"
+
+
+def test_job_entrypoint_cli(tmp_path):
+    """jobs/extract.py runs standalone (the spark-submit surface) and
+    resumes to a no-op on the second invocation."""
+    from ocr_spark.corpus import write_corpus
+
+    inp = str(tmp_path / "in.parquet")
+    write_corpus(inp, 80, seed=9)
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+    cmd = [
+        sys.executable, os.path.join(REPO, "jobs", "extract.py"),
+        "--input", inp, "--output", out, "--lineage", lin, "--buckets", "8",
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert s1["docs"] == 80 and s1["buckets_processed"] == 8
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["docs"] == 0 and s2["buckets_processed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# skew / salting (north rule: salt on url-hash, not host)
+# ---------------------------------------------------------------------------
+
+
+def test_url_hash_salting_defuses_host_skew(spark, tmp_path):
+    """The corpus's Zipf host distribution makes host-keyed partitions
+    pathologically skewed; url-hash partitions stay balanced."""
+    docs = _corpus(spark, tmp_path, n=2000, seed=3)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+
+    def partition_counts(df):
+        return [
+            r["count"]
+            for r in df.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        ]
+
+    from ocr_spark.functions import salted_key
+
+    p = 16
+    by_host = partition_counts(docs.repartition(p, F.xxhash64(host)))
+    by_url = partition_counts(docs.repartition(p, salted_key()))
+
+    mean = 2000 / p
+    # host keying collapses the head hosts into a few giant partitions
+    assert max(by_host) > 2.5 * mean
+    # url-hash keying is near-uniform and uses every partition
+    assert max(by_url) < 1.5 * mean
+    assert len(by_url) == p
+
+
+def test_salt_changes_layout_not_content(spark, tmp_path):
+    """Different salts shuffle rows differently but extraction output
+    is identical — the salt is pure layout."""
+    from ocr_spark.operators import extract_documents
+
+    docs = _corpus(spark, tmp_path, n=100, seed=7)
+    a = extract_documents(docs, n_partitions=8, salt=0)
+    b = extract_documents(docs, n_partitions=8, salt=12345)
+    ra = sorted((r.url, r.content_hash) for r in a.collect())
+    rb = sorted((r.url, r.content_hash) for r in b.collect())
+    assert ra == rb
