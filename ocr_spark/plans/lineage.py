@@ -191,6 +191,58 @@ def run_pipeline(
     return {"run_id": run_id, "buckets_processed": n_buckets_done, "docs": n_docs}
 
 
+def repair_empty(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    n_partitions: Optional[int] = None,
+) -> int:
+    """R5, the empty-content repair pass (reference
+    task_manager.py:1298-1349: pages 'completed' with empty content are
+    re-OCR'd after task completion): re-extract exactly the documents
+    whose output is completed-but-empty and patch their buckets.
+
+    The target set is found by a filter on the *output* table (no scan
+    of the input beyond a broadcast semi-join on the tiny url list),
+    and the patch rewrites only the affected buckets via dynamic
+    partition overwrite — the same idempotent write as the main job.
+    Returns the number of documents re-extracted.
+    """
+    out = spark.read.parquet(output_path)
+    targets = out.filter(
+        (F.col("status") == "completed") & (F.col("chars_out") == 0)
+    ).select("url", "bucket")
+    n_targets = targets.count()
+    if n_targets == 0:
+        return 0
+
+    docs = spark.read.parquet(input_path)
+    todo = docs.join(F.broadcast(targets.select("url")), "url", "left_semi")
+    n_buckets = out.agg(F.max("bucket")).first()[0] + 1
+    redone = extract_documents(todo, n_partitions=n_partitions).withColumn(
+        "bucket", url_bucket(n_buckets)
+    )
+    # Patch = union of untouched rows in the affected buckets + the
+    # re-extracted rows, rewritten bucket-atomically. The kept rows are
+    # materialized (localCheckpoint) so the write no longer reads from
+    # the path it overwrites; at production scale this is a staging
+    # path + atomic swap (or an Iceberg MERGE) instead.
+    affected = [r.bucket for r in targets.select("bucket").distinct().collect()]
+    keep = (
+        out.filter(F.col("bucket").isin(affected))
+        .join(F.broadcast(targets.select("url")), "url", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    patched = keep.unionByName(redone)
+    (
+        patched.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(output_path)
+    )
+    return n_targets
+
+
 def output_is_complete(
     spark: SparkSession, output_path: str, input_path: str
 ) -> bool:

@@ -1,0 +1,120 @@
+"""Physical-plan regression guards: the properties that make these
+queries scale (broadcasts, hash aggregation, column pruning, pushdown,
+partial aggregation) are asserted so a refactor can't silently
+replace them with shuffle-heavy or sort-based plans."""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_flagship_plan_shape(spark):
+    """scan(pruned) -> filter -> url-hash exchange -> MapInPandas; no
+    extra shuffles, no Python outside the one mapInPandas."""
+    from ocr_spark.corpus import write_corpus
+    from ocr_spark.operators import extract_documents
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "docs.parquet")
+    write_corpus(p, 50, seed=21)
+    df = extract_documents(spark.read.parquet(p), n_partitions=4)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "xxhash64(url" in plan, plan
+    # column pruning: the scan must not read text/warc_ts/lang
+    assert "ReadSchema: struct<url:string,html:binary>" in plan, plan
+
+
+def test_broadcast_join_is_broadcast(spark, entry_mod):
+    plan = _plan(entry_mod.queries()["broadcast_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_three_way_join_broadcasts_both_dims(spark, entry_mod):
+    plan = _plan(entry_mod.queries()["join_three_way"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_minhash_uses_hash_aggregate(spark, entry_mod):
+    """The signature min-agg must stay hash-aggregable (bigint buffer)
+    with a map-side partial — not SortAggregate over exploded shingles."""
+    plan = _plan(entry_mod.queries()["dedup_minhash_lsh"](spark, SF_DIR))
+    assert "SortAggregate" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
+def test_assembly_has_partial_aggregation(spark, entry_mod):
+    """collect_list assembly runs partial->final (map-side combine)."""
+    plan = _plan(entry_mod.queries()["assembly"](spark, SF_DIR))
+    assert "partial_" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, entry_mod):
+    """Row-group-skippable predicates appear as PushedFilters."""
+    plan = _plan(entry_mod.queries()["filter_size"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(n_chars), LessThanOrEqual(n_chars,300)]" in plan or (
+        "LessThanOrEqual(n_chars,300)" in plan
+    ), plan
+
+
+def test_column_pruning_projects_only_needed(spark, entry_mod):
+    plan = _plan(entry_mod.queries()["page_stats"](spark, SF_DIR))
+    # documents has (doc_id,text,lang,source,n_chars); text must not be read
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0], plan
+
+
+def test_topn_is_take_ordered(spark, entry_mod):
+    plan = _plan(entry_mod.queries()["topn"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_join_stays_semi(spark, entry_mod):
+    plan = _plan(entry_mod.queries()["semi_join"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_resume_antijoin_no_shuffle_on_big_side(spark, tmp_path):
+    """The resume filter is either an isin predicate (no join) or a
+    broadcast anti-join — the input table must never shuffle."""
+    from ocr_spark.corpus import write_corpus
+    from ocr_spark.plans.lineage import pending_after_resume, run_pipeline
+
+    inp = str(tmp_path / "in.parquet")
+    write_corpus(inp, 60, seed=13)
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lin")
+    run_pipeline(spark, inp, out, lin, n_buckets=8)
+
+    docs = spark.read.parquet(inp)
+    pending_isin = pending_after_resume(spark, docs, lin, 8, strategy="isin")
+    assert "Exchange" not in _plan(pending_isin)
+
+    pending_anti = pending_after_resume(
+        spark, docs, lin, 8, strategy="anti_join"
+    )
+    plan = _plan(pending_anti)
+    assert "BroadcastHashJoin LeftAnti" in plan.replace("  ", " ") or (
+        "LeftAnti" in plan and "BroadcastExchange" in plan
+    ), plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,146 @@
+"""Property-based robustness (hypothesis): the extractors must never
+raise, must be deterministic, and must uphold their structural
+invariants on arbitrary adversarial input — the poison-row guarantee
+(R2) that keeps a 100 TB job alive depends on it."""
+
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.html_extract import html_extract, tokenize_blocks
+from ocr_spark.pdf_extract import pdf_extract, pdf_extract_pages
+from ocr_spark.textops import normalize_ws, parse_model_response, sniff_kind
+
+_SETTINGS = dict(max_examples=200, deadline=None)
+
+
+# ---------------------------------------------------------------------------
+# arbitrary bytes: nothing raises, everything is deterministic
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=2048))
+def test_sniff_and_extract_never_raise(payload):
+    kind = sniff_kind(payload)
+    assert kind in ("pdf", "html", "unknown")
+    fn = pdf_extract if kind == "pdf" else html_extract
+    out = fn(payload)
+    assert isinstance(out.text, str)
+    assert fn(payload).text == out.text  # deterministic
+
+
+@settings(**_SETTINGS)
+@given(st.text(max_size=2048))
+def test_html_extract_arbitrary_text_never_raises(text):
+    out = html_extract(text.encode("utf-8", "surrogatepass") if isinstance(text, str) else text)
+    # single-whitespace invariant: output never contains runs or tabs
+    assert "  " not in out.text.replace("\n\n", " ")
+    for frag in out.text.split("\n\n"):
+        assert frag == " ".join(frag.split())
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["<p>", "</p>", "<div class='nav'>", "</div>", "<a href='#'>",
+             "</a>", "word", "two words here", "&amp;", "<br>", "<script>",
+             "</script>", "<!-- c -->", "<h2>", "</h2>", "<", ">", "</",
+             "<p", "x=<y>&"]
+        ),
+        max_size=60,
+    )
+)
+def test_html_tag_soup_invariants(parts):
+    html = "".join(parts)
+    blocks = tokenize_blocks(html)
+    for b in blocks:
+        assert b.text == " ".join(b.text.split())
+        assert b.chars >= 0 and b.link_chars <= b.chars + len(b.text)
+    out = html_extract(html.encode())
+    # no script content, no angle-bracket markup in extracted text
+    assert "<script" not in out.text
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=5, max_size=1024))
+def test_pdf_extract_corrupt_bodies_never_raise(junk):
+    payload = b"%PDF-1.4\n" + junk
+    pages = pdf_extract_pages(payload)
+    assert isinstance(pages, list)
+    assert pdf_extract_pages(payload) == pages  # deterministic
+
+
+@settings(**_SETTINGS)
+@given(st.text(alphabet=st.characters(codec="latin-1"), max_size=200))
+def test_pdf_roundtrip_arbitrary_latin1_line(line):
+    """A well-formed single-page PDF built around arbitrary latin-1
+    text must round-trip to its normalized form."""
+    from ocr_spark.sources.wrap import wrap_text_pdf
+
+    payload = wrap_text_pdf(line)
+    got = pdf_extract(payload).text
+    assert got == normalize_ws(line)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.text(max_size=500).filter(lambda t: len(t.split()) >= 2)
+)
+def test_html_wrap_roundtrip_arbitrary_text(text):
+    """Any text at or above the content-word threshold survives the
+    wrap -> boilerplate-strip round trip byte-identically."""
+    from ocr_spark.sources.wrap import wrap_text_html
+
+    got = html_extract(wrap_text_html(text)).text
+    assert got == normalize_ws(text)
+
+
+def test_html_single_word_below_content_threshold():
+    """A one-word paragraph is below MIN_CONTENT_WORDS and is dropped
+    by the classifier — the documented floor of the round-trip
+    contract (headings are exempt from the threshold)."""
+    from ocr_spark.sources.wrap import wrap_text_html
+
+    assert html_extract(wrap_text_html("0")).text == ""
+    assert html_extract(b"<h2>0</h2>").text == "0"
+
+
+# ---------------------------------------------------------------------------
+# textops parse (M6/M7): total function over arbitrary strings
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(st.text(max_size=1024))
+def test_parse_model_response_total_and_idempotent_on_plain(s):
+    out = parse_model_response(s)
+    assert isinstance(out, str)
+    assert out == out.strip()
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=512))
+def test_sniff_kind_prefix_stability(payload):
+    """Appending bytes after a confident prefix never changes the
+    sniffed kind (admission routing is prefix-driven)."""
+    if sniff_kind(payload) == "pdf":
+        assert sniff_kind(payload + b"trailing") == "pdf"
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=300))
+def test_flate_bomb_resistance(junk):
+    """A PDF whose stream inflates badly or is cut off mid-stream must
+    fail soft (empty/partial pages), never raise."""
+    comp = zlib.compress(junk * 3 if junk else b"x", 1)
+    payload = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + comp[: max(1, len(comp) - 2)]
+        + b"\nendstream\nendobj\n"
+    )
+    assert isinstance(pdf_extract_pages(payload), list)
