@@ -87,6 +87,38 @@ FROM documents
 """
 
 
+def q_pdf_fanout_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship fan-out + reduce (X1 + A1 + O4 + F7/F8): multi-page
+    PDF wrap -> per-page extraction rows -> built-in ordered '\\n\\n'
+    assembly. The oracle states the identical page chunking in SQL."""
+    from ocr_spark.operators import assemble_documents, extract_pages
+    from ocr_spark.sources.wrap import wrap_as_pdf_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = extract_pages(wrap_as_pdf_pages(docs, "doc_id"), n_partitions=8)
+    assembled = assemble_documents(pages)
+    return assembled.select(F.col("url").cast("bigint").alias("doc_id"), "text")
+
+
+_ORACLE_PDF_FANOUT = """
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                  ' ') AS words
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, greatest(CAST(ceil(len(words) / 60.0) AS INT), 1)),
+                   j -> array_to_string(words[j * 60 + 1 : (j + 1) * 60], ' ')
+               ) AS pages
+        FROM w
+    )
+    SELECT doc_id, array_to_string(pages, e'\n\n') AS text FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Filters / predicates (SURVEY §2.2)
 # ---------------------------------------------------------------------------
@@ -528,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
+        "pdf_fanout_assembly": q_pdf_fanout_assembly,
         "filter_status": q_filter_status,
         "filter_like": q_filter_like,
         "filter_size": q_filter_size,
@@ -569,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_html_roundtrip": _ORACLE_ROUNDTRIP,
         "extract_pdf_roundtrip": _ORACLE_ROUNDTRIP,
+        "pdf_fanout_assembly": _ORACLE_PDF_FANOUT,
         "filter_status": """
             SELECT event_id, user_id, round(value, 6) AS value
             FROM events WHERE event_type = 'purchase'

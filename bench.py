@@ -43,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
+N_BIG_DOCS = int(os.environ.get("SPARK_GRAFT_BIG_DOCS", "12000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
 SCALE_REPEAT = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "8"))
@@ -208,16 +209,39 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- flagship: extraction throughput -----------------------------------
-    docs = spark.read.parquet(corpus_path)
+    # The job is SCALE_REPEAT x the corpus: at 24k docs the fixed
+    # per-job cost (~2 s) floors the measurement; 192k docs makes the
+    # number reflect sustained throughput, which is what a 100 TB run
+    # sees.
+    job = _scale_job(spark, corpus_path, SCALE_REPEAT)
     # warm-up: full pass — spawns all python workers, JITs the whole
     # pipeline; this cold cost amortizes to zero at 100 TB scale
-    extract_documents(docs, n_partitions=2 * cores).count()
+    extract_documents(job, n_partitions=2 * cores).count()
 
     t0 = time.monotonic()
-    n_extracted = extract_documents(docs, n_partitions=2 * cores).count()
+    n_extracted = extract_documents(job, n_partitions=2 * cores).count()
     extract_sec = time.monotonic() - t0
     timings["extract_corpus"] = round(extract_sec, 3)
     docs_per_sec = n_extracted / extract_sec if extract_sec else 0.0
+
+    # --- realistic-size pages: ~25-60 KB HTML, 3-10-page PDFs --------------
+    # Crawl pages are tens of KB, not the 2.4 KB of the unit corpus; the
+    # per-doc extraction cost at this size is what a 100 TB run pays.
+    big_path = os.path.join("/tmp/ocr_spark_bench", f"documents_big_{N_BIG_DOCS}_d16")
+    if not os.path.exists(big_path):
+        from ocr_spark.corpus import write_corpus
+
+        write_corpus(
+            big_path, N_BIG_DOCS, seed=43, n_files=16,
+            paras=(30, 80), pdf_pages=(3, 10),
+        )
+    big = spark.read.parquet(big_path)
+    big_bytes = big.selectExpr("sum(length(html)) b").first().b
+    extract_documents(big, n_partitions=2 * cores).count()  # warm
+    t0 = time.monotonic()
+    n_big = extract_documents(big, n_partitions=2 * cores).count()
+    big_sec = time.monotonic() - t0
+    timings["extract_corpus_big"] = round(big_sec, 3)
 
     # --- headline operator queries at SF_DIR -------------------------------
     registry = entry_mod.queries()
@@ -244,6 +268,12 @@ def main() -> None:
             "docs_per_sec": round(docs_per_sec, 1),
             "cores": cores,
             "corpus_docs": N_BENCH_DOCS,
+            "big_docs": n_big,
+            "big_docs_per_sec": round(n_big / big_sec, 1) if big_sec else 0.0,
+            "big_mb_per_sec": round(big_bytes / 1e6 / big_sec, 1)
+            if big_sec
+            else 0.0,
+            "big_avg_doc_kb": round(big_bytes / n_big / 1024, 1) if n_big else 0.0,
         },
     }
 

@@ -108,11 +108,18 @@ def _paragraph_parts(
     return " ".join(html_parts), " ".join(text_parts)
 
 
-def make_html(rng: random.Random, lang: str) -> Tuple[bytes, str]:
-    """One synthetic page: returns (html_bytes, ground_truth_text)."""
+def make_html(
+    rng: random.Random, lang: str, paras: Tuple[int, int] = (1, 8)
+) -> Tuple[bytes, str]:
+    """One synthetic page: returns (html_bytes, ground_truth_text).
+
+    ``paras`` bounds the main-content paragraph count — (1, 8) yields
+    ~2.5 KB pages (unit-test sized); (30, 80) yields ~25-60 KB pages,
+    the realistic Common-Crawl regime for throughput measurement.
+    """
     words = _WORDS_ZH if lang == "zh" else _WORDS_EN
     title = _sentence(rng, words, rng.randint(3, 7)).rstrip(".?!")
-    n_paras = rng.randint(1, 8)
+    n_paras = rng.randint(*paras)
     paras = [_paragraph_parts(rng, words) for _ in range(n_paras)]
     n_headings = rng.randint(0, 2)
     heading_at = sorted(rng.sample(range(n_paras), min(n_headings, n_paras)))
@@ -294,7 +301,11 @@ _EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
 
 
 def generate_rows(
-    n_docs: int, seed: int = 42, pdf_fraction: float = 0.1
+    n_docs: int,
+    seed: int = 42,
+    pdf_fraction: float = 0.1,
+    paras: Tuple[int, int] = (1, 8),
+    pdf_pages: Optional[Tuple[int, int]] = None,
 ) -> Iterator[dict]:
     """Deterministic rows of the full documents shape."""
     rng = random.Random(seed)
@@ -307,11 +318,12 @@ def generate_rows(
         url = f"https://{host}/page/{i:08d}"
         ts = _EPOCH + _dt.timedelta(seconds=row_rng.randint(0, 30 * 86400 - 1))
         if row_rng.random() < pdf_fraction:
-            payload, truth = make_pdf(row_rng)
+            n_pages = row_rng.randint(*pdf_pages) if pdf_pages else None
+            payload, truth = make_pdf(row_rng, n_pages=n_pages)
             lang = "en"
         else:
             lang = row_rng.choice(_LANGS)
-            payload, truth = make_html(row_rng, lang)
+            payload, truth = make_html(row_rng, lang, paras=paras)
         yield {
             "url": url,
             "warc_ts": ts,
@@ -349,6 +361,8 @@ def write_corpus(
     seed: int = 42,
     pdf_fraction: float = 0.1,
     n_files: int = 1,
+    paras: Tuple[int, int] = (1, 8),
+    pdf_pages: Optional[Tuple[int, int]] = None,
 ) -> int:
     """Write the corpus as parquet; returns row count.
 
@@ -363,7 +377,15 @@ def write_corpus(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = list(generate_rows(n_docs, seed=seed, pdf_fraction=pdf_fraction))
+    rows = list(
+        generate_rows(
+            n_docs,
+            seed=seed,
+            pdf_fraction=pdf_fraction,
+            paras=paras,
+            pdf_pages=pdf_pages,
+        )
+    )
     schema = _arrow_schema()
     if n_files <= 1:
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)

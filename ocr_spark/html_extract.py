@@ -128,31 +128,73 @@ class _BlockBuilder:
         self._boiler = self._boiler or boiler
 
     def flush(self) -> None:
-        raw = "".join(self._parts)
-        text = " ".join(raw.split())
-        if text:
-            self.blocks.append(
-                Block(
-                    text=text,
-                    tag=self._tag,
-                    chars=self._chars,
-                    link_chars=self._link_chars,
-                    words=len(text.split()),
-                    heading=self._heading,
-                    boiler=self._boiler,
+        # Empty flushes (most block-tag boundaries) still reset the
+        # context flags — a heading/boiler context must not leak into
+        # bare text that follows a closed empty element.
+        if self._parts:
+            raw = "".join(self._parts)
+            words = raw.split()
+            if words:
+                text = " ".join(words)
+                self.blocks.append(
+                    Block(
+                        text=text,
+                        tag=self._tag,
+                        chars=self._chars,
+                        link_chars=self._link_chars,
+                        words=len(words),
+                        heading=self._heading,
+                        boiler=self._boiler,
+                    )
                 )
-            )
-        self._parts = []
-        self._link_chars = 0
-        self._chars = 0
+            self._parts = []
+            self._link_chars = 0
+            self._chars = 0
         self._heading = False
         self._boiler = False
+
+
+# Parsed-tag memo: raw tag slice -> (closing, tag, self_closing,
+# is_boiler, is_skip). Tag markup repeats heavily (every <p>, </p>,
+# </a>… is the same string), so parsing each distinct slice once
+# roughly halves tokenizer time; entries are pure functions of the
+# slice, so the cache never changes results. Bounded to keep unique
+# attr-bearing tags (hrefs) from growing it without limit.
+_TAG_CACHE: dict = {}
+_TAG_CACHE_MAX = 100_000
+
+
+def _parse_tag(raw_tag: str):
+    closing = raw_tag.startswith("/")
+    body = raw_tag[1:] if closing else raw_tag
+    m = _TAG_NAME_RE.match(body.strip())
+    if not m:
+        parsed = None
+    else:
+        tag = m.group(0).lower()
+        self_closing = body.rstrip().endswith("/") or tag in _VOID_TAGS
+        attrs_text = body[m.end() :]
+        is_boiler = tag in _BOILER_CONTAINER_TAGS
+        if not is_boiler and ("class" in attrs_text or "id" in attrs_text):
+            for attr_m in _ATTR_RE.finditer(attrs_text):
+                name = attr_m.group(1).lower()
+                if name in ("class", "id", "role"):
+                    value = (attr_m.group(2) or "").strip("\"'")
+                    if value and _BOILER_ATTR_RE.search(value):
+                        is_boiler = True
+                        break
+        parsed = (closing, tag, self_closing, is_boiler, tag in _SKIP_SUBTREE_TAGS)
+    if len(_TAG_CACHE) >= _TAG_CACHE_MAX:
+        _TAG_CACHE.clear()
+    _TAG_CACHE[raw_tag] = parsed
+    return parsed
 
 
 def tokenize_blocks(html_text: str) -> List[Block]:
     """Single forward scan over the markup producing flat text blocks."""
     builder = _BlockBuilder()
     n = len(html_text)
+    lower_text = html_text.lower()  # computed once; raw-text skips search it
     i = 0
     link_depth = 0
     skip_depth = 0  # inside script/style/head/...
@@ -189,14 +231,12 @@ def tokenize_blocks(html_text: str) -> List[Block]:
         raw_tag = html_text[lt + 1 : gt]
         i = gt + 1
 
-        closing = raw_tag.startswith("/")
-        if closing:
-            raw_tag = raw_tag[1:]
-        m = _TAG_NAME_RE.match(raw_tag.strip())
-        if not m:
+        parsed = _TAG_CACHE.get(raw_tag, False)
+        if parsed is False:
+            parsed = _parse_tag(raw_tag)
+        if parsed is None:
             continue
-        tag = m.group(0).lower()
-        self_closing = raw_tag.rstrip().endswith("/") or tag in _VOID_TAGS
+        closing, tag, self_closing, is_boiler, is_skip = parsed
 
         if closing:
             if tag in _BLOCK_TAGS:
@@ -218,18 +258,6 @@ def tokenize_blocks(html_text: str) -> List[Block]:
             continue
 
         # Opening tag.
-        attrs_text = raw_tag[m.end() :]
-        is_boiler = tag in _BOILER_CONTAINER_TAGS
-        if not is_boiler and ("class" in attrs_text or "id" in attrs_text):
-            for attr_m in _ATTR_RE.finditer(attrs_text):
-                name = attr_m.group(1).lower()
-                if name in ("class", "id", "role"):
-                    value = (attr_m.group(2) or "").strip("\"'")
-                    if value and _BOILER_ATTR_RE.search(value):
-                        is_boiler = True
-                        break
-        is_skip = tag in _SKIP_SUBTREE_TAGS
-
         if tag in _BLOCK_TAGS:
             builder.flush()
             if not self_closing and tag not in ("br", "hr"):
@@ -244,7 +272,7 @@ def tokenize_blocks(html_text: str) -> List[Block]:
 
         if is_skip and tag in ("script", "style", "textarea", "title"):
             # Raw-text elements: skip straight to the closing tag.
-            close = html_text.lower().find(f"</{tag}", i)
+            close = lower_text.find(f"</{tag}", i)
             i = n if close == -1 else html_text.find(">", close) + 1
             if i == 0:
                 i = n

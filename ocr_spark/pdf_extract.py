@@ -146,6 +146,12 @@ _ESCAPES = {
 }
 
 
+# Bytes needing per-char handling inside a literal string; everything
+# between them is consumed in bulk (latin-1 decode of a byte run is
+# byte-identical to per-char chr()).
+_PLAIN_RUN_RE = re.compile(rb"[^\\()]+")
+
+
 def _parse_literal_string(data: bytes, i: int) -> Tuple[str, int]:
     """Parse a ``(...)`` literal string starting at the '('; returns
     (text, index just past the closing paren)."""
@@ -155,6 +161,11 @@ def _parse_literal_string(data: bytes, i: int) -> Tuple[str, int]:
     n = len(data)
     while i < n and depth > 0:
         c = data[i]
+        if c not in (0x5C, 0x28, 0x29):
+            run = _PLAIN_RUN_RE.match(data, i)
+            out.append(run.group().decode("latin-1"))
+            i = run.end()
+            continue
         if c == 0x5C:  # backslash
             i += 1
             if i >= n:

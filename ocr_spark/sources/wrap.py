@@ -51,25 +51,37 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def wrap_text_pdf(text: str) -> bytes:
-    """Text -> one-page PDF with the normalized text as a single Tj
-    run in a flate-compressed content stream."""
-    one_line = " ".join(text.split())
-    content = (
-        f"BT\n/F1 12 Tf\n72 720 Td\n({_pdf_escape(one_line)}) Tj\nET"
-    ).encode("latin-1")
-    comp = zlib.compress(content, 6)
-
+def _build_pdf(page_texts: List[str]) -> bytes:
+    """Minimal deterministic PDF: one single-line flate-compressed
+    content stream per page, correct xref."""
     objects: List[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"",  # pages dict placeholder (index 1)
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
-        (f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n").encode()
-        + comp
-        + b"\nendstream",
     ]
+    first_page = 4
+    kids = " ".join(f"{first_page + 2 * i} 0 R" for i in range(len(page_texts)))
+    objects[1] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_texts)} >>".encode()
+    )
+    for i, page_text in enumerate(page_texts):
+        content_num = first_page + 2 * i + 1
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {content_num} 0 R >>"
+            ).encode()
+        )
+        content = (
+            f"BT\n/F1 12 Tf\n72 720 Td\n({_pdf_escape(page_text)}) Tj\nET"
+        ).encode("latin-1", errors="replace")
+        comp = zlib.compress(content, 6)
+        objects.append(
+            (f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n").encode()
+            + comp
+            + b"\nendstream"
+        )
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for num, body in enumerate(objects, start=1):
@@ -87,9 +99,41 @@ def wrap_text_pdf(text: str) -> bytes:
     return bytes(out)
 
 
+def wrap_text_pdf(text: str) -> bytes:
+    """Text -> one-page PDF with the normalized text as a single Tj
+    run in a flate-compressed content stream."""
+    return _build_pdf([" ".join(text.split())])
+
+
+# Words per page for the multi-page wrapper; the SQL oracle states the
+# identical chunking, so keep them in lockstep.
+PAGE_WORDS = 60
+
+
+def wrap_text_pdf_pages(text: str, page_words: int = PAGE_WORDS) -> bytes:
+    """Text -> multi-page PDF, ``page_words`` words per page.  By
+    construction ``assemble(extract_pages(wrap)) ==`` the pages'
+    normalized texts joined with '\\n\\n' — the flagship fan-out +
+    assembly round trip, stated in SQL by the oracle."""
+    words = text.split()
+    n_pages = max(1, (len(words) + page_words - 1) // page_words)
+    chunks = [
+        " ".join(words[j * page_words : (j + 1) * page_words])
+        for j in range(n_pages)
+    ]
+    return _build_pdf(chunks)
+
+
+_WRAPPERS = {
+    "html": wrap_text_html,
+    "pdf": wrap_text_pdf,
+    "pdf_pages": wrap_text_pdf_pages,
+}
+
+
 def _wrap_batches(kind: str):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        wrapper = wrap_text_html if kind == "html" else wrap_text_pdf
+        wrapper = _WRAPPERS[kind]
         for pdf_batch in batches:
             yield pd.DataFrame(
                 {
@@ -118,3 +162,15 @@ def wrap_as_pdf(df, url_col: str = "url", text_col: str = "text"):
         F.col(url_col).cast("string").alias("url"), F.col(text_col).alias("text")
     )
     return narrowed.mapInPandas(_wrap_batches("pdf"), "url string, html binary")
+
+
+def wrap_as_pdf_pages(df, url_col: str = "url", text_col: str = "text"):
+    """Multi-page PDF payloads (PAGE_WORDS words per page)."""
+    from pyspark.sql import functions as F
+
+    narrowed = df.select(
+        F.col(url_col).cast("string").alias("url"), F.col(text_col).alias("text")
+    )
+    return narrowed.mapInPandas(
+        _wrap_batches("pdf_pages"), "url string, html binary"
+    )

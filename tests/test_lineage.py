@@ -207,10 +207,17 @@ class TestRepairEmpty:
         # simulate a transient fault: blank 3 docs inside one bucket file
         bucket_dirs = [d for d in os.listdir(out) if d.startswith("bucket=")]
         bdir = os.path.join(out, sorted(bucket_dirs)[0])
-        f = [os.path.join(bdir, x) for x in os.listdir(bdir) if x.endswith(".parquet")][0]
+        # pick the largest part file so we can blank several rows
+        parts = [
+            os.path.join(bdir, x)
+            for x in os.listdir(bdir)
+            if x.endswith(".parquet")
+        ]
+        f = max(parts, key=os.path.getsize)
         t = pq.read_table(f).to_pylist()
-        corrupted = [r["url"] for r in t[:3]]
-        for r in t[:3]:
+        n_corrupt = min(3, len(t))
+        corrupted = [r["url"] for r in t[:n_corrupt]]
+        for r in t[:n_corrupt]:
             r["text"], r["chars_out"], r["status"] = "", 0, "completed"
         pq.write_table(pa.Table.from_pylist(t, schema=pq.read_table(f).schema), f)
         crc = os.path.join(bdir, "." + os.path.basename(f) + ".crc")
@@ -219,7 +226,7 @@ class TestRepairEmpty:
         spark.catalog.refreshByPath(out)  # drop cached file statuses
 
         n = repair_empty(spark, inp, out, n_partitions=4)
-        assert n == 3
+        assert n == n_corrupt and n >= 1
         fixed = spark.read.parquet(out)
         assert output_is_complete(spark, out, inp)
         got = {r.url: r.content_hash for r in fixed.select("url", "content_hash").collect()}
