@@ -515,6 +515,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parse_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: the reference's byte-identical response parser as a pandas
+    UDF, driven through the fenced-JSON path. Responses are built
+    columnar-ly from documents.text (quotes/backslashes stripped so the
+    JSON quoting is trivial in both engines); the oracle states the
+    expected parse output directly."""
+    from ocr_spark.functions.parse import parse_response
+
+    docs = _t(spark, sf_dir, "documents")
+    sanitized = F.regexp_replace(F.col("text"), r'["\\]', "")
+    response = F.concat(
+        F.lit('```json\n{"content": "'), sanitized, F.lit('"}\n```')
+    )
+    return docs.select(
+        "doc_id", parse_response(response).alias("parsed")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against vec_id=0 (double math)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -587,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_ivf_topk": q_ann_ivf_topk,
         "moderation": q_moderation,
+        "parse_response": q_parse_response,
         "stream_windowed_counts": q_stream_windowed_counts,
         "multimodal_decode": q_multimodal_decode,
         "token_count": q_token_count,
@@ -718,6 +737,11 @@ def oracle_sql() -> dict[str, str]:
                        AS blocked,
                    {_moderate_sql.sql_moderation_reason('text')} AS reason
             FROM corpus
+        """,
+        "parse_response": """
+            SELECT doc_id,
+                   trim(regexp_replace(text, '["\\\\]', '', 'g')) AS parsed
+            FROM documents
         """,
         "stream_windowed_counts": """
             SELECT strftime(time_bucket(INTERVAL '1 minute', ts),

@@ -178,21 +178,63 @@ def admit(df: DataFrame) -> DataFrame:
     )
 
 
+# Payloads above this size go through the wide branch: smaller Arrow
+# batches so one batch of fat rows can't balloon executor memory
+# (2048-row default batches x multi-MB payloads is gigabytes).
+LARGE_PAYLOAD_BYTES = 1 * 1024 * 1024
+LARGE_BATCH_RECORDS = 16
+
+
 def extract_documents(
-    df: DataFrame, n_partitions: Optional[int] = None, salt: int = 0
+    df: DataFrame,
+    n_partitions: Optional[int] = None,
+    salt: int = 0,
+    size_aware: bool = False,
 ) -> DataFrame:
     """Admission -> url-hash repartition -> Arrow-batched extraction.
 
     ``n_partitions`` defaults to Spark's shuffle partition setting.
     Repartitioning on xxhash64(url, salt) spreads hot hosts uniformly
     (north rule: salt/repartition on url-hash, not host).
+
+    ``size_aware=True`` adds the payload-size bucketing step (SURVEY
+    §4, replacing the reference's file-size strategy heuristics,
+    page_processor.py:88-153): rows above LARGE_PAYLOAD_BYTES take a
+    separate branch repartitioned to at most LARGE_BATCH_RECORDS rows
+    per partition — a partition with few rows yields correspondingly
+    small Arrow batches, so a run mixing 2 KB pages with 100 MB PDFs
+    neither starves parallelism nor balloons batch memory (the
+    2048-record default batch x multi-MB payloads would be gigabytes).
+    Costs one count() over the filtered large side (parquet-stats
+    cheap); output is row-identical either way.
     """
     admitted = admit(df).select("url", "html")
+    if not size_aware:
+        if n_partitions:
+            admitted = admitted.repartition(n_partitions, salted_key(salt))
+        else:
+            admitted = admitted.repartition(salted_key(salt))
+        return admitted.mapInPandas(extract_batch, schema=EXTRACT_SCHEMA)
+
+    is_large = F.length(F.col("html")) > F.lit(LARGE_PAYLOAD_BYTES)
+    small = admitted.filter(~is_large)
+    large = admitted.filter(is_large)
     if n_partitions:
-        admitted = admitted.repartition(n_partitions, salted_key(salt))
+        small = small.repartition(n_partitions, salted_key(salt))
     else:
-        admitted = admitted.repartition(salted_key(salt))
-    return admitted.mapInPandas(extract_batch, schema=EXTRACT_SCHEMA)
+        small = small.repartition(salted_key(salt))
+    small_out = small.mapInPandas(extract_batch, schema=EXTRACT_SCHEMA)
+
+    n_large = large.count()
+    if n_large == 0:
+        return small_out
+    wide = max(
+        n_partitions or 0, -(-n_large // LARGE_BATCH_RECORDS)
+    )
+    large_out = large.repartition(wide, salted_key(salt)).mapInPandas(
+        extract_batch, schema=EXTRACT_SCHEMA
+    )
+    return small_out.unionByName(large_out)
 
 
 def extract_pages(

@@ -51,6 +51,22 @@ def get_spark(
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
     )
+    # Iceberg catalog as a config switch (SURVEY.md §4): the sandbox
+    # has no iceberg-spark-runtime jar, so the pipeline runs on plain
+    # parquet paths; on a cluster with the jar, pointing
+    # SPARK_GRAFT_ICEBERG_WAREHOUSE at a warehouse turns on a hadoop
+    # catalog named `ice` and the same code writes Iceberg tables
+    # (partitionBy(bucket) becomes the table's bucket(url) spec).
+    warehouse = os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE")
+    if warehouse:
+        builder = (
+            builder.config(
+                "spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog"
+            )
+            .config("spark.sql.catalog.ice.type", "hadoop")
+            .config("spark.sql.catalog.ice.warehouse", warehouse)
+        )
+
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

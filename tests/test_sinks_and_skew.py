@@ -120,3 +120,28 @@ def test_salt_changes_layout_not_content(spark, tmp_path):
     ra = sorted((r.url, r.content_hash) for r in a.collect())
     rb = sorted((r.url, r.content_hash) for r in b.collect())
     assert ra == rb
+
+
+def test_size_aware_extraction_identical_output(spark, tmp_path):
+    """size_aware routing (payload-size bucketing, SURVEY §4) changes
+    partitioning for oversized rows but never the results."""
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.operators.extract import LARGE_PAYLOAD_BYTES
+    from ocr_spark.sources.wrap import wrap_text_html
+
+    docs = _corpus(spark, tmp_path, n=120, seed=29)
+    # plant oversized-but-admissible HTML rows (> 1 MB, < 50 MB cap)
+    fat_text = "fat content words " * 80_000  # ~1.4 MB
+    fat = spark.createDataFrame(
+        [(f"fat://{i}", bytearray(wrap_text_html(fat_text))) for i in range(3)],
+        "url string, html binary",
+    )
+    assert len(wrap_text_html(fat_text)) > LARGE_PAYLOAD_BYTES
+    mixed = docs.select("url", "html").unionByName(fat)
+
+    plain = extract_documents(mixed, n_partitions=4)
+    routed = extract_documents(mixed, n_partitions=4, size_aware=True)
+    a = sorted((r.url, r.status, r.content_hash) for r in plain.collect())
+    b = sorted((r.url, r.status, r.content_hash) for r in routed.collect())
+    assert a == b
+    assert sum(1 for u, s, h in b if u.startswith("fat://") and s == "completed") == 3
