@@ -6,3 +6,7 @@ from .metrics import (  # noqa: F401
     run_stream_to_memory,
     windowed_event_counts_stream,
 )
+from .stateful import (  # noqa: F401
+    cumulative_progress_stream,
+    run_progress_to_memory,
+)

@@ -207,3 +207,32 @@ def test_lineage_rate_stream(spark, tmp_path):
     rows = rates.collect()
     assert sum(r.docs for r in rows) == 120
     assert all(r.run_id == "streamtest" for r in rows)
+
+
+def test_stateful_progress_stream(spark, tmp_path):
+    """applyInPandasWithState cumulative progress: two pipeline runs
+    append lineage; the stateful operator folds all rows per run_id."""
+    from ocr_spark.corpus import write_corpus
+    from ocr_spark.plans.lineage import run_pipeline
+    from ocr_spark.streaming import (
+        cumulative_progress_stream,
+        run_progress_to_memory,
+    )
+
+    inp1, inp2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    write_corpus(inp1, 60, seed=33)
+    write_corpus(inp2, 40, seed=34)
+    lin = str(tmp_path / "lineage")
+    run_pipeline(spark, inp1, str(tmp_path / "o1"), lin, run_id="runA", n_buckets=4)
+    # second corpus under a different lineage run id, same lineage table
+    run_pipeline(spark, inp2, str(tmp_path / "o2"), str(tmp_path / "lin2"), run_id="runB", n_buckets=4)
+    spark.read.parquet(str(tmp_path / "lin2")).write.mode("append").parquet(lin)
+
+    result = run_progress_to_memory(cumulative_progress_stream(spark, lin))
+    # update-mode memory sink may hold several emissions per key; the
+    # last per run_id carries the cumulative totals
+    rows = {r.run_id: r for r in result.collect()}
+    assert rows["runA"].docs_done == 60
+    assert rows["runB"].docs_done == 40
+    assert rows["runA"].n_failed == 0 and rows["runB"].n_failed == 0
+    assert rows["runA"].batches_seen >= 1
