@@ -139,10 +139,42 @@ def make_html(
     comment_text = _sentence(rng, words, 12)
 
     body_main: List[str] = [f"<h1>{title}</h1>"]
+    extra_truth: dict = {}  # idx -> list of truth blocks appended after para idx
     for idx, (p_html, _) in enumerate(paras):
         if idx in headings:
             body_main.append(f"<h2>{headings[idx]}</h2>")
         body_main.append(f"<p>{p_html}</p>")
+        # Structural constructs after some paragraphs. Each li/td/
+        # blockquote is a block tag, so each becomes its own extracted
+        # block (joined '\n\n'); the truth mirrors that exactly.
+        roll = rng.random()
+        if roll < 0.12:
+            items = [
+                _sentence(rng, words, rng.randint(2, 6))
+                for _ in range(rng.randint(2, 5))
+            ]
+            body_main.append(
+                "<ul>" + "".join(f"<li>{it}</li>" for it in items) + "</ul>"
+            )
+            extra_truth[idx] = list(items)
+        elif roll < 0.2:
+            cells = [
+                [_sentence(rng, words, rng.randint(2, 5)) for _ in range(2)]
+                for _ in range(2)
+            ]
+            body_main.append(
+                "<table>"
+                + "".join(
+                    "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+                    for row in cells
+                )
+                + "</table>"
+            )
+            extra_truth[idx] = [c for row in cells for c in row]
+        elif roll < 0.26:
+            quote = _sentence(rng, words, rng.randint(4, 10))
+            body_main.append(f"<blockquote>{quote}</blockquote>")
+            extra_truth[idx] = [quote]
 
     html_doc = f"""<!DOCTYPE html>
 <html lang="{lang}">
@@ -177,6 +209,7 @@ def make_html(
         if idx in headings:
             truth_blocks.append(headings[idx])
         truth_blocks.append(p_text)
+        truth_blocks.extend(extra_truth.get(idx, []))
     truth = "\n\n".join(truth_blocks)
     return html_doc.encode("utf-8"), truth
 
