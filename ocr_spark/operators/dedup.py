@@ -198,21 +198,31 @@ def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
         ]
     )
     keyed = sig.select("doc_id", F.posexplode(bands).alias("band", "key"))
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Pair expansion per bucket instead of a self-join: a self-join
+    # would recompute the whole signature subtree for its second input;
+    # grouping bucket members and expanding (a < b) combinations with
+    # array functions costs one signature pass and one shuffle. Buckets
+    # are tiny by construction (only near-dups collide), so the
+    # in-bucket combination blow-up is bounded.
+    buckets = (
+        keyed.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
