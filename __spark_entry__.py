@@ -648,16 +648,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "page_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            -- sum() must be cast: DuckDB sum(INTEGER) yields HUGEINT,
+            -- which the driver's pandas fetch renders as float64 and
+            -- the stringified value hash then differs from Spark's
+            -- bigint ("19525.0" vs "19525").
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 6) AS avg_chars,
                    count(DISTINCT source) AS n_sources
             FROM documents GROUP BY lang
         """,
         "conditional_agg": """
+            -- CASTs: DuckDB sum(INTEGER) is HUGEINT -> float64 in the
+            -- driver's pandas hash path; Spark sum is bigint.
             SELECT o_orderpriority, count(*) AS n_orders,
-                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
             FROM orders GROUP BY o_orderpriority
         """,
         "histogram": """

@@ -142,7 +142,8 @@ def _mp_worker(width: int) -> None:
     with mp.Pool(width) as pool:
         pool.map(_mp_chunk_worker, [c[:10] for c in chunks])  # warm imports
         best = float("inf")
-        for _ in range(SCALE_TRIALS):
+        total = 0
+        for _ in range(max(1, SCALE_TRIALS)):
             t0 = time.monotonic()
             total = sum(pool.map(_mp_chunk_worker, chunks))
             best = min(best, time.monotonic() - t0)

@@ -36,17 +36,27 @@ def export_json(extracted: DataFrame, path: str) -> None:
 
 
 def export_text(extracted: DataFrame, path: str) -> None:
-    """S6 txt: bare content, one line-folded document per row."""
-    (
-        extracted.select(F.coalesce("text", F.lit("")).alias("value"))
-        .write.mode("overwrite")
-        .text(path)
-    )
+    """S6 txt: bare content, one document per line.
+
+    Assembled text contains embedded newlines ('\\n\\n' page joins), and
+    the line-oriented text() sink would make record boundaries
+    unrecoverable on read-back — so newline runs are folded to single
+    spaces here, keeping the one-line-per-document contract parseable.
+    """
+    folded = F.regexp_replace(F.coalesce("text", F.lit("")), r"[\r\n]+", " ")
+    extracted.select(folded.alias("value")).write.mode("overwrite").text(path)
 
 
 def export_markdown(extracted: DataFrame, path: str) -> None:
     """S6 md: content under a '# {url}' header (reference md export
-    writes '# {file_name}\\n\\n{content}', main.py:3725-3731)."""
+    writes '# {file_name}\\n\\n{content}', main.py:3725-3731).
+
+    Concatenation-only by design: documents keep their embedded
+    newlines (markdown needs them), so the output is a rendered corpus
+    whose record boundaries are the '# {url}' headers, NOT a
+    one-record-per-line file. Use export_json/export_text for
+    machine-parseable round-trips.
+    """
     md = F.concat(
         F.lit("# "), F.col("url"), F.lit("\n\n"), F.coalesce("text", F.lit(""))
     )

@@ -72,7 +72,11 @@ def test_query_matches_oracle(spark, duck, name):
 
     cur = duck.execute(oracles[name])
     duck_cols = [d[0] for d in cur.description]
-    duck_rows = cur.fetchall()
+    # Fetch through pandas like the driver does (not fetchall): the
+    # pandas path renders DuckDB HUGEINT as float64, so an uncast
+    # sum(INTEGER) hash-mismatches there while fetchall()'s Python ints
+    # would mask it (round-1 page_stats/conditional_agg failure mode).
+    duck_rows = list(cur.df().itertuples(index=False, name=None))
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
