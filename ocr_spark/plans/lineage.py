@@ -116,6 +116,24 @@ def done_buckets(spark: SparkSession, lineage_path: str) -> Optional[list]:
 ISIN_MAX_BUCKETS = 10_000
 
 
+def _filter_not_in_buckets(
+    spark: SparkSession,
+    df: DataFrame,
+    done: Optional[list],
+    strategy: str = "auto",
+) -> DataFrame:
+    """Rows of ``df`` (carrying a ``bucket`` column) whose bucket is
+    not in ``done``. 'isin' evaluates as a plain row-level predicate
+    (no join at all); 'anti_join' broadcasts the done-set so the big
+    side never shuffles."""
+    if not done:
+        return df
+    if strategy == "isin" or (strategy == "auto" and len(done) <= ISIN_MAX_BUCKETS):
+        return df.filter(~F.col("bucket").isin(done))
+    done_df = spark.createDataFrame([(int(b),) for b in done], "bucket int")
+    return df.join(F.broadcast(done_df), "bucket", "left_anti")
+
+
 def pending_after_resume(
     spark: SparkSession,
     input_df: DataFrame,
@@ -125,21 +143,13 @@ def pending_after_resume(
 ) -> DataFrame:
     """Input rows whose bucket has no 'done' lineage row.
 
-    strategy: 'auto' | 'isin' | 'anti_join'. 'isin' evaluates as a
-    plain row-level predicate (no join at all); 'anti_join' broadcasts
-    the done-set so the big side never shuffles. Both snapshot the
-    done-set at call time (see done_buckets).
+    strategy: 'auto' | 'isin' | 'anti_join' (see
+    _filter_not_in_buckets). Both snapshot the done-set at call time
+    (see done_buckets).
     """
     with_bucket = input_df.withColumn("bucket", url_bucket(n_buckets))
     done = done_buckets(spark, lineage_path)
-    if not done:
-        return with_bucket
-    if strategy == "isin" or (strategy == "auto" and len(done) <= ISIN_MAX_BUCKETS):
-        return with_bucket.filter(~F.col("bucket").isin(done))
-    done_df = spark.createDataFrame(
-        [(int(b),) for b in done], "bucket int"
-    )
-    return with_bucket.join(F.broadcast(done_df), "bucket", "left_anti")
+    return _filter_not_in_buckets(spark, with_bucket, done, strategy)
 
 
 def run_pipeline(
@@ -161,7 +171,9 @@ def run_pipeline(
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     docs = spark.read.parquet(input_path)
-    pending = pending_after_resume(spark, docs, lineage_path, n_buckets)
+    with_bucket = docs.withColumn("bucket", url_bucket(n_buckets))
+    done = done_buckets(spark, lineage_path)
+    pending = _filter_not_in_buckets(spark, with_bucket, done)
 
     if pending.isEmpty():
         return {"run_id": run_id, "buckets_processed": 0, "docs": 0}
@@ -169,25 +181,30 @@ def run_pipeline(
     extracted = extract_documents(pending, n_partitions=n_partitions).withColumn(
         "bucket", url_bucket(n_buckets)
     )
-    # One extraction pass reused for both writes; the lineage rows are
-    # collected (≤ n_buckets of them) rather than re-counted so no
-    # action re-evaluates the pending-set after lineage is appended.
-    extracted = extracted.persist()
-    try:
-        (
-            extracted.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(output_path)
-        )
-        lineage_local = lineage_rows(extracted, run_id).collect()
-        spark.createDataFrame(lineage_local, schema=LINEAGE_SCHEMA).write.mode(
-            "append"
-        ).parquet(lineage_path)
-        n_docs = sum(r.n_docs for r in lineage_local)
-        n_buckets_done = len(lineage_local)
-    finally:
-        extracted.unpersist()
+    # Single extraction pass straight to the sink — no persist of the
+    # full output (a persist here would push a second copy of the
+    # corpus, text included, through memory+disk at 100 TB). Lineage is
+    # computed afterwards by RE-READING the just-written parquet:
+    # column pruning means the second scan touches only the metadata
+    # columns (status/bytes/chars/hash — a few % of the bytes), and
+    # partition pruning on the done-set restricts it to this run's
+    # buckets (dynamic overwrite replaced exactly those directories).
+    (
+        extracted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(output_path)
+    )
+    written = _filter_not_in_buckets(
+        spark, spark.read.parquet(output_path), done
+    ).select("bucket", "status", "bytes_in", "chars_out", "elapsed_us", "content_hash")
+    # Collected lineage rows are ≤ n_buckets — bounded and tiny.
+    lineage_local = lineage_rows(written, run_id).collect()
+    spark.createDataFrame(lineage_local, schema=LINEAGE_SCHEMA).write.mode(
+        "append"
+    ).parquet(lineage_path)
+    n_docs = sum(r.n_docs for r in lineage_local)
+    n_buckets_done = len(lineage_local)
     return {"run_id": run_id, "buckets_processed": n_buckets_done, "docs": n_docs}
 
 
@@ -218,9 +235,15 @@ def repair_empty(
 
     docs = spark.read.parquet(input_path)
     todo = docs.join(F.broadcast(targets.select("url")), "url", "left_semi")
-    n_buckets = out.agg(F.max("bucket")).first()[0] + 1
-    redone = extract_documents(todo, n_partitions=n_partitions).withColumn(
-        "bucket", url_bucket(n_buckets)
+    # Reuse the STORED bucket of each target row rather than recomputing
+    # url_bucket: inferring the bucket count as max(bucket)+1 is wrong
+    # whenever the top buckets happen to be empty (near-certain with
+    # large --buckets on modest inputs), and a mismatched modulus would
+    # re-assign redone rows to different buckets — the dynamic overwrite
+    # would then replace unrelated bucket directories with only the
+    # redone rows (silent data loss).
+    redone = extract_documents(todo, n_partitions=n_partitions).join(
+        F.broadcast(targets), "url"
     )
     # Patch = union of untouched rows in the affected buckets + the
     # re-extracted rows, rewritten bucket-atomically. The kept rows are

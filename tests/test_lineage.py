@@ -119,6 +119,22 @@ class TestRunPipeline:
         for bucket, hashes in per_bucket.items():
             assert lineage[bucket] == textops.content_hash_of(hashes), bucket
 
+    def test_no_full_output_persist(self, spark, corpus_path, paths):
+        """Scale regression: run_pipeline must not cache the extracted
+        table (a persist would push a second text-bearing copy of the
+        corpus through memory+disk at 100 TB) — lineage comes from a
+        column-pruned re-read of the written parquet instead."""
+        run_pipeline(
+            spark,
+            corpus_path,
+            paths["output"],
+            paths["lineage"],
+            run_id="r1",
+            n_buckets=4,
+        )
+        storage_info = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert len(storage_info) == 0, [str(s) for s in storage_info]
+
     def test_lineage_metrics(self, spark, corpus_path, paths):
         run_pipeline(
             spark,
@@ -233,6 +249,63 @@ class TestRepairEmpty:
         assert got == golden
         assert fixed.filter((F.col("status") == "completed") & (F.col("chars_out") == 0)).count() == 0
         assert corrupted  # sanity: we really corrupted something
+
+    def test_repair_with_sparse_top_buckets(self, spark, tmp_path):
+        """Regression (round-2 ADVICE): with many more buckets than
+        docs the top buckets are empty, so inferring the bucket count
+        as max(bucket)+1 re-assigns redone rows under a wrong modulus
+        and the dynamic overwrite replaces unrelated buckets. The
+        repair must reuse each target row's STORED bucket instead."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_spark.corpus import write_corpus
+        from ocr_spark.plans.lineage import (
+            output_is_complete,
+            repair_empty,
+            run_pipeline,
+        )
+
+        inp = str(tmp_path / "in.parquet")
+        write_corpus(inp, 60, seed=23)
+        out, lin = str(tmp_path / "out"), str(tmp_path / "lin")
+        run_pipeline(spark, inp, out, lin, n_buckets=4096)
+        outdf = spark.read.parquet(out)
+        max_bucket = outdf.agg(F.max("bucket")).first()[0]
+        assert max_bucket < 4095  # precondition: top buckets ARE empty
+        golden = {
+            (r.url, r.bucket): r.content_hash
+            for r in outdf.select("url", "bucket", "content_hash").collect()
+        }
+
+        bucket_dirs = sorted(
+            d for d in os.listdir(out) if d.startswith("bucket=")
+        )
+        bdir = os.path.join(out, bucket_dirs[0])
+        parts = [
+            os.path.join(bdir, x)
+            for x in os.listdir(bdir)
+            if x.endswith(".parquet")
+        ]
+        f = max(parts, key=os.path.getsize)
+        t = pq.read_table(f).to_pylist()
+        t[0]["text"], t[0]["chars_out"], t[0]["status"] = "", 0, "completed"
+        pq.write_table(pa.Table.from_pylist(t, schema=pq.read_table(f).schema), f)
+        crc = os.path.join(bdir, "." + os.path.basename(f) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        spark.catalog.refreshByPath(out)
+
+        assert repair_empty(spark, inp, out, n_partitions=4) == 1
+        fixed = spark.read.parquet(out)
+        assert output_is_complete(spark, out, inp)
+        got = {
+            (r.url, r.bucket): r.content_hash
+            for r in fixed.select("url", "bucket", "content_hash").collect()
+        }
+        assert got == golden  # same rows, same buckets, same bytes
 
     def test_repair_noop_when_clean(self, spark, tmp_path):
         from ocr_spark.corpus import write_corpus
