@@ -115,53 +115,125 @@ def neardup_corpus(emb: DataFrame) -> DataFrame:
     ).unionByName(mut)
 
 
-def neardup_pairs(corpus: DataFrame) -> DataFrame:
-    """Candidate pairs sharing >=1 LSH band bucket, verified by exact
-    cosine >= NEARDUP_THRESHOLD. Returns (vec_a, vec_b, cos_sim)."""
+# A single degenerate (band, bucket) key — e.g. near-zero vectors all
+# hashing to the same sign pattern — must not blow up one executor row
+# with O(m^2) pair structs; buckets above this size are skipped (use
+# oversize_lsh_buckets to audit what was dropped).
+MAX_LSH_BUCKET = 1024
+
+
+def _lsh_keyed(corpus: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) — one row per vector per band."""
     buckets = F.array(
         *[bucket_col(F.col("embedding"), b) for b in range(N_BANDS)]
     )
-    keyed = corpus.select(
-        "vec_id",
-        "embedding",
-        F.posexplode(buckets).alias("band", "bucket"),
+    return corpus.select(
+        "vec_id", F.posexplode(buckets).alias("band", "bucket")
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+
+def neardup_pairs(
+    corpus: DataFrame, max_bucket: int = MAX_LSH_BUCKET
+) -> DataFrame:
+    """Candidate pairs sharing >=1 LSH band bucket, verified by exact
+    cosine >= NEARDUP_THRESHOLD. Returns (vec_a, vec_b, cos_sim).
+
+    Plan shape (the dedup.minhash_candidate_pairs pattern): signatures
+    are computed ONCE per vector (a self-join of the keyed relation
+    would recompute all 32 hyperplane dot products for its second
+    input and shuffle full embeddings x N_BANDS); bucket members are
+    collected per (band, bucket) and (a < b) pairs expanded with array
+    combinatorics, then embeddings are joined back only for the
+    candidate pairs — the shuffle carries (vec_id, band, bucket)
+    triples and, for the verify join, one embedding per candidate
+    side (AQE broadcasts the candidate side when it is small).
+    """
+    members = (
+        _lsh_keyed(corpus)
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= F.lit(NEARDUP_THRESHOLD))
+    )
+    cand = (
+        members.select(F.explode(combos).alias("p"))
+        .select("p.vec_a", "p.vec_b")
         .distinct()
+    )
+    emb_a = corpus.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    emb_b = corpus.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    cos = cosine_col(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.join(emb_a, "vec_a")
+        .join(emb_b, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(NEARDUP_THRESHOLD))
+    )
+
+
+def oversize_lsh_buckets(
+    corpus: DataFrame, max_bucket: int = MAX_LSH_BUCKET
+) -> DataFrame:
+    """Audit companion to neardup_pairs: the (band, bucket, n_members)
+    rows that were skipped by the bucket-size cap — 'logging the drop'
+    as data instead of silently truncating coverage."""
+    return (
+        _lsh_keyed(corpus)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
     )
 
 
 def ivf_assignments(emb: DataFrame) -> DataFrame:
     """(vec_id, embedding, centroid): nearest of the IVF_CENTROIDS
-    coarse centroids by cosine; broadcast join + ranking window."""
-    from pyspark.sql import Window as W
+    coarse centroids by cosine.
 
-    centroids = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
-        F.col("vec_id").alias("centroid"), F.col("embedding").alias("cvec")
+    The codebook (16 vectors) is pulled to the driver — a bounded
+    16-row collect, the IVF equivalent of broadcasting a trained
+    k-means model — and inlined as literal arrays, so the assignment
+    is a single array expression per row: all centroid cosines in one
+    array, argmax positionally. Zero shuffle, zero row blow-up (the
+    previous cross-join + ranking-window shape pushed 16x the rows
+    through an Exchange just to take an argmin — fatal at 10^12 rows).
+
+    Ties break toward the lowest centroid id: array_position returns
+    the FIRST index of the max, and the literals are ordered by
+    centroid id ascending (same as the ORDER BY ccos DESC, centroid
+    ASC of the SQL mirror).
+    """
+    codebook = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < IVF_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    scored = emb.select("vec_id", "embedding").join(F.broadcast(centroids))
-    cos = cosine_col(F.col("embedding"), F.col("cvec"))
-    w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid"))
-    return (
-        scored.withColumn("ccos", F.round(cos, 6))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid")
+    coses = F.array(
+        *[
+            F.round(cosine_col(F.col("embedding"), _lit_array(cvec)), 6)
+            for _, cvec in codebook
+        ]
+    )
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in codebook])
+    best = F.element_at(ids, F.array_position(coses, F.array_max(coses)).cast("int"))
+    return emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        best.alias("centroid"),
     )
 
 

@@ -151,20 +151,16 @@ def neardup_corpus(docs: DataFrame) -> DataFrame:
     return orig.unionByName(mut)
 
 
-def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
-    """corpus(doc_id, text) -> distinct candidate pairs (doc_a < doc_b)
-    sharing at least one LSH band bucket.
+def _band_keyed(corpus: DataFrame) -> DataFrame:
+    """(doc_id, band, key) — one LSH band key per doc per band.
 
-    Plan shape at scale: posexplode of the band-key array (bands x n
-    rows), one shuffle on (band, key), per-bucket pair expansion via a
-    self-join of bucket members — buckets are tiny by construction
-    (only near-dups collide), so the join fan-out is bounded.
+    Shingles are exploded once and the 16 minhash mins aggregated with
+    a map-side combine, instead of inlining the shingle subtree into 16
+    array folds (which defeats codegen and re-tokenizes per seed —
+    measured ~30x slower). The shuffle carries only n_docs x n_seeds
+    bigint hashes, never shingles.
     """
     n_seeds = MINHASH_BANDS * MINHASH_ROWS
-    # Explode shingles once and aggregate the 16 mins with a map-side
-    # combine, instead of inlining the shingle subtree into 16 array
-    # folds (which defeats codegen and re-tokenizes per seed — measured
-    # ~30x slower). The shuffle carries only n_docs x n_seeds hashes.
     exploded = corpus.select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(F.col("text")))).alias(
@@ -197,7 +193,32 @@ def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
             for j in range(MINHASH_BANDS)
         ]
     )
-    keyed = sig.select("doc_id", F.posexplode(bands).alias("band", "key"))
+    return sig.select("doc_id", F.posexplode(bands).alias("band", "key"))
+
+
+# A degenerate band key (boilerplate-heavy or very short docs colliding
+# en masse on a real crawl) must not produce an unbounded O(m^2)
+# combination array in a single executor row; buckets above this size
+# are skipped — use oversize_minhash_buckets to audit the drop.
+MAX_MINHASH_BUCKET = 1024
+
+
+def minhash_candidate_pairs(
+    corpus: DataFrame, max_bucket: int = MAX_MINHASH_BUCKET
+) -> DataFrame:
+    """corpus(doc_id, text) -> distinct candidate pairs (doc_a < doc_b)
+    sharing at least one LSH band bucket.
+
+    Plan shape at scale: posexplode of the band-key array (bands x n
+    rows), one shuffle on (band, key), per-bucket pair expansion via
+    array combinatorics over collected bucket members. Buckets are
+    tiny when the corpus is healthy (only near-dups collide), and the
+    ``max_bucket`` cap bounds the in-row blow-up when it isn't —
+    members of a hotter bucket are near-identical to each other
+    anyway, so exact-dedup upstream is the right tool for them, not
+    pairwise LSH verification.
+    """
+    keyed = _band_keyed(corpus)
     # Pair expansion per bucket instead of a self-join: a self-join
     # would recompute the whole signature subtree for its second input;
     # grouping bucket members and expanding (a < b) combinations with
@@ -207,7 +228,7 @@ def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
     buckets = (
         keyed.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     combos = F.flatten(
         F.transform(
@@ -222,6 +243,20 @@ def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
         buckets.select(F.explode(combos).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def oversize_minhash_buckets(
+    corpus: DataFrame, max_bucket: int = MAX_MINHASH_BUCKET
+) -> DataFrame:
+    """Audit companion to minhash_candidate_pairs: the (band, key,
+    n_members) rows skipped by the bucket-size cap — the drop is
+    recorded as data, never silent."""
+    return (
+        _band_keyed(corpus)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
     )
 
 

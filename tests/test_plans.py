@@ -95,6 +95,29 @@ def test_semi_join_stays_semi(spark, entry_mod):
     assert "LeftSemi" in plan, plan
 
 
+def test_embedding_lsh_computes_signatures_once(spark):
+    """neardup_pairs must not self-join the keyed (exploded) relation:
+    the 32 hyperplane dot products are computed once per vector, so the
+    plan contains exactly one posexplode of the bucket array."""
+    from ocr_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = _plan(ann.neardup_pairs(ann.neardup_corpus(emb)))
+    assert plan.count("Generate posexplode") == 1, plan
+
+
+def test_ivf_assignment_no_window_no_shuffle(spark):
+    """The centroid assignment is an array argmax over broadcast
+    literals — no ranking Window, no Exchange, no 16x row blow-up."""
+    from ocr_spark.operators import ann
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = _plan(ann.ivf_assignments(emb))
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_resume_antijoin_no_shuffle_on_big_side(spark, tmp_path):
     """The resume filter is either an isin predicate (no join) or a
     broadcast anti-join — the input table must never shuffle."""

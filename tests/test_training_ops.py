@@ -142,6 +142,40 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(approx & exact) >= 5
 
 
+def test_hot_bucket_cap_bounds_blowup(spark):
+    """A degenerate corpus (many identical docs) collapses every band
+    into one giant bucket; the cap must skip it (no O(m^2) in-row pair
+    array) and the audit surface must report exactly what was dropped."""
+    from ocr_spark.operators import dedup
+
+    rows = [(i, "the same boilerplate page text repeated verbatim") for i in range(200)]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert dedup.minhash_candidate_pairs(corpus, max_bucket=50).count() == 0
+    audit = dedup.oversize_minhash_buckets(corpus, max_bucket=50).collect()
+    assert len(audit) == dedup.MINHASH_BANDS
+    assert all(r.n_members == 200 for r in audit)
+    # sane corpora are unaffected by the cap
+    some = dedup.minhash_candidate_pairs(
+        dedup.neardup_corpus(_docs(spark).limit(50))
+    ).count()
+    assert some > 0
+
+
+def test_embedding_hot_bucket_cap(spark):
+    """Same guarantee for the hyperplane-LSH path: identical embeddings
+    all share every band bucket; the cap keeps the pair expansion
+    bounded and the audit reports the skipped buckets."""
+    from ocr_spark.operators import ann
+
+    base = [float((d * 37) % 100 - 50) / 50.0 for d in range(ann.EMB_DIM)]
+    rows = [(i, base) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assert ann.neardup_pairs(emb, max_bucket=10).count() == 0
+    audit = ann.oversize_lsh_buckets(emb, max_bucket=10).collect()
+    assert len(audit) == ann.N_BANDS
+    assert all(r.n_members == 100 for r in audit)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
