@@ -533,6 +533,139 @@ def q_parse_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sanitizer shared by the fallback-parse queries: strips the characters
+# that could collide with parser control tokens (':' appears in every
+# start marker; quotes/backslashes/backticks break JSON quoting and
+# fence detection) and neutralizes the end-marker phrases ('End',
+# 'end of ...') so the constructed responses have exactly ONE marker —
+# the one the query plants — and the expected output is SQL-statable.
+def _neutralized_text() -> "F.Column":
+    c = F.regexp_replace(F.col("text"), r'[:"\\`]', "")
+    c = F.regexp_replace(c, "End", "END")
+    return F.regexp_replace(c, "end of ", "end-of ")
+
+
+_NEUTRALIZED_SQL = (
+    "replace(replace(regexp_replace(text, '[:\"\\\\`]', '', 'g'), "
+    "'End', 'END'), 'end of ', 'end-of ')"
+)
+
+_SKIP_PATTERNS_SQL = [
+    "I''m sorry",
+    "I cannot",
+    "As an AI",
+    "Here is",
+    "The content",
+    "I understand",
+    "I can see",
+]
+
+
+def q_parse_fallback_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 marker path: a non-JSON response carrying a 'Result:' start
+    marker must yield exactly the text after the marker (reference
+    _parse_api_response_fallback, core/page_processor.py:1114-1132)."""
+    from ocr_spark.functions.parse import parse_response
+
+    docs = _t(spark, sf_dir, "documents")
+    response = F.concat(
+        F.lit("I cannot parse this\nResult: "), _neutralized_text()
+    )
+    return docs.select("doc_id", parse_response(response).alias("parsed"))
+
+
+def q_parse_fallback_skiplines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 line-filter path: no marker anywhere, refusal-boilerplate
+    lines dropped (reference page_processor.py:1134-1143). When the
+    document line itself matches a skip pattern the filter empties and
+    the parser falls through to the fence-strip path returning all
+    lines — the oracle states both outcomes."""
+    from ocr_spark.functions.parse import parse_response
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # The testdata contains no natural skip-pattern hits, so force both
+    # CASE branches with synthetic rows (same device as q_moderation).
+    corpus = docs.unionByName(spark.sql(_SKIPLINE_EXTRA_SQL))
+    response = F.concat(
+        F.lit("I'm sorry I refuse\n"),
+        _neutralized_text(),
+        F.lit("\nI can see the page"),
+    )
+    return corpus.select("doc_id", parse_response(response).alias("parsed"))
+
+
+_SKIPLINE_EXTRA_SQL = """
+    SELECT -1 AS doc_id, 'The content stays here' AS text
+    UNION ALL SELECT -2, 'a perfectly clean surviving line'
+"""
+
+
+def q_parse_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: multi-block API content joining (reference
+    task_manager.py:1946-1959) — text/output_text blocks concatenated
+    in order, other block types skipped; plain string passes through;
+    non-list non-string or no valid blocks -> NULL."""
+    from ocr_spark.functions.parse import join_blocks
+
+    docs = _t(spark, sf_dir, "documents")
+    blocks_json = F.concat(
+        F.lit('[{"type": "text", "text": "'),
+        _neutralized_text(),
+        F.lit(
+            '"}, {"type": "thinking", "text": "zz"},'
+            ' {"type": "output_text", "text": "|tail"}]'
+        ),
+    )
+    corpus = docs.select("doc_id", blocks_json.alias("raw")).unionByName(
+        spark.sql(_MULTIBLOCK_EXTRA_SQL)
+    )
+    return corpus.select("doc_id", join_blocks(F.col("raw")).alias("joined"))
+
+
+_MULTIBLOCK_EXTRA_SQL = """
+    SELECT -1 AS doc_id, '"plain string"' AS raw
+    UNION ALL SELECT -2, '42'
+    UNION ALL SELECT -3, '[]'
+    UNION ALL SELECT -4, '[{"type": "image", "text": "x"}]'
+    UNION ALL SELECT -5, '[{"type": "text"}, {"type": "output_text", "text": "ok"}]'
+"""
+
+
+def q_parse_legacy_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oldest parse variant (reference main.py:649-656): cut
+    between 'This is the content:' and 'this is the end of the
+    content', then strip markdown fences."""
+    from ocr_spark.functions.parse import legacy_parse
+
+    docs = _t(spark, sf_dir, "documents")
+    response = F.concat(
+        F.lit("noise This is the content: ```markdown "),
+        _neutralized_text(),
+        F.lit(" ``` this is the end of the content trailing noise"),
+    )
+    return docs.select("doc_id", legacy_parse(response).alias("parsed"))
+
+
+def q_filter_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: page-count admission (reference main.py:829-832) as a gated
+    query — multi-page PDF payloads extracted under a 5-page limit;
+    over-limit documents become failed rows with the page count in the
+    error message, never exceptions."""
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.sources.wrap import wrap_as_pdf_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    out = extract_documents(
+        wrap_as_pdf_pages(docs, "doc_id"), n_partitions=8, max_pages=5
+    )
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "status",
+        "n_pages",
+        "error_message",
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against vec_id=0 (double math)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -606,6 +739,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "moderation": q_moderation,
         "parse_response": q_parse_response,
+        "parse_fallback_marker": q_parse_fallback_marker,
+        "parse_fallback_skiplines": q_parse_fallback_skiplines,
+        "parse_multiblock": q_parse_multiblock,
+        "parse_legacy_delimiter": q_parse_legacy_delimiter,
+        "filter_pages": q_filter_pages,
         "stream_windowed_counts": q_stream_windowed_counts,
         "multimodal_decode": q_multimodal_decode,
         "token_count": q_token_count,
@@ -749,6 +887,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(text, '["\\\\]', '', 'g')) AS parsed
             FROM documents
+        """,
+        "parse_fallback_marker": f"""
+            SELECT doc_id, trim({_NEUTRALIZED_SQL}) AS parsed
+            FROM documents
+        """,
+        "parse_fallback_skiplines": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL {_SKIPLINE_EXTRA_SQL}
+            ),
+            c AS (
+                SELECT doc_id, trim({_NEUTRALIZED_SQL}) AS l2 FROM corpus
+            )
+            SELECT doc_id,
+                   CASE WHEN {" OR ".join(f"strpos(l2, '{p}') > 0" for p in _SKIP_PATTERNS_SQL)}
+                        THEN 'I''m sorry I refuse' || chr(10) || l2 ||
+                             chr(10) || 'I can see the page'
+                        ELSE l2 END AS parsed
+            FROM c
+        """,
+        "parse_multiblock": f"""
+            SELECT doc_id, {_NEUTRALIZED_SQL} || '|tail' AS joined
+            FROM documents
+            UNION ALL SELECT -1, 'plain string'
+            UNION ALL SELECT -2, CAST(NULL AS STRING)
+            UNION ALL SELECT -3, CAST(NULL AS STRING)
+            UNION ALL SELECT -4, CAST(NULL AS STRING)
+            UNION ALL SELECT -5, 'ok'
+        """,
+        "parse_legacy_delimiter": f"""
+            SELECT doc_id, trim({_NEUTRALIZED_SQL}) AS parsed
+            FROM documents
+        """,
+        "filter_pages": """
+            WITH w AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(regexp_replace(
+                           text, '\\s+', ' ', 'g')), ' ')) AS nw
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id,
+                       greatest(CAST(ceil(nw / 60.0) AS INT), 1) AS n_pages
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN n_pages > 5 THEN 'failed'
+                        ELSE 'completed' END AS status,
+                   n_pages,
+                   CASE WHEN n_pages > 5
+                        THEN 'page count ' || CAST(n_pages AS VARCHAR)
+                             || ' exceeds limit'
+                        ELSE CAST(NULL AS STRING) END AS error_message
+            FROM p
         """,
         "stream_windowed_counts": """
             SELECT strftime(time_bucket(INTERVAL '1 minute', ts),

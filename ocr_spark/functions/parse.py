@@ -11,12 +11,18 @@ function remains the pytest oracle.
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..textops import parse_model_response
+from ..textops import (
+    join_content_blocks,
+    legacy_delimiter_parse,
+    parse_model_response,
+)
 
 
 @pandas_udf("string")
@@ -27,3 +33,34 @@ def parse_response_udf(raw: pd.Series) -> pd.Series:
 def parse_response(col: Column) -> Column:
     """Column wrapper: parse a raw model-response column into text."""
     return parse_response_udf(col)
+
+
+@pandas_udf("string")
+def legacy_parse_udf(raw: pd.Series) -> pd.Series:
+    return raw.map(legacy_delimiter_parse)
+
+
+def legacy_parse(col: Column) -> Column:
+    """The oldest delimiter-cut parse variant (reference
+    main.py:649-656) as a column."""
+    return legacy_parse_udf(col)
+
+
+@pandas_udf("string")
+def join_blocks_udf(raw_json: pd.Series) -> pd.Series:
+    def one(s):
+        if s is None:
+            return None
+        try:
+            data = json.loads(s)
+        except (ValueError, TypeError):
+            return None
+        return join_content_blocks(data)
+
+    return raw_json.map(one)
+
+
+def join_blocks(col: Column) -> Column:
+    """M8 multi-block content joining (reference
+    task_manager.py:1946-1959) over a JSON-encoded content field."""
+    return join_blocks_udf(col)

@@ -48,13 +48,15 @@ PAGES_SCHEMA = (
 )
 
 
-def _extract_one(payload: Optional[bytes]) -> tuple:
+def _extract_one(
+    payload: Optional[bytes], max_pages: int = MAX_PDF_PAGES
+) -> tuple:
     """(kind, status, error, n_pages, text) for one payload; never raises."""
     kind = sniff_kind(payload)
     try:
         if kind == "pdf":
             pages = pdf_extract_pages(payload)
-            if len(pages) > MAX_PDF_PAGES:
+            if len(pages) > max_pages:
                 return kind, "failed", f"page count {len(pages)} exceeds limit", len(pages), None
             text = "\n\n".join(p for p in pages if p)
             return kind, "completed", None, len(pages), text
@@ -66,50 +68,59 @@ def _extract_one(payload: Optional[bytes]) -> tuple:
         return kind, "failed", f"{type(exc).__name__}: {exc}", 0, None
 
 
-def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas payload: document-level extraction.
+def make_extract_batch(max_pages: int = MAX_PDF_PAGES):
+    """Build the mapInPandas payload for document-level extraction with
+    the F2 page-count admission limit bound in (reference
+    main.py:829-832: configurable max page count per document)."""
 
-    Interchange is Arrow batches; the per-document Python inside the
-    loop IS the extractor (unavoidable and amortized), everything
-    crossing the JVM boundary is columnar.
-    """
-    ctx = TaskContext.get()
-    pid = ctx.partitionId() if ctx is not None else -1
-    for pdf_batch in batches:
-        t0 = time.monotonic_ns()
-        urls = pdf_batch["url"].tolist()
-        payloads = pdf_batch["html"].tolist()
-        n = len(urls)
-        kinds, statuses, errors, n_pages_list, texts = [], [], [], [], []
-        hashes, bytes_in, chars_out, elapsed = [], [], [], []
-        for payload in payloads:
-            d0 = time.monotonic_ns()
-            kind, status, error, n_pages, text = _extract_one(payload)
-            kinds.append(kind)
-            statuses.append(status)
-            errors.append(error)
-            n_pages_list.append(n_pages)
-            texts.append(text)
-            hashes.append(sha256_text(text) if text is not None else None)
-            bytes_in.append(len(payload) if payload is not None else 0)
-            chars_out.append(len(text) if text is not None else 0)
-            elapsed.append((time.monotonic_ns() - d0) // 1000)
-        del t0
-        yield pd.DataFrame(
-            {
-                "url": urls,
-                "kind": kinds,
-                "status": statuses,
-                "error_message": errors,
-                "n_pages": pd.array(n_pages_list, dtype="int32"),
-                "text": texts,
-                "content_hash": hashes,
-                "bytes_in": pd.array(bytes_in, dtype="int64"),
-                "chars_out": pd.array(chars_out, dtype="int64"),
-                "partition_id": pd.array([pid] * n, dtype="int32"),
-                "elapsed_us": pd.array(elapsed, dtype="int64"),
-            }
-        )
+    def extract_batch(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf_batch in batches:
+            t0 = time.monotonic_ns()
+            urls = pdf_batch["url"].tolist()
+            payloads = pdf_batch["html"].tolist()
+            n = len(urls)
+            kinds, statuses, errors, n_pages_list, texts = [], [], [], [], []
+            hashes, bytes_in, chars_out, elapsed = [], [], [], []
+            for payload in payloads:
+                d0 = time.monotonic_ns()
+                kind, status, error, n_pages, text = _extract_one(
+                    payload, max_pages
+                )
+                kinds.append(kind)
+                statuses.append(status)
+                errors.append(error)
+                n_pages_list.append(n_pages)
+                texts.append(text)
+                hashes.append(sha256_text(text) if text is not None else None)
+                bytes_in.append(len(payload) if payload is not None else 0)
+                chars_out.append(len(text) if text is not None else 0)
+                elapsed.append((time.monotonic_ns() - d0) // 1000)
+            del t0
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "kind": kinds,
+                    "status": statuses,
+                    "error_message": errors,
+                    "n_pages": pd.array(n_pages_list, dtype="int32"),
+                    "text": texts,
+                    "content_hash": hashes,
+                    "bytes_in": pd.array(bytes_in, dtype="int64"),
+                    "chars_out": pd.array(chars_out, dtype="int64"),
+                    "partition_id": pd.array([pid] * n, dtype="int32"),
+                    "elapsed_us": pd.array(elapsed, dtype="int64"),
+                }
+            )
+
+    return extract_batch
+
+
+# Default-limit instance (the shape most callers and tests use).
+extract_batch = make_extract_batch()
 
 
 def extract_pages_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -190,6 +201,7 @@ def extract_documents(
     n_partitions: Optional[int] = None,
     salt: int = 0,
     size_aware: bool = False,
+    max_pages: int = MAX_PDF_PAGES,
 ) -> DataFrame:
     """Admission -> url-hash repartition -> Arrow-batched extraction.
 
@@ -208,13 +220,16 @@ def extract_documents(
     Costs one count() over the filtered large side (parquet-stats
     cheap); output is row-identical either way.
     """
+    batch_fn = (
+        extract_batch if max_pages == MAX_PDF_PAGES else make_extract_batch(max_pages)
+    )
     admitted = admit(df).select("url", "html")
     if not size_aware:
         if n_partitions:
             admitted = admitted.repartition(n_partitions, salted_key(salt))
         else:
             admitted = admitted.repartition(salted_key(salt))
-        return admitted.mapInPandas(extract_batch, schema=EXTRACT_SCHEMA)
+        return admitted.mapInPandas(batch_fn, schema=EXTRACT_SCHEMA)
 
     is_large = F.length(F.col("html")) > F.lit(LARGE_PAYLOAD_BYTES)
     small = admitted.filter(~is_large)
@@ -223,7 +238,7 @@ def extract_documents(
         small = small.repartition(n_partitions, salted_key(salt))
     else:
         small = small.repartition(salted_key(salt))
-    small_out = small.mapInPandas(extract_batch, schema=EXTRACT_SCHEMA)
+    small_out = small.mapInPandas(batch_fn, schema=EXTRACT_SCHEMA)
 
     n_large = large.count()
     if n_large == 0:
@@ -232,7 +247,7 @@ def extract_documents(
         n_partitions or 0, -(-n_large // LARGE_BATCH_RECORDS)
     )
     large_out = large.repartition(wide, salted_key(salt)).mapInPandas(
-        extract_batch, schema=EXTRACT_SCHEMA
+        batch_fn, schema=EXTRACT_SCHEMA
     )
     return small_out.unionByName(large_out)
 
