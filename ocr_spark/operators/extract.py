@@ -189,11 +189,16 @@ def admit(df: DataFrame) -> DataFrame:
     )
 
 
-# Payloads above this size go through the wide branch: smaller Arrow
-# batches so one batch of fat rows can't balloon executor memory
-# (2048-row default batches x multi-MB payloads is gigabytes).
+# Payloads above this size are the ones the size-aware mode exists
+# for: multi-MB rows that skew task byte-load. Per-batch MEMORY is
+# bounded engine-side regardless (session.py caps Arrow batches by
+# bytes, spark.sql.execution.arrow.maxBytesPerBatch), so routing only
+# has to smooth task duration, not protect RSS.
 LARGE_PAYLOAD_BYTES = 1 * 1024 * 1024
-LARGE_BATCH_RECORDS = 16
+# size_aware over-partitioning factor: more, smaller tasks per core so
+# wave scheduling rebalances byte-skewed partitions (a straggler task
+# holds one slice, not 1/n_cores of the input).
+SIZE_AWARE_OVERSUB = 4
 
 
 def extract_documents(
@@ -209,47 +214,35 @@ def extract_documents(
     Repartitioning on xxhash64(url, salt) spreads hot hosts uniformly
     (north rule: salt/repartition on url-hash, not host).
 
-    ``size_aware=True`` adds the payload-size bucketing step (SURVEY
-    §4, replacing the reference's file-size strategy heuristics,
-    page_processor.py:88-153): rows above LARGE_PAYLOAD_BYTES take a
-    separate branch repartitioned to at most LARGE_BATCH_RECORDS rows
-    per partition — a partition with few rows yields correspondingly
-    small Arrow batches, so a run mixing 2 KB pages with 100 MB PDFs
-    neither starves parallelism nor balloons batch memory (the
-    2048-record default batch x multi-MB payloads would be gigabytes).
-    Costs one count() over the filtered large side (parquet-stats
-    cheap); output is row-identical either way.
+    ``size_aware=True`` handles corpora mixing 2 KB pages with 100 MB
+    PDFs (SURVEY §4, replacing the reference's file-size strategy
+    heuristics, page_processor.py:88-153) with a SINGLE scan and a
+    SINGLE shuffle: per-batch memory is already bounded engine-side
+    (Arrow batches are byte-capped via
+    spark.sql.execution.arrow.maxBytesPerBatch, session.py), so the
+    only remaining hazard is task-duration skew — addressed by
+    over-partitioning SIZE_AWARE_OVERSUB x, which gives the scheduler
+    enough small slices that a byte-heavy slice delays one wave slot,
+    not a whole core's share. (The previous design forked a second
+    branch for large rows and paid an extra count() action plus a
+    second scan of the input — round-1 VERDICT 'What's wrong' #6.)
+    Output is row-identical either way.
     """
     batch_fn = (
         extract_batch if max_pages == MAX_PDF_PAGES else make_extract_batch(max_pages)
     )
     admitted = admit(df).select("url", "html")
-    if not size_aware:
-        if n_partitions:
-            admitted = admitted.repartition(n_partitions, salted_key(salt))
-        else:
-            admitted = admitted.repartition(salted_key(salt))
-        return admitted.mapInPandas(batch_fn, schema=EXTRACT_SCHEMA)
-
-    is_large = F.length(F.col("html")) > F.lit(LARGE_PAYLOAD_BYTES)
-    small = admitted.filter(~is_large)
-    large = admitted.filter(is_large)
-    if n_partitions:
-        small = small.repartition(n_partitions, salted_key(salt))
+    parts = n_partitions
+    if size_aware:
+        base = n_partitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        parts = base * SIZE_AWARE_OVERSUB
+    if parts:
+        admitted = admitted.repartition(parts, salted_key(salt))
     else:
-        small = small.repartition(salted_key(salt))
-    small_out = small.mapInPandas(batch_fn, schema=EXTRACT_SCHEMA)
-
-    n_large = large.count()
-    if n_large == 0:
-        return small_out
-    wide = max(
-        n_partitions or 0, -(-n_large // LARGE_BATCH_RECORDS)
-    )
-    large_out = large.repartition(wide, salted_key(salt)).mapInPandas(
-        batch_fn, schema=EXTRACT_SCHEMA
-    )
-    return small_out.unionByName(large_out)
+        admitted = admitted.repartition(salted_key(salt))
+    return admitted.mapInPandas(batch_fn, schema=EXTRACT_SCHEMA)
 
 
 def extract_pages(

@@ -44,10 +44,13 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch size bounds per-batch memory for fat binary rows;
-        # the per-doc cost is CPU-side extraction, so batches of a few
-        # thousand docs amortize interchange without ballooning RSS.
+        # Arrow batch caps bound per-batch memory for fat binary rows:
+        # the record cap amortizes interchange for normal pages, and
+        # the BYTE cap (Spark 4) cuts a batch early when multi-MB
+        # payloads would balloon it — 2048 rows x 100 MB PDFs would
+        # otherwise be gigabytes JVM-side before Python sees a byte.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "32m")
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
     )

@@ -95,6 +95,26 @@ def test_semi_join_stays_semi(spark, entry_mod):
     assert "LeftSemi" in plan, plan
 
 
+def test_size_aware_single_scan_single_shuffle(spark):
+    """size_aware routing must not fork a second branch over the
+    input: one parquet scan, one Exchange, one MapInPandas (memory is
+    bounded by the Arrow byte cap, parallelism by over-partitioning)."""
+    from ocr_spark.corpus import write_corpus
+    from ocr_spark.operators import extract_documents
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "docs.parquet")
+    write_corpus(p, 40, seed=27)
+    df = extract_documents(
+        spark.read.parquet(p), n_partitions=4, size_aware=True
+    )
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
 def test_embedding_lsh_computes_signatures_once(spark):
     """neardup_pairs must not self-join the keyed (exploded) relation:
     the 32 hyperplane dot products are computed once per vector, so the
