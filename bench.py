@@ -26,9 +26,10 @@ Environment knobs:
   SPARK_GRAFT_BENCH_DOCS   extraction corpus size   (default 24000)
   SPARK_GRAFT_SCALING      0 disables the scaling section
   SPARK_GRAFT_SCALE_LO/HI  the two widths           (default 8 / 32)
-  SPARK_GRAFT_SCALE_REPEAT corpus repeat factor     (default 8)
+  SPARK_GRAFT_SCALE_REPEAT corpus repeat factor     (default 16)
   SPARK_GRAFT_SCALE_TRIALS timed trials per block   (default 2)
-  SPARK_GRAFT_SCALE_ROUNDS interleaved rounds       (default 2)
+  SPARK_GRAFT_SCALE_ROUNDS interleaved rounds       (default 3)
+  SPARK_GRAFT_FLAGSHIP_TRIALS flagship best-of-K    (default 3)
 """
 
 from __future__ import annotations
@@ -47,9 +48,15 @@ N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
 N_BIG_DOCS = int(os.environ.get("SPARK_GRAFT_BIG_DOCS", "12000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
-SCALE_REPEAT = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "8"))
+# 16x the 24k-doc corpus: the hi-width job runs ~15 s, so the ~1-2 s
+# fixed per-job cost (stage scheduling, result agg) stays <15% of the
+# measurement at BOTH widths — at repeat 8 it ate ~25% of the hi-width
+# run but only ~15% of the lo-width run, which alone depressed the
+# measured scaling efficiency by several points.
+SCALE_REPEAT = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "16"))
 SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
-SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+FLAGSHIP_TRIALS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_TRIALS", "3"))
 
 HEADLINE_QUERIES = [
     "extract_html_roundtrip",
@@ -130,23 +137,33 @@ def _mp_chunk_worker(payloads) -> int:
 
 def _mp_worker(width: int) -> None:
     """Child-process entry: Spark-free hardware baseline — the same
-    extraction work via multiprocessing.Pool at ``width`` procs."""
+    end-to-end work (parquet read + payload distribution + extraction)
+    via multiprocessing.Pool at ``width`` procs.
+
+    The parquet read and the chunk pickling are INSIDE the timed
+    region: the Spark job it is compared against re-scans the parquet
+    and moves payloads through Arrow every trial, so a baseline that
+    pre-loads payloads into memory would overstate the hardware and
+    understate Spark."""
     _pin(width)
     import multiprocessing as mp
 
     import pyarrow.parquet as pq
 
-    table = pq.read_table(_bench_corpus_path())
-    payloads = table.column("html").to_pylist() * SCALE_REPEAT
-    chunks = [payloads[i::width] for i in range(width)]
+    path = _bench_corpus_path()
     with mp.Pool(width) as pool:
-        pool.map(_mp_chunk_worker, [c[:10] for c in chunks])  # warm imports
+        warm = pq.read_table(path).column("html").to_pylist()
+        pool.map(_mp_chunk_worker, [warm[i::width][:10] for i in range(width)])
+        del warm
         best = float("inf")
         total = 0
         for _ in range(max(1, SCALE_TRIALS)):
             t0 = time.monotonic()
+            payloads = pq.read_table(path).column("html").to_pylist() * SCALE_REPEAT
+            chunks = [payloads[i::width] for i in range(width)]
             total = sum(pool.map(_mp_chunk_worker, chunks))
             best = min(best, time.monotonic() - t0)
+            del payloads, chunks
     print(
         json.dumps(
             {"width": width, "docs": total, "sec": round(best, 3),
@@ -187,6 +204,10 @@ def _scaling_section() -> dict:
     ratio = SCALE_HI / SCALE_LO
     spark_eff = spark_hi["docs_per_sec"] / (ratio * spark_lo["docs_per_sec"])
     hw_eff = mp_hi["docs_per_sec"] / (ratio * mp_lo["docs_per_sec"])
+
+    def rates(results):
+        return [r["docs_per_sec"] for r in results]
+
     return {
         "widths": [SCALE_LO, SCALE_HI],
         "docs": spark_lo["docs"],
@@ -197,6 +218,15 @@ def _scaling_section() -> dict:
         "spark_attributable_efficiency": round(min(spark_eff / hw_eff, 1.0), 3)
         if hw_eff > 0
         else None,
+        # full distribution (one best-of-SCALE_TRIALS entry per
+        # interleaved round) so a reader can judge the host noise that
+        # the best-of selection is defending against
+        "rounds": {
+            "spark_lo": rates(s_lo),
+            "spark_hi": rates(s_hi),
+            "mp_lo": rates(m_lo),
+            "mp_hi": rates(m_hi),
+        },
     }
 
 
@@ -233,29 +263,42 @@ def main() -> None:
     # pipeline; this cold cost amortizes to zero at 100 TB scale
     extract_documents(job, n_partitions=2 * cores).count()
 
-    t0 = time.monotonic()
-    n_extracted = extract_documents(job, n_partitions=2 * cores).count()
-    extract_sec = time.monotonic() - t0
+    # best-of-K: this host's noise comes in minutes-long windows (round
+    # 1 recorded 98.5 s for a job the pinned scaling children ran in
+    # ~7 s), so a single timed pass is not a measurement — the same
+    # warm+best-of-K protocol the scaling section uses applies here.
+    extract_sec = float("inf")
+    n_extracted = 0
+    for _ in range(max(1, FLAGSHIP_TRIALS)):
+        t0 = time.monotonic()
+        n_extracted = extract_documents(job, n_partitions=2 * cores).count()
+        extract_sec = min(extract_sec, time.monotonic() - t0)
     timings["extract_corpus"] = round(extract_sec, 3)
     docs_per_sec = n_extracted / extract_sec if extract_sec else 0.0
 
-    # --- realistic-size pages: ~25-60 KB HTML, 3-10-page PDFs --------------
+    # --- realistic-size pages: ~25-60 KB HTML, 6-16-page PDFs --------------
     # Crawl pages are tens of KB, not the 2.4 KB of the unit corpus; the
     # per-doc extraction cost at this size is what a 100 TB run pays.
-    big_path = os.path.join("/tmp/ocr_spark_bench", f"documents_big_{N_BIG_DOCS}_d16")
+    # paras=(70,160) lands the mixed html/pdf average at ~25-30 KB/doc.
+    big_path = os.path.join(
+        "/tmp/ocr_spark_bench", f"documents_big_{N_BIG_DOCS}_d16_p160"
+    )
     if not os.path.exists(big_path):
         from ocr_spark.corpus import write_corpus
 
         write_corpus(
             big_path, N_BIG_DOCS, seed=43, n_files=16,
-            paras=(30, 80), pdf_pages=(3, 10),
+            paras=(70, 160), pdf_pages=(6, 16),
         )
     big = spark.read.parquet(big_path)
     big_bytes = big.selectExpr("sum(length(html)) b").first().b
     extract_documents(big, n_partitions=2 * cores).count()  # warm
-    t0 = time.monotonic()
-    n_big = extract_documents(big, n_partitions=2 * cores).count()
-    big_sec = time.monotonic() - t0
+    big_sec = float("inf")
+    n_big = 0
+    for _ in range(max(1, FLAGSHIP_TRIALS)):
+        t0 = time.monotonic()
+        n_big = extract_documents(big, n_partitions=2 * cores).count()
+        big_sec = min(big_sec, time.monotonic() - t0)
     timings["extract_corpus_big"] = round(big_sec, 3)
 
     # --- headline operator queries at SF_DIR -------------------------------
