@@ -400,6 +400,60 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(normalized).alias("fp"))
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword pre-tokenization count: letter runs, single
+    digits, and single non-alnum marks (the GPT-2 pre-tokenizer's
+    coarse shape) — the token budget a training pipeline actually
+    meters, vs the whitespace count of q_token_count."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 rolling-hash fingerprinting proper: winnowing over hashed
+    word shingles (min of every 4-hash window, deduped+sorted)."""
+    from ocr_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup.winnow_fingerprint_col(F.col("text")).alias("fp")
+    )
+
+
+def q_ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN retrieval: exact top-10 for three query vectors in
+    ONE corpus scan (numpy-pruned candidates, fold-cosine re-score)."""
+    from ocr_spark.operators import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.topk_join(emb, query_ids=[0, 1, 2], k=10)
+
+
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/M4 as Structured Streaming: payload directory -> file stream
+    -> Arrow-batched extraction -> sink (availableNow); byte-identical
+    to the batch roundtrip by construction."""
+    import tempfile
+
+    from ocr_spark.sources import wrap_as_html
+    from ocr_spark.streaming import (
+        extraction_stream,
+        run_stream_to_memory_append,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payload_dir = tempfile.mkdtemp(prefix="ocr_spark_stream_payload_")
+    wrap_as_html(docs, "doc_id").write.mode("overwrite").parquet(payload_dir)
+    out = run_stream_to_memory_append(extraction_stream(spark, payload_dir))
+    return out.select(F.col("url").cast("bigint").alias("doc_id"), "text")
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-word screen over text."""
     docs = _t(spark, sf_dir, "documents")
@@ -747,10 +801,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "multimodal_decode": q_multimodal_decode,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "fingerprint_winnow": q_fingerprint_winnow,
         "langid": q_langid,
         "embedding_topk": q_embedding_topk,
+        "ann_topk_join": q_ann_topk_join,
+        "stream_extract": q_stream_extract,
         "scalar_funcs": q_scalar_funcs,
     }
 
@@ -960,6 +1018,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
             FROM documents
         """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "fingerprint_winnow": f"""
+            SELECT doc_id, {_dedup_sql.sql_winnow_fingerprint('text')} AS fp
+            FROM documents
+        """,
+        "ann_topk_join": _ann_sql.sql_topk_join([0, 1, 2], k=10),
+        "stream_extract": _ORACLE_ROUNDTRIP,
         "quality_score": """
             SELECT doc_id, length(text) AS n_chars,
                    len(string_split_regex(trim(text), '\\s+')) AS n_words,

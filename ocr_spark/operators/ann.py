@@ -256,6 +256,93 @@ def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     )
 
 
+def topk_join(
+    emb: DataFrame,
+    query_ids: List[int],
+    k: int = 10,
+    prune_margin: int = 8,
+) -> DataFrame:
+    """Batch ANN retrieval: exact top-k by cosine for EVERY query in
+    one corpus scan — the production retrieval pattern (the per-query
+    crossJoin of `q_embedding_topk` is the 1-query special case and
+    does not batch).
+
+    Two phases:
+
+    1. **Prune** (numpy, Arrow-batched mapInPandas): the query matrix
+       (bounded — collected to the driver like a trained model) is
+       broadcast into the workers; each Arrow batch computes all
+       query cosines with one matmul and emits its local
+       top-(k+prune_margin) ids per query. Any global top-k member is
+       in its own batch's local top-k, so the union of local winners
+       is a superset of the answer; the margin absorbs self-matches
+       and float-ordering jitter at the boundary. Shuffle carries only
+       (query_id, vec_id) pairs — n_batches x n_queries x (k+margin)
+       rows, never embeddings.
+    2. **Re-score** (JVM): candidates join embeddings back, cosine is
+       recomputed with the deterministic left-fold (`dot_col`, same
+       association order as the SQL mirror), and a ranking window over
+       the tiny candidate set takes the exact top-k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([qid for qid, _ in qrows], dtype=np.int64)
+    qmat = np.array([v for _, v in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    local_k = k + max(1, prune_margin)
+
+    def prune(batches):
+        for b in batches:
+            ids = b["vec_id"].to_numpy()
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            scores = (mat / norms) @ qmat.T  # (n_rows, n_queries)
+            m = min(local_k, len(ids))
+            out_q, out_v = [], []
+            for j in range(len(qids)):
+                top = np.argpartition(-scores[:, j], m - 1)[:m]
+                out_q.extend([qids[j]] * len(top))
+                out_v.extend(ids[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.array(out_q, dtype="int64"),
+                    "vec_id": pd.array(out_v, dtype="int64"),
+                }
+            )
+
+    cand = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(prune, schema="query_id bigint, vec_id bigint")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    queries = emb.filter(
+        F.col("vec_id").isin([int(q) for q in query_ids])
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = cand.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).join(F.broadcast(queries), "query_id")
+    cos = cosine_col(F.col("embedding"), F.col("qvec"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    return (
+        scored.withColumn("cos_full", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", F.round("cos_full", 4).alias("cos_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL mirrors
 # ---------------------------------------------------------------------------
@@ -333,6 +420,28 @@ def sql_neardup_pairs() -> str:
           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 4)
               >= {NEARDUP_THRESHOLD}
+    """
+
+
+def sql_topk_join(query_ids: List[int], k: int = 10) -> str:
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id IN ({ids})
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   {_sql_cosine('e.embedding', 'q.qvec')} AS cos_full,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_sql_cosine('e.embedding', 'q.qvec')} DESC,
+                                e.vec_id ASC) AS rn
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, round(cos_full, 4) AS cos_sim
+        FROM scored WHERE rn <= {k}
     """
 
 

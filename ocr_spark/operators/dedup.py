@@ -119,6 +119,29 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     return total
 
 
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprint_col(text: Column, w: int = WINNOW_WINDOW) -> Column:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken): hash the
+    k-word shingles (the rolling-hash stream), take the min of every
+    ``w``-hash window, dedupe and sort — a compact, position-robust
+    document signature whose overlap measures near-duplication.
+    Emitted as a ','-joined string so both engines stringify the
+    BIGINT selection identically."""
+    hashes = F.transform(
+        shingles_col(text), lambda s: _hash60(F.concat(F.lit("w:"), s))
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(hashes) - F.lit(w), F.lit(0)))
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(hashes, i + 1, w)))
+    return F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.array_distinct(mins)), lambda x: x.cast("string")
+        ),
+    )
+
+
 def jaccard_col(shingles_a: Column, shingles_b: Column) -> Column:
     """Exact Jaccard over distinct shingle sets."""
     a = F.array_distinct(shingles_a)
@@ -300,6 +323,18 @@ def sql_band_keys(
         )
         keys.append(f"md5({parts})")
     return "[" + ", ".join(keys) + "]"
+
+
+def sql_winnow_fingerprint(text_expr: str, w: int = WINNOW_WINDOW) -> str:
+    h = (
+        f"list_transform({sql_shingles(text_expr)}, "
+        "s -> CAST('0x' || substr(md5('w:' || s), 1, 15) AS BIGINT))"
+    )
+    mins = (
+        f"list_transform(range(0, greatest(len({h}) - {w}, 0) + 1), "
+        f"i -> list_min(({h})[i + 1 : i + {w}]))"
+    )
+    return f"array_to_string(list_sort(list_distinct({mins})), ',')"
 
 
 def sql_simhash(text_expr: str, bits: int = SIMHASH_BITS) -> str:

@@ -1,6 +1,11 @@
 """Structured Streaming surfaces: windowed metrics over event/lineage
 streams (reference W1/W4 analogs, SURVEY.md §2.7)."""
 
+from .extract_stream import (  # noqa: F401
+    extraction_stream,
+    run_extraction_stream,
+    run_stream_to_memory_append,
+)
 from .metrics import (  # noqa: F401
     lineage_rates_stream,
     run_stream_to_memory,

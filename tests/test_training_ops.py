@@ -219,6 +219,44 @@ def test_multimodal_real_formats_are_explicit_stubs():
 # ---------------------------------------------------------------------------
 
 
+def test_stream_extract_exactly_once_resume(spark, tmp_path):
+    """Streaming extraction: files landing in two waves; the second
+    run with the same checkpoint processes ONLY the new files, final
+    output is byte-identical to a batch extraction of everything."""
+    from ocr_spark.corpus import write_corpus
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.streaming import extraction_stream, run_extraction_stream
+
+    c1 = str(tmp_path / "c1.parquet")
+    write_corpus(c1, 70, seed=51)
+    docs = spark.read.parquet(c1).select("url", "html")
+    # two disjoint waves of one corpus (urls unique within a corpus)
+    urls = sorted(r.url for r in docs.select("url").collect())
+    payload_dir = str(tmp_path / "payloads")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def land(wave_urls):
+        docs.filter(F.col("url").isin(wave_urls)).write.mode(
+            "append"
+        ).parquet(payload_dir)
+
+    land(urls[:40])
+    run_extraction_stream(extraction_stream(spark, payload_dir), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    land(urls[40:])
+    run_extraction_stream(extraction_stream(spark, payload_dir), out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 70  # second run added ONLY the new wave
+    assert got.select("url").distinct().count() == 70
+
+    batch = extract_documents(spark.read.parquet(payload_dir), n_partitions=4)
+    a = sorted((r.url, r.content_hash) for r in got.select("url", "content_hash").collect())
+    b = sorted((r.url, r.content_hash) for r in batch.select("url", "content_hash").collect())
+    assert a == b
+
+
 def test_lineage_rate_stream(spark, tmp_path):
     """Run the batch pipeline, then stream its lineage table and check
     the windowed rollup covers every extracted doc."""
