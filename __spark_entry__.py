@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ocr_spark.functions import moderate as _moderate_sql  # noqa: E402
 from ocr_spark.operators import ann as _ann_sql  # noqa: E402
+from ocr_spark.operators import corpus_ops as _corpus_sql  # noqa: E402
 from ocr_spark.operators import dedup as _dedup_sql  # noqa: E402
 
 
@@ -398,6 +399,59 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     normalized = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
     return docs.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021): word-count
+    bounds, mean word length, stopword hits, alphabetic-word fraction
+    -> keep verdict. The curation filter between dedup and
+    tokenization."""
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = C.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["stop_hits"].alias("stop_hits"),
+        feats["alpha_frac"].alias("alpha_frac"),
+        C.quality_keep(feats).alias("keep"),
+    )
+
+
+def q_langid_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware language ID: CJK-character fraction then English
+    stopword markers — the real multilingual router (q_langid's
+    marker-word screen can't see zh at all)."""
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", C.langid_script(F.col("text")).alias("guess")
+    )
+
+
+SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (mixing weights): keep a
+    row iff its md5-derived uniform fraction < its stratum's rate —
+    reproducible across engines, runs, and cluster sizes."""
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _t(spark, sf_dir, "documents")
+    return C.sample_stratified(docs, SAMPLE_RATES).select("doc_id", "lang")
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: running token sum per language in
+    deterministic doc order; shard = floor(tokens_before / budget)."""
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _t(spark, sf_dir, "documents")
+    return C.pack_shards(docs, budget_tokens=5000)
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,6 +856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
+        "quality_gopher": q_quality_gopher,
+        "langid_cjk": q_langid_cjk,
+        "sample_stratified": q_sample_stratified,
+        "pack_shards": q_pack_shards,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "fingerprint_winnow": q_fingerprint_winnow,
@@ -1018,6 +1076,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
             FROM documents
         """,
+        "quality_gopher": _corpus_sql.sql_quality_query(),
+        "langid_cjk": f"""
+            SELECT doc_id, lang,
+                   {_corpus_sql.sql_langid_script('text')} AS guess
+            FROM documents
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_corpus_sql.sql_sample_stratified(SAMPLE_RATES)}
+        """,
+        "pack_shards": _corpus_sql.sql_pack_shards(5000),
         "token_count_bpe": """
             SELECT doc_id,
                    len(regexp_extract_all(text,

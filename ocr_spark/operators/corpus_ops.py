@@ -1,0 +1,283 @@
+"""Corpus curation ops — the selection/mixing stages of a training-data
+pipeline that sit AFTER extraction and dedup: quality-rule filtering
+(Gopher-style), script-aware language ID, deterministic stratified
+sampling, and token-budget shard packing.
+
+The reference has none of these (it extracts and returns documents
+one task at a time); they are the standard curation stack a 100 TB
+crawl needs before tokenization, built entirely from Spark built-ins
+(JVM-side, codegen'd), each with a DuckDB SQL mirror generated from
+the same constants so the driver's oracle gate covers them.
+
+Scale notes per op:
+* quality rules / language ID — pure per-row column expressions; free.
+* stratified sampling — a row-level predicate on an md5-derived
+  uniform hash: no shuffle, no sampleBy statefulness, reproducible
+  across engines and runs (seed in the hash preimage).
+* shard packing — a running-sum window per (lang) at demo scale; a
+  real run packs within url-hash buckets instead (same expression,
+  partitionBy('bucket')) so no single partition serializes a whole
+  language's corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, public) — en-centric
+# thresholds; zh rows route through the cjk branch of langid instead.
+# ---------------------------------------------------------------------------
+
+MIN_WORDS = 20
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 12.0
+MIN_STOPWORD_HITS = 2
+MIN_ALPHA_FRAC = 0.6
+
+STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with", "a", "in"]
+
+# CJK presence threshold for the zh guess.
+CJK_FRAC_ZH = 0.25
+_CJK_RANGE = "一-鿿"
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+
+
+def quality_features(text: Column) -> Dict[str, Column]:
+    """The per-document feature columns the keep-rule reads."""
+    words = _words(text)
+    n_words = F.size(words)
+    total_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.round(
+        total_len.cast("double") / n_words, 6
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]+$")))
+    alpha_frac = F.round(alpha_words.cast("double") / n_words, 6)
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "stop_hits": stop_hits,
+        "alpha_frac": alpha_frac,
+    }
+
+
+def quality_keep(features: Dict[str, Column]) -> Column:
+    """Gopher-style admission verdict over quality_features."""
+    return (
+        (features["n_words"] >= MIN_WORDS)
+        & (features["n_words"] <= MAX_WORDS)
+        & (features["mean_word_len"] >= MIN_MEAN_WORD_LEN)
+        & (features["mean_word_len"] <= MAX_MEAN_WORD_LEN)
+        & (features["stop_hits"] >= MIN_STOPWORD_HITS)
+        & (features["alpha_frac"] >= MIN_ALPHA_FRAC)
+    )
+
+
+def langid_script(text: Column) -> Column:
+    """Script-aware language guess: CJK-character fraction first
+    (the signal marker-word heuristics can't see), then English
+    stopword markers, else 'other'."""
+    cjk_only = F.regexp_replace(text, f"[^{_CJK_RANGE}]", "")
+    cjk_frac = F.length(cjk_only).cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    )
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    en_marker = (
+        padded.like("% the %") | padded.like("% and %") | padded.like("% a %")
+    )
+    return (
+        F.when(cjk_frac > CJK_FRAC_ZH, "zh")
+        .when(en_marker, "en")
+        .otherwise("other")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def hash_fraction(key: Column, seed: str = "sample") -> Column:
+    """Uniform [0,1) fraction from md5 — reproducible across engines,
+    runs, and cluster sizes (unlike rand(), whose draw depends on the
+    partitioning). 8 hex chars = 32 bits of the digest."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(float(2**32))
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: Dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash
+    fraction < its stratum's rate (unknown strata drop). A pure
+    row-level predicate — no shuffle, no state, exact reproducibility;
+    this is how mixing weights are applied when blending sources."""
+    expr = None
+    for stratum, r in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        expr = (
+            F.when(cond, F.lit(float(r)))
+            if expr is None
+            else expr.when(cond, F.lit(float(r)))
+        )
+    rate = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
+    return df.filter(hash_fraction(F.col(key_col), seed) < rate)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard packing
+# ---------------------------------------------------------------------------
+
+
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    partition_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a training shard so consecutive docs
+    (in deterministic key order, within a partition stream) fill
+    shards of ~budget_tokens: shard = floor(tokens_before_doc /
+    budget). A doc that crosses a boundary belongs to the shard it
+    STARTED in — the packer's writer handles the spill.
+
+    The running sum is a window per ``partition_col``; at production
+    scale pass the url-hash ``bucket`` column instead of a skewed
+    natural key so no partition serializes a whole language.
+    """
+    from pyspark.sql import Window as W
+
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (
+        W.partitionBy(partition_col)
+        .orderBy(key_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = F.sum(n_tokens).over(w)
+    shard = F.floor((cum - n_tokens) / F.lit(budget_tokens)).cast("int")
+    return df.select(
+        partition_col,
+        key_col,
+        n_tokens.alias("n_tokens"),
+        shard.alias("shard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL mirrors
+# ---------------------------------------------------------------------------
+
+
+def _sql_words(text_expr: str) -> str:
+    return (
+        "string_split_regex(trim(regexp_replace("
+        f"{text_expr}, '\\s+', ' ', 'g')), ' ')"
+    )
+
+
+def sql_quality_query(text_expr: str = "text") -> str:
+    """Complete oracle query: doc_id + feature columns + keep flag."""
+    words = _sql_words(text_expr)
+    stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    mean_len = (
+        "round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)"
+        " / len(w), 6)"
+    )
+    stop_hits = (
+        f"len(list_intersect(list_transform(w, x -> lower(x)), {stop_list}))"
+    )
+    alpha_frac = (
+        "round(CAST(len(list_filter(w, x -> regexp_full_match(x, "
+        "'[A-Za-z]+'))) AS DOUBLE) / len(w), 6)"
+    )
+    return f"""
+        WITH ww AS (SELECT doc_id, {words} AS w FROM documents)
+        SELECT doc_id,
+               len(w) AS n_words,
+               {mean_len} AS mean_word_len,
+               {stop_hits} AS stop_hits,
+               {alpha_frac} AS alpha_frac,
+               (len(w) >= {MIN_WORDS} AND len(w) <= {MAX_WORDS}
+                AND {mean_len} >= {MIN_MEAN_WORD_LEN}
+                AND {mean_len} <= {MAX_MEAN_WORD_LEN}
+                AND {stop_hits} >= {MIN_STOPWORD_HITS}
+                AND {alpha_frac} >= {MIN_ALPHA_FRAC}) AS keep
+        FROM ww
+    """
+
+
+def sql_langid_script(text_expr: str = "text") -> str:
+    cjk = f"regexp_replace({text_expr}, '[^{_CJK_RANGE}]', '', 'g')"
+    frac = (
+        f"(CAST(length({cjk}) AS DOUBLE) / greatest(length({text_expr}), 1))"
+    )
+    padded = f"(' ' || lower({text_expr}) || ' ')"
+    return f"""
+        CASE WHEN {frac} > {CJK_FRAC_ZH} THEN 'zh'
+             WHEN {padded} LIKE '% the %' OR {padded} LIKE '% and %'
+                  OR {padded} LIKE '% a %' THEN 'en'
+             ELSE 'other' END
+    """
+
+
+def sql_hash_fraction(key_expr: str, seed: str = "sample") -> str:
+    return (
+        f"(CAST(CAST('0x' || substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), "
+        f"1, 8) AS BIGINT) AS DOUBLE) / {float(2**32)!r})"
+    )
+
+
+def sql_sample_stratified(
+    rates: Dict[str, float],
+    strata_expr: str = "lang",
+    key_expr: str = "doc_id",
+    seed: str = "sample",
+) -> str:
+    """WHERE-clause fragment mirroring sample_stratified."""
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {float(r)!r}"
+        for s, r in sorted(rates.items())
+    )
+    return f"{sql_hash_fraction(key_expr, seed)} < (CASE {cases} ELSE 0.0 END)"
+
+
+def sql_pack_shards(
+    budget_tokens: int,
+    partition_expr: str = "lang",
+    key_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    nt = f"len(string_split_regex(trim({text_expr}), '\\s+'))"
+    return f"""
+        SELECT {partition_expr},
+               {key_expr},
+               {nt} AS n_tokens,
+               CAST(floor(CAST(sum({nt}) OVER (
+                        PARTITION BY {partition_expr} ORDER BY {key_expr}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - {nt} AS DOUBLE) / {budget_tokens}) AS INT) AS shard
+        FROM documents
+    """

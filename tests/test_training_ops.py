@@ -177,6 +177,78 @@ def test_embedding_hot_bucket_cap(spark):
 
 
 # ---------------------------------------------------------------------------
+# corpus curation ops
+# ---------------------------------------------------------------------------
+
+
+def test_langid_cjk_classifies_real_languages(spark, tmp_path):
+    """The script-aware guess must actually separate real en and zh
+    text. The DRIVER testdata's lang column is a label only (its
+    zh-labeled rows carry English words), so this runs on the repo's
+    own generator corpus, whose zh rows are genuine CJK text."""
+    from ocr_spark.corpus import write_corpus
+    from ocr_spark.operators import corpus_ops as C
+
+    p = str(tmp_path / "docs.parquet")
+    write_corpus(p, 300, seed=61)
+    docs = spark.read.parquet(p)
+    scored = docs.select("lang", C.langid_script(F.col("text")).alias("g"))
+    per = {
+        (r.lang, r.g): r.n
+        for r in scored.groupBy("lang", "g").agg(F.count("*").alias("n")).collect()
+    }
+    zh_total = sum(n for (lang, _), n in per.items() if lang == "zh")
+    assert zh_total > 0  # corpus really is multilingual
+    # script detection: full zh recall, zero false zh
+    assert per.get(("zh", "zh"), 0) >= 0.95 * zh_total
+    assert all(g != "zh" for (lang, g) in per if lang != "zh")
+    # the en marker screen needs stopword-bearing text — the repo
+    # generator's vocabulary is stopword-free by construction, so en
+    # recall is asserted on the driver corpus (whose en rows carry
+    # 'the'/'a'/'and') instead
+    driver = _docs(spark).filter(F.col("lang") == "en")
+    n_en = driver.count()
+    hits = driver.select(
+        C.langid_script(F.col("text")).alias("g")
+    ).filter(F.col("g") == "en").count()
+    assert hits >= 0.9 * n_en
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _docs(spark)
+    rates = {"en": 0.5, "zh": 0.25}
+    kept = C.sample_stratified(docs, rates)
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sampled = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, rate in rates.items():
+        if totals.get(lang, 0) >= 50:
+            got = sampled.get(lang, 0) / totals[lang]
+            assert abs(got - rate) < 0.15, (lang, got)
+    # deterministic: same call, same rows
+    a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    b = sorted(r.doc_id for r in C.sample_stratified(docs, rates).select("doc_id").collect())
+    assert a == b
+
+
+def test_pack_shards_budget_property(spark):
+    """Every shard except a stream's last must have crossed the budget
+    only via its final doc: tokens_before_last_doc < budget x (shard+1)
+    and each doc's shard is consistent with the running sum."""
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _docs(spark).limit(300)
+    budget = 2000
+    packed = C.pack_shards(docs, budget_tokens=budget).collect()
+    by_lang = {}
+    for r in sorted(packed, key=lambda r: (r.lang, r.doc_id)):
+        cum = by_lang.get(r.lang, 0)
+        assert r.shard == cum // budget, (r.lang, r.doc_id)
+        by_lang[r.lang] = cum + r.n_tokens
+
+
+# ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
 
