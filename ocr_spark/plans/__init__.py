@@ -1,3 +1,4 @@
+from .bucketed import colocated_join, save_bucketed  # noqa: F401
 from .lineage import (  # noqa: F401
     LINEAGE_SCHEMA,
     lineage_rows,

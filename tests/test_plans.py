@@ -138,6 +138,37 @@ def test_ivf_assignment_no_window_no_shuffle(spark):
     assert "Join" not in plan, plan
 
 
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must equi-join with
+    no Exchange on either side (the layout every downstream curation
+    join should use at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.corpus import write_corpus
+    from ocr_spark.plans import colocated_join, save_bucketed
+
+    p = os.path.join(str(tmp_path), "docs.parquet")
+    write_corpus(p, 200, seed=31)
+    docs = spark.read.parquet(p)
+    left = docs.select("url", F.length("html").alias("bytes_in"))
+    right = docs.select("url", F.length("text").alias("chars"))
+    spark.sql("DROP TABLE IF EXISTS t_bucket_left")
+    spark.sql("DROP TABLE IF EXISTS t_bucket_right")
+    save_bucketed(left, "t_bucket_left", 8)
+    save_bucketed(right, "t_bucket_right", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "t_bucket_left", "t_bucket_right")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_left")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_right")
+
+
 def test_resume_antijoin_no_shuffle_on_big_side(spark, tmp_path):
     """The resume filter is either an isin predicate (no join) or a
     broadcast anti-join — the input table must never shuffle."""
