@@ -774,6 +774,54 @@ def q_filter_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parse_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 response validation: which branch of the validator each
+    response takes, as data — even doc_ids get well-formed fenced
+    JSON ('json'), odd doc_ids get a marker response ('fallback');
+    both parse to the same text, so the mode column is the signal."""
+    from ocr_spark.functions.parse import parse_mode, parse_response
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = _neutralized_text()
+    response = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('```json\n{"content": "'), clean, F.lit('"}\n```')),
+    ).otherwise(F.concat(F.lit("noise\nResult: "), clean))
+    return docs.select(
+        "doc_id",
+        parse_mode(response).alias("mode"),
+        parse_response(response).alias("parsed"),
+    )
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal plumbing: derived fake-audio
+    payloads decoded (bytes genuinely parsed) to typed features with
+    closed-form oracle values."""
+    from ocr_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.audio_features_from_docs(docs).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_ms", 3).alias("duration_ms"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+    )
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 4th frame of each derived fake
+    video decoded to a mean-luma row — a row-fan-out media op whose
+    output is SQL-predictable."""
+    from ocr_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.video_frame_samples(docs, stride=4).select(
+        "doc_id", "frame_idx", F.round("mean_luma", 6).alias("mean_luma")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against vec_id=0 (double math)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -851,7 +899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_fallback_skiplines": q_parse_fallback_skiplines,
         "parse_multiblock": q_parse_multiblock,
         "parse_legacy_delimiter": q_parse_legacy_delimiter,
+        "parse_validation": q_parse_validation,
         "filter_pages": q_filter_pages,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "stream_windowed_counts": q_stream_windowed_counts,
         "multimodal_decode": q_multimodal_decode,
         "token_count": q_token_count,
@@ -1063,6 +1114,32 @@ def oracle_sql() -> dict[str, str]:
                             '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "parse_validation": f"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'json'
+                        ELSE 'fallback' END AS mode,
+                   trim({_NEUTRALIZED_SQL}) AS parsed
+            FROM documents
+        """,
+        "multimodal_audio": """
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+                   CAST(400 + doc_id % 600 AS INT) AS n_samples,
+                   round((400 + doc_id % 600) * 1000.0
+                         / (8000 + (doc_id % 8) * 1000), 3) AS duration_ms,
+                   round(CAST(abs((doc_id * 11) % 256 - 128) AS DOUBLE), 6)
+                       AS mean_amp
+            FROM documents
+        """,
+        "multimodal_video_frames": """
+            SELECT doc_id, CAST(f AS INT) AS frame_idx,
+                   round(CAST((doc_id * 13 + f) % 256 AS DOUBLE), 6)
+                       AS mean_luma
+            FROM (
+                SELECT doc_id, unnest(range(0, 4 + doc_id % 12, 4)) AS f
+                FROM documents
+            )
         """,
         "multimodal_decode": """
             SELECT doc_id,

@@ -22,6 +22,7 @@ from ..textops import (
     join_content_blocks,
     legacy_delimiter_parse,
     parse_model_response,
+    parse_with_mode,
 )
 
 
@@ -33,6 +34,17 @@ def parse_response_udf(raw: pd.Series) -> pd.Series:
 def parse_response(col: Column) -> Column:
     """Column wrapper: parse a raw model-response column into text."""
     return parse_response_udf(col)
+
+
+@pandas_udf("string")
+def parse_mode_udf(raw: pd.Series) -> pd.Series:
+    return raw.map(lambda s: parse_with_mode(s)[0])
+
+
+def parse_mode(col: Column) -> Column:
+    """M5 response validation as data: 'empty' | 'json' | 'fallback'
+    (which branch of the reference's validator a response would take)."""
+    return parse_mode_udf(col)
 
 
 @pandas_udf("string")

@@ -31,10 +31,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 FAKE_IMG_MAGIC = b"FAKE1IMG"
+FAKE_AUD_MAGIC = b"FAKE1AUD"
+FAKE_VID_MAGIC = b"FAKE1VID"
 # real-format magics we recognize but cannot decode in this container
 _JPEG_MAGIC = b"\xff\xd8\xff"
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _WAV_MAGIC = b"RIFF"
+_MP4_FTYP = b"ftyp"
 
 MEDIA_SCHEMA = "doc_id bigint, kind string, payload binary"
 DECODED_SCHEMA = (
@@ -42,6 +45,11 @@ DECODED_SCHEMA = (
     "mean_luma double"
 )
 THUMB_SCHEMA = "doc_id bigint, width int, height int, payload binary"
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int, duration_ms double, "
+    "mean_amp double"
+)
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, mean_luma double"
 
 
 def fake_image_bytes(doc_id: int) -> bytes:
@@ -91,6 +99,71 @@ def thumbnail(payload: bytes, factor: int = 4) -> bytes:
         row = pixels[y * w : y * w + w]
         out += bytes(row[x] for x in range(0, tw * factor, factor))
     return FAKE_IMG_MAGIC + struct.pack("<II", tw, th) + bytes(out)
+
+
+def fake_audio_bytes(doc_id: int) -> bytes:
+    """Deterministic fake audio: ``FAKE1AUD | u32 rate | u32 n | n
+    constant u8 samples``; rate/length/level are closed forms of
+    doc_id so decode output is SQL-predictable."""
+    rate = 8000 + (doc_id % 8) * 1000
+    n = 400 + doc_id % 600
+    sample = (doc_id * 11) % 256
+    return (
+        FAKE_AUD_MAGIC + struct.pack("<II", rate, n) + bytes([sample]) * n
+    )
+
+
+def decode_audio(payload: bytes) -> tuple:
+    """(sample_rate, n_samples, duration_ms, mean_amp); real WAV is
+    the explicit codec seam (soundfile/librosa in production)."""
+    if payload.startswith(_WAV_MAGIC):
+        raise NotImplementedError(
+            "real audio codecs are not available in this container; "
+            "plug a soundfile/librosa decode into this branch in production"
+        )
+    if not payload.startswith(FAKE_AUD_MAGIC):
+        raise ValueError("unknown media format")
+    rate, n = struct.unpack_from("<II", payload, len(FAKE_AUD_MAGIC))
+    samples = memoryview(payload)[len(FAKE_AUD_MAGIC) + 8 :]
+    if len(samples) != n:
+        raise ValueError("truncated fake audio")
+    duration_ms = round(n * 1000.0 / rate, 3)
+    mean_amp = (sum(abs(s - 128) for s in samples) / n) if n else 0.0
+    return rate, n, duration_ms, mean_amp
+
+
+def fake_video_bytes(doc_id: int) -> bytes:
+    """Deterministic fake video: ``FAKE1VID | u32 n_frames | u32 w |
+    u32 h | n_frames frames of w*h bytes``; frame f's constant pixel
+    is (doc_id*13 + f) % 256."""
+    n_frames = 4 + doc_id % 12
+    w, h = 8, 8
+    body = b"".join(
+        bytes([(doc_id * 13 + f) % 256]) * (w * h) for f in range(n_frames)
+    )
+    return FAKE_VID_MAGIC + struct.pack("<III", n_frames, w, h) + body
+
+
+def sample_frames(payload: bytes, stride: int = 4) -> list:
+    """Frame sampling: decode every ``stride``-th frame, return
+    [(frame_idx, mean_luma)] — the video analog of thumbnailing (real
+    formats would hand ffmpeg/pyav a keyframe list here)."""
+    if len(payload) > 8 and payload[4:8] == _MP4_FTYP:
+        raise NotImplementedError(
+            "real video demuxers are not available in this container; "
+            "plug an ffmpeg/pyav frame sampler into this branch in production"
+        )
+    if not payload.startswith(FAKE_VID_MAGIC):
+        raise ValueError("unknown media format")
+    n_frames, w, h = struct.unpack_from("<III", payload, len(FAKE_VID_MAGIC))
+    frames = memoryview(payload)[len(FAKE_VID_MAGIC) + 12 :]
+    if len(frames) != n_frames * w * h:
+        raise ValueError("truncated fake video")
+    out = []
+    for f in range(0, n_frames, stride):
+        frame = frames[f * w * h : (f + 1) * w * h]
+        out.append((f, sum(frame) / (w * h)))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -144,9 +217,58 @@ def _thumb_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield df
 
 
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        rows = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "duration_ms", "mean_amp")}
+        for doc_id in b["doc_id"]:
+            rate, n, dur, amp = decode_audio(fake_audio_bytes(int(doc_id)))
+            rows["doc_id"].append(doc_id)
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(n)
+            rows["duration_ms"].append(dur)
+            rows["mean_amp"].append(amp)
+        df = pd.DataFrame(rows)
+        df["sample_rate"] = df["sample_rate"].astype("int32")
+        df["n_samples"] = df["n_samples"].astype("int32")
+        yield df
+
+
+def _frame_batches(stride: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"doc_id": [], "frame_idx": [], "mean_luma": []}
+            for doc_id in b["doc_id"]:
+                for f, luma in sample_frames(
+                    fake_video_bytes(int(doc_id)), stride
+                ):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["mean_luma"].append(luma)
+            df = pd.DataFrame(rows)
+            df["frame_idx"] = df["frame_idx"].astype("int32")
+            yield df
+
+    return fn
+
+
 def fake_media_from_docs(docs: DataFrame) -> DataFrame:
     """documents(doc_id, ...) -> media(doc_id, kind, payload binary)."""
     return docs.select("doc_id").mapInPandas(_media_batches, MEDIA_SCHEMA)
+
+
+def audio_features_from_docs(docs: DataFrame) -> DataFrame:
+    """Derived fake-audio payloads decoded to typed features — the
+    audio leg of the multimodal plumbing (bytes genuinely parsed)."""
+    return docs.select("doc_id").mapInPandas(_audio_batches, AUDIO_SCHEMA)
+
+
+def video_frame_samples(docs: DataFrame, stride: int = 4) -> DataFrame:
+    """Derived fake-video payloads frame-sampled every ``stride``
+    frames — a row-fan-out media op (one input row -> one row per
+    sampled frame)."""
+    return docs.select("doc_id").mapInPandas(
+        _frame_batches(stride), FRAME_SCHEMA
+    )
 
 
 def decode_media(media: DataFrame) -> DataFrame:

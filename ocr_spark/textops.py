@@ -57,18 +57,16 @@ _SKIP_PATTERNS = [
 ]
 
 
-def parse_model_response(content: Optional[str]) -> str:
-    """Parse a model response into clean text, preferring JSON payloads.
-
-    Byte-identical to the reference's primary parser
-    (core/page_processor.py:1088-1113): strip; un-fence ``` blocks
-    (strip *all* backticks from both ends, then drop a leading
-    case-insensitive ``json``); try ``json.loads`` and take the
-    ``content`` or ``text`` field; otherwise fall back to marker /
-    line-filter parsing.
+def parse_with_mode(content: Optional[str]) -> tuple:
+    """``(mode, text)`` where mode is ``'empty' | 'json' | 'fallback'``
+    — the reference's M5 response-validation branch surfaced as data
+    (page_processor.py:1096-1113 decides exactly this before using a
+    response). ``'json'`` only when a well-formed JSON payload carried
+    a usable content/text field; malformed or field-less JSON falls
+    through to the fallback parser like the reference does.
     """
     if not content:
-        return ""
+        return "empty", ""
 
     cleaned = content.strip()
 
@@ -83,13 +81,26 @@ def parse_model_response(content: Optional[str]) -> str:
         if isinstance(data, dict):
             text_value = data.get("content") or data.get("text")
             if isinstance(text_value, str) and text_value.strip():
-                return text_value.strip()
+                return "json", text_value.strip()
         elif isinstance(data, str) and data.strip():
-            return data.strip()
+            return "json", data.strip()
     except json.JSONDecodeError:
         pass
 
-    return _parse_response_fallback(cleaned)
+    return "fallback", _parse_response_fallback(cleaned)
+
+
+def parse_model_response(content: Optional[str]) -> str:
+    """Parse a model response into clean text, preferring JSON payloads.
+
+    Byte-identical to the reference's primary parser
+    (core/page_processor.py:1088-1113): strip; un-fence ``` blocks
+    (strip *all* backticks from both ends, then drop a leading
+    case-insensitive ``json``); try ``json.loads`` and take the
+    ``content`` or ``text`` field; otherwise fall back to marker /
+    line-filter parsing.
+    """
+    return parse_with_mode(content)[1]
 
 
 def _parse_response_fallback(content: str) -> str:

@@ -284,6 +284,31 @@ def test_multimodal_real_formats_are_explicit_stubs():
         M.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
     with pytest.raises(ValueError):
         M.decode_image(b"garbage-bytes")
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"RIFF....WAVEfmt ")
+    with pytest.raises(ValueError):
+        M.decode_audio(b"garbage-bytes")
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(b"\x00\x00\x00\x18ftypmp42....")
+    with pytest.raises(ValueError):
+        M.sample_frames(b"garbage-bytes-long-enough")
+
+
+def test_multimodal_audio_video_roundtrip():
+    """Byte-level parse of the fake audio/video formats matches the
+    closed forms the oracles state."""
+    from ocr_spark.operators import multimodal as M
+
+    for doc_id in (0, 7, 123, 4567):
+        rate, n, dur, amp = M.decode_audio(M.fake_audio_bytes(doc_id))
+        assert rate == 8000 + (doc_id % 8) * 1000
+        assert n == 400 + doc_id % 600
+        assert dur == round(n * 1000.0 / rate, 3)
+        assert amp == abs((doc_id * 11) % 256 - 128)
+        frames = M.sample_frames(M.fake_video_bytes(doc_id), stride=4)
+        n_frames = 4 + doc_id % 12
+        assert [f for f, _ in frames] == list(range(0, n_frames, 4))
+        assert all(luma == (doc_id * 13 + f) % 256 for f, luma in frames)
 
 
 # ---------------------------------------------------------------------------
