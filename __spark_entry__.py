@@ -846,6 +846,29 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 skew defense as an aggregation: two-stage salted groupBy
+    (partial agg on (key, salt), merge per key) — row-identical to the
+    plain groupBy, but a Zipf-hot key is spread over n_salts reducers.
+    See ocr_spark/functions/agg.py.
+    """
+    from ocr_spark.functions.agg import salted_agg
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = docs.select("source", "n_chars")
+    out = salted_agg(
+        rows,
+        "source",
+        {
+            "n_docs": ("count", "n_chars"),
+            "total_chars": ("sum", "n_chars"),
+            "max_chars": ("max", "n_chars"),
+        },
+        n_salts=16,
+    )
+    return out.select("source", "n_docs", "total_chars", "max_chars")
+
+
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 scalar surface: JSON extraction, string fns, hashing."""
     events = _t(spark, sf_dir, "events")
@@ -918,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_topk_join": q_ann_topk_join,
         "stream_extract": q_stream_extract,
+        "skew_salted_agg": q_skew_salted_agg,
         "scalar_funcs": q_scalar_funcs,
     }
 
@@ -1176,6 +1200,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk_join": _ann_sql.sql_topk_join([0, 1, 2], k=10),
         "stream_extract": _ORACLE_ROUNDTRIP,
+        "skew_salted_agg": """
+            SELECT source,
+                   CAST(count(n_chars) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY source
+        """,
         "quality_score": """
             SELECT doc_id, length(text) AS n_chars,
                    len(string_split_regex(trim(text), '\\s+')) AS n_words,

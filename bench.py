@@ -66,8 +66,12 @@ HEADLINE_QUERIES = [
     "sliding_rate",
     "group_concat",
     "embedding_topk",
+    "ann_topk_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "fingerprint_winnow",
+    "quality_gopher",
+    "pack_shards",
     "quality_score",
     "latest_per_key",
 ]

@@ -122,6 +122,39 @@ def test_salt_changes_layout_not_content(spark, tmp_path):
     assert ra == rb
 
 
+def test_salted_agg_matches_plain_groupby(spark, tmp_path):
+    """Two-stage salted aggregation must be row-identical to the plain
+    groupBy while spreading each hot key over n_salts reducers (the
+    plan shows the partial (key, salt) exchange before the final)."""
+    from ocr_spark.functions.agg import salted_agg
+
+    docs = _corpus(spark, tmp_path, n=200, seed=41)
+    host = F.regexp_extract("url", r"//([^/]+)/", 1)
+    rows = docs.select(host.alias("host"), F.length("html").alias("b"))
+    plain = {
+        (r.host): (r.n, r.total, r.mx)
+        for r in rows.groupBy("host")
+        .agg(
+            F.count("b").alias("n"),
+            F.sum("b").alias("total"),
+            F.max("b").alias("mx"),
+        )
+        .collect()
+    }
+    salted = salted_agg(
+        rows,
+        "host",
+        {"n": ("count", "b"), "total": ("sum", "b"), "mx": ("max", "b")},
+        n_salts=8,
+    )
+    got = {(r.host): (r.n, r.total, r.mx) for r in salted.collect()}
+    assert got == plain
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert "_salt" in final_plan
+    assert final_plan.count("Exchange") == 2, final_plan
+
+
 def test_size_aware_extraction_identical_output(spark, tmp_path):
     """size_aware routing (payload-size bucketing, SURVEY §4) changes
     partitioning for oversized rows but never the results."""
