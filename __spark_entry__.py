@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ocr_spark.functions import moderate as _moderate_sql  # noqa: E402
 from ocr_spark.operators import ann as _ann_sql  # noqa: E402
 from ocr_spark.operators import corpus_ops as _corpus_sql  # noqa: E402
+from ocr_spark.operators import curation as _curation_sql  # noqa: E402
 from ocr_spark.operators import dedup as _dedup_sql  # noqa: E402
 
 
@@ -869,6 +870,60 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "n_docs", "total_chars", "max_chars")
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style chunk-level (paragraph-proxy) global keep-first dedup,
+    reported per doc, over docs with a planted shared boilerplate
+    prefix (so keep-first is actually discriminated — only the lowest
+    doc_id keeps the boilerplate chunks). Shuffle payload is 16
+    bytes/chunk (hash60 + packed key), winner a map-side-combined
+    min."""
+    from ocr_spark.operators.curation import (
+        chunk_dedup_stats,
+        plant_boilerplate_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", plant_boilerplate_col(F.col("text"))
+    )
+    return chunk_dedup_stats(docs)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules: top-2gram fraction + duplicate-3gram
+    fraction per doc, linear explode→count (no per-row O(n²)); every
+    3rd doc is self-concatenated so the keep flag fires both ways."""
+    from ocr_spark.operators.curation import (
+        plant_repetition_col,
+        repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", plant_repetition_col(F.col("text"), F.col("doc_id"))
+    )
+    return repetition_stats(docs)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact planted emails/phones with
+    vectorized JVM regex (patterns valid in both Java regex and
+    RE2 so the oracle runs the identical expressions)."""
+    from ocr_spark.operators.curation import pii_redact
+
+    return pii_redact(_t(spark, sf_dir, "documents"))
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style domain blocklist as a broadcast LEFT ANTI
+    join (the shape that holds when the blocklist is a million-row
+    table, unlike an inlined isin())."""
+    from ocr_spark.operators.curation import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_filter(spark, docs).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 scalar surface: JSON extraction, string fns, hashing."""
     events = _t(spark, sf_dir, "events")
@@ -942,6 +997,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_join": q_ann_topk_join,
         "stream_extract": q_stream_extract,
         "skew_salted_agg": q_skew_salted_agg,
+        "chunk_dedup": q_chunk_dedup,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "blocklist_filter": q_blocklist_filter,
         "scalar_funcs": q_scalar_funcs,
     }
 
@@ -1207,6 +1266,14 @@ def oracle_sql() -> dict[str, str]:
                    max(n_chars) AS max_chars
             FROM documents GROUP BY source
         """,
+        "chunk_dedup": _curation_sql.sql_chunk_dedup_stats(
+            _curation_sql.sql_plant_boilerplate()
+        ),
+        "repetition_stats": _curation_sql.sql_repetition_stats(
+            _curation_sql.sql_plant_repetition()
+        ),
+        "pii_redact": _curation_sql.sql_pii_redact(),
+        "blocklist_filter": _curation_sql.sql_blocklist_filter(),
         "quality_score": """
             SELECT doc_id, length(text) AS n_chars,
                    len(string_split_regex(trim(text), '\\s+')) AS n_words,

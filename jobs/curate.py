@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Corpus-curation job — `spark-submit` entrypoint chaining the
+post-extraction cleaning stack over an extracted-documents table:
+
+    blocklist filter → Gopher quality rules → repetition rules →
+    chunk-level global dedup → stratified sampling → shard packing
+
+Usage (cluster):
+
+    zip -r ocr_spark.zip ocr_spark
+    spark-submit --py-files ocr_spark.zip jobs/curate.py \
+        --input  s3://bucket/crawl/extracted/ \
+        --output s3://bucket/crawl/curated/ \
+        --report s3://bucket/crawl/curation-report/ \
+        --shard-tokens 2000000
+
+Usage (sandbox smoke):
+
+    python3 jobs/curate.py --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/curated --report /tmp/curation-report
+
+Each stage is a row-level predicate or a 16-byte-per-unit shuffle
+(see ocr_spark/operators/curation.py scale notes); the only wide
+operations are the chunk-dedup winner agg and the per-stratum shard
+windows, both keyed to spread. The job writes:
+
+  <output>/           curated docs + per-doc curation columns + shard
+  <report>/           one row per stage with in/out counts (audit)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.corpus_ops import (
+        langid_script,
+        quality_features,
+        quality_keep,
+    )
+    from ocr_spark.operators.curation import (
+        MAX_DUP_3GRAM_FRAC,
+        MAX_TOP_2GRAM_FRAC,
+        blocklist_filter,
+        chunk_dedup_stats,
+        repetition_stats,
+    )
+    from ocr_spark.operators.corpus_ops import pack_shards, sample_stratified
+    from ocr_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--report", required=True)
+    ap.add_argument("--key-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--max-chunk-dup-frac", type=float, default=0.5)
+    ap.add_argument("--shard-tokens", type=int, default=50_000)
+    ap.add_argument(
+        "--sample-rates",
+        default='{"en": 1.0, "zh": 1.0, "other": 0.5}',
+        help="JSON lang→keep-rate for the mixing stage",
+    )
+    ap.add_argument(
+        "--audit",
+        action="store_true",
+        help="count survivors after every stage (recomputes the chain "
+        "per stage — fine at sandbox scale, use Spark task metrics or "
+        "accumulators on a real run)",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="ocr_spark-curate")
+    docs = spark.read.parquet(args.input)
+    key, text = args.key_col, args.text_col
+
+    stages = []
+
+    def audit(name, df):
+        if args.audit or name in ("input", "output"):
+            stages.append((name, df.count()))
+
+    audit("input", docs)
+
+    # 1. blocklist (broadcast anti)
+    if "source" in docs.columns:
+        docs = blocklist_filter(spark, docs)
+        audit("blocklist", docs)
+
+    # 2. Gopher quality rules (row-level)
+    feats = quality_features(F.col(text))
+    docs = docs.withColumn("_keep_q", quality_keep(feats)).filter(
+        F.col("_keep_q")
+    ).drop("_keep_q")
+    audit("quality", docs)
+
+    # 3. repetition rules (linear explode→count, join back on key)
+    rep = repetition_stats(docs, key_col=key, text_col=text).filter(
+        (F.col("top_2gram_frac") <= MAX_TOP_2GRAM_FRAC)
+        & (F.col("dup_3gram_frac") <= MAX_DUP_3GRAM_FRAC)
+    ).select(F.col("doc_id").alias(key))
+    docs = docs.join(rep, key, "left_semi")
+    audit("repetition", docs)
+
+    # 4. chunk-level global dedup: drop docs that are mostly dupes
+    cd = chunk_dedup_stats(docs, key_col=key, text_col=text).filter(
+        F.col("dup_frac") <= args.max_chunk_dup_frac
+    ).select(F.col("doc_id").alias(key))
+    docs = docs.join(cd, key, "left_semi")
+    audit("chunk_dedup", docs)
+
+    # 5. language id + stratified mixing rates
+    docs = docs.withColumn("lang_guess", langid_script(F.col(text)))
+    rates = json.loads(args.sample_rates)
+    docs = sample_stratified(
+        docs, rates, strata_col="lang_guess", key_col=key
+    )
+    audit("sampling", docs)
+
+    # 6. shard packing
+    shards = pack_shards(
+        docs,
+        args.shard_tokens,
+        partition_col="lang_guess",
+        key_col=key,
+        text_col=text,
+    ).select(F.col(key), "n_tokens", "shard")
+    out = docs.join(shards, key)
+    out.write.mode("overwrite").parquet(args.output)
+    audit("output", spark.read.parquet(args.output))
+
+    report = spark.createDataFrame(
+        [(i, name, n) for i, (name, n) in enumerate(stages)],
+        "stage_idx int, stage string, n_docs long",
+    )
+    report.write.mode("overwrite").parquet(args.report)
+    print(json.dumps({name: n for name, n in stages}))
+
+
+if __name__ == "__main__":
+    main()

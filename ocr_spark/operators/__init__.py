@@ -5,4 +5,4 @@ from .extract import (  # noqa: F401
     extract_documents,
     extract_pages,
 )
-from . import ann, dedup, multimodal  # noqa: F401
+from . import ann, corpus_ops, curation, dedup, multimodal  # noqa: F401

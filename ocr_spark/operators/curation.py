@@ -1,0 +1,388 @@
+"""Post-extraction corpus curation — the C4/Gopher-style cleaning
+stages between dedup and tokenization: chunk-level (paragraph-proxy)
+global dedup, intra-document repetition rules, PII scrubbing, and
+domain-blocklist filtering.
+
+The reference (an OCR task-queue web app) has none of these; they are
+the standard curation stack published for web-scale LLM corpora
+(C4: Raffel et al. 2020 — sentence/paragraph-level dedup;
+Gopher: Rae et al. 2021 — repetition rules; RefinedWeb: Penedo et al.
+2023 — URL/domain blocklists, PII handling). Everything here is Spark
+built-ins (JVM-side, codegen'd) with a DuckDB SQL mirror generated
+from the same constants so the driver's oracle gate covers each op.
+
+Scale notes per op:
+* chunk_dedup — the only shuffled payload is (hash60 bigint,
+  packed-key bigint): 16 bytes per chunk, never the chunk text, and
+  the keep-first winner is a map-side-combinable ``min``. At 10^12
+  docs this is the same shape as the minhash signature shuffle that
+  dedup.py already proves out.
+* repetition_stats — two linear explode→count aggregations keyed by
+  (doc_id, gram-hash); no self-join, no O(n²) per-row work, so a
+  100k-word doc costs 100k rows, not 10^10 comparisons.
+* pii_redact — pure per-row regexp columns; free.
+* blocklist_filter — broadcast LEFT ANTI against the blocklist table
+  (a real blocklist is millions of domains — still MBs, still
+  broadcastable; never a shuffled join).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import (
+    _hash60,
+    shingles_col,
+    sql_shingles,
+    sql_words,
+    words_col,
+)
+
+# ---------------------------------------------------------------------------
+# Chunk-level (paragraph-proxy) global dedup — C4-style keep-first
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 20
+# doc_id * _PK_STRIDE + chunk_idx packs (doc, idx) into one bigint so
+# the keep-first winner is a single min(); stride bounds chunks/doc.
+_PK_STRIDE = 100_000
+
+# Gopher-style repetition thresholds (count fractions, not char
+# fractions — documented deviation; same decision boundary shape).
+MAX_TOP_2GRAM_FRAC = 0.20
+MAX_DUP_3GRAM_FRAC = 0.30
+
+# RefinedWeb-style domain blocklist (demo list over the synthetic
+# `source` column; production swaps in the real million-row table).
+BLOCKED_SOURCES = ["src2", "src7", "src13"]
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+# 60 synthetic boilerplate words (3 exact CHUNK_WORDS-sized chunks)
+# prepended to every doc by the demo queries: the shared prefix makes
+# chunk-level keep-first dedup discriminating on a corpus whose
+# natural text never repeats (mirrors the nav/footer boilerplate every
+# real crawl page carries).
+BOILERPLATE = " ".join(f"boiler{i}" for i in range(3 * CHUNK_WORDS))
+
+
+def plant_boilerplate_col(text: Column) -> Column:
+    return F.concat(F.lit(BOILERPLATE), F.lit(" "), text)
+
+
+def sql_plant_boilerplate(text_expr: str = "text") -> str:
+    return f"('{BOILERPLATE}' || ' ' || {text_expr})"
+
+
+def plant_repetition_col(text: Column, key: Column) -> Column:
+    """Self-concatenate every 3rd doc so the repetition keep-flag
+    fires both ways on the synthetic corpus."""
+    return F.when(key % 3 == 0, F.concat(text, F.lit(" "), text)).otherwise(
+        text
+    )
+
+
+def sql_plant_repetition(text_expr: str = "text", key_expr: str = "doc_id") -> str:
+    return (
+        f"(CASE WHEN {key_expr} % 3 = 0 THEN {text_expr} || ' ' || {text_expr} "
+        f"ELSE {text_expr} END)"
+    )
+
+
+def chunk_texts_col(text: Column, n: int = CHUNK_WORDS) -> Column:
+    """Fixed n-word windows of the doc (the paragraph proxy for a
+    corpus with no layout breaks; swap the splitter for
+    ``split(text, '\\n\\n')`` when real paragraphs exist)."""
+    words = words_col(text)
+    n_chunks = F.ceil(F.size(words) / F.lit(float(n))).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - F.lit(1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i * n + 1, n))
+    )
+
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = CHUNK_WORDS,
+) -> DataFrame:
+    """Global keep-first chunk dedup, reported per document:
+    (doc_id, n_chunks, n_kept, dup_frac). A chunk is kept iff this
+    doc/position is its first occurrence corpus-wide (minimum packed
+    (doc_id, idx) key over all rows sharing the chunk's hash60).
+
+    The full C4 pipeline reassembles kept chunks into cleaned text;
+    this op returns the per-doc bookkeeping (what a curation run logs
+    and thresholds on) while shuffling only 16 bytes per chunk.
+    """
+    chunks = docs.select(
+        F.col(key_col).cast("bigint").alias("doc_id"),
+        F.posexplode(chunk_texts_col(F.col(text_col), n)).alias(
+            "idx", "chunk"
+        ),
+    ).select(
+        "doc_id",
+        (F.col("doc_id") * _PK_STRIDE + F.col("idx")).alias("pk"),
+        _hash60(F.col("chunk")).alias("h"),
+    )
+    # Winner per chunk hash: map-side-combined min over a bigint.
+    winners = chunks.groupBy("h").agg(F.min("pk").alias("wpk"))
+    kept = (
+        winners.select(
+            F.floor(F.col("wpk") / _PK_STRIDE).cast("bigint").alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(
+            F.lit(1.0)
+            - F.coalesce("n_kept", F.lit(0)).cast("double")
+            / F.col("n_chunks"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules
+# ---------------------------------------------------------------------------
+
+
+def _gram_stats(docs: DataFrame, key_col: str, text_col: str, k: int) -> DataFrame:
+    """Per-doc (top_cnt, total, distinct) over k-word grams via a
+    linear explode→count — never per-row O(n²) array scans."""
+    grams = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", F.col("gram")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.max("cnt").alias(f"top{k}_cnt"),
+        F.sum("cnt").alias(f"total{k}"),
+        F.count(F.lit(1)).alias(f"distinct{k}"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition features + keep flag:
+    fraction of 2-grams taken by the single most frequent 2-gram, and
+    fraction of 3-gram occurrences that are repeats of an
+    already-seen 3-gram."""
+    g2 = _gram_stats(docs, key_col, text_col, 2)
+    g3 = _gram_stats(docs, key_col, text_col, 3)
+    top2 = F.round(
+        F.col("top2_cnt").cast("double") / F.greatest("total2", F.lit(1)), 6
+    )
+    dup3 = F.round(
+        F.lit(1.0)
+        - F.col("distinct3").cast("double") / F.greatest("total3", F.lit(1)),
+        6,
+    )
+    return (
+        g2.join(g3, "doc_id")
+        .select(
+            "doc_id",
+            top2.alias("top_2gram_frac"),
+            dup3.alias("dup_3gram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_2gram_frac") <= MAX_TOP_2GRAM_FRAC)
+            & (F.col("dup_3gram_frac") <= MAX_DUP_3GRAM_FRAC),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def pii_inject_col(text: Column, key: Column) -> Column:
+    """Deterministically plant an email + phone in the doc (the
+    synthetic corpus carries none) so the scrubber has real work; a
+    production run drops this and scrubs the raw text."""
+    return F.concat(
+        F.substring(text, 1, 80),
+        F.lit(" contact u"),
+        key.cast("string"),
+        F.lit("@mail"),
+        (key % 7).cast("string"),
+        F.lit(".example.com or +1-555-"),
+        F.lpad((key % 10_000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+
+
+def pii_redact(
+    docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Count and redact emails/phones with vectorized JVM regex —
+    (doc_id, n_emails, n_phones, redacted). Patterns are plain
+    char-class regexes valid in both Java regex and RE2 so the DuckDB
+    oracle runs the identical expressions."""
+    planted = pii_inject_col(F.col(text_col), F.col(key_col))
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(planted, F.lit(PII_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(planted, F.lit(PII_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        redacted.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filter
+# ---------------------------------------------------------------------------
+
+
+def blocklist_filter(
+    spark: SparkSession,
+    docs: DataFrame,
+    blocked: Iterable[str] = tuple(BLOCKED_SOURCES),
+    domain_col: str = "source",
+) -> DataFrame:
+    """LEFT ANTI against the blocklist as a broadcast table join —
+    the shape that still works when the blocklist is a million-row
+    table instead of three literals (isin() would inline the list
+    into the plan and stop scaling)."""
+    bl = spark.createDataFrame(
+        [(d,) for d in blocked], f"{domain_col} string"
+    )
+    return docs.join(F.broadcast(bl), domain_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL mirrors
+# ---------------------------------------------------------------------------
+
+
+def sql_chunks(text_expr: str, n: int = CHUNK_WORDS) -> str:
+    w = sql_words(text_expr)
+    return (
+        f"list_transform(range(0, greatest(CAST(ceil(len({w}) / {float(n)!r}) "
+        f"AS BIGINT), 1)), i -> array_to_string(({w})[i * {n} + 1 : i * {n} + {n}], ' '))"
+    )
+
+
+def sql_chunk_dedup_stats(text_expr: str = "text", n: int = CHUNK_WORDS) -> str:
+    return f"""
+        WITH ch AS (
+            -- two unnests in one SELECT zip positionally in DuckDB,
+            -- matching Spark's posexplode (chunk, idx) pairing
+            SELECT doc_id, unnest({sql_chunks(text_expr, n)}) AS chunk,
+                   unnest(range(len({sql_chunks(text_expr, n)}))) AS idx
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id,
+                   doc_id * {_PK_STRIDE} + idx AS pk,
+                   CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS h
+            FROM ch
+        ),
+        win AS (SELECT h, min(pk) AS wpk FROM k GROUP BY h),
+        kept AS (
+            SELECT CAST(floor(wpk / {_PK_STRIDE}) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM win GROUP BY 1
+        ),
+        tot AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+            FROM k GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               t.n_chunks,
+               CAST(coalesce(kp.n_kept, 0) AS BIGINT) AS n_kept,
+               round(1.0 - CAST(coalesce(kp.n_kept, 0) AS DOUBLE) / t.n_chunks,
+                     6) AS dup_frac
+        FROM tot t LEFT JOIN kept kp ON t.doc_id = kp.doc_id
+    """
+
+
+def _sql_gram_stats(k: int, text_expr: str = "text") -> str:
+    return f"""
+        SELECT doc_id,
+               max(cnt) AS top{k}_cnt,
+               CAST(sum(cnt) AS BIGINT) AS total{k},
+               CAST(count(*) AS BIGINT) AS distinct{k}
+        FROM (
+            SELECT doc_id, gram, count(*) AS cnt
+            FROM (
+                SELECT doc_id, unnest({sql_shingles(text_expr, k)}) AS gram
+                FROM documents
+            ) GROUP BY doc_id, gram
+        ) GROUP BY doc_id
+    """
+
+
+def sql_repetition_stats(text_expr: str = "text") -> str:
+    return f"""
+        WITH g2 AS ({_sql_gram_stats(2, text_expr)}), g3 AS ({_sql_gram_stats(3, text_expr)})
+        SELECT g2.doc_id,
+               round(CAST(top2_cnt AS DOUBLE) / greatest(total2, 1), 6)
+                   AS top_2gram_frac,
+               round(1.0 - CAST(distinct3 AS DOUBLE) / greatest(total3, 1), 6)
+                   AS dup_3gram_frac,
+               (round(CAST(top2_cnt AS DOUBLE) / greatest(total2, 1), 6)
+                    <= {MAX_TOP_2GRAM_FRAC}
+                AND round(1.0 - CAST(distinct3 AS DOUBLE)
+                          / greatest(total3, 1), 6)
+                    <= {MAX_DUP_3GRAM_FRAC}) AS keep
+        FROM g2 JOIN g3 ON g2.doc_id = g3.doc_id
+    """
+
+
+def sql_pii_redact() -> str:
+    planted = (
+        "substr(text, 1, 80) || ' contact u' || CAST(doc_id AS STRING)"
+        " || '@mail' || CAST(doc_id % 7 AS STRING)"
+        " || '.example.com or +1-555-'"
+        " || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' now'"
+    )
+    # DuckDB single-quoted literals pass backslashes through verbatim,
+    # so the Python regex strings are usable as-is.
+    email = PII_EMAIL_RE
+    phone = PII_PHONE_RE
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({planted}, '{email}')) AS INT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all({planted}, '{phone}')) AS INT)
+                   AS n_phones,
+               regexp_replace(
+                   regexp_replace({planted}, '{email}', '<EMAIL>', 'g'),
+                   '{phone}', '<PHONE>', 'g') AS redacted
+        FROM documents
+    """
+
+
+def sql_blocklist_filter(blocked: Iterable[str] = tuple(BLOCKED_SOURCES)) -> str:
+    lst = ", ".join(f"'{d}'" for d in blocked)
+    return f"""
+        SELECT doc_id, source, lang, n_chars FROM documents
+        WHERE source NOT IN ({lst})
+    """

@@ -405,3 +405,141 @@ def test_stateful_progress_stream(spark, tmp_path):
     assert rows["runB"].docs_done == 40
     assert rows["runA"].n_failed == 0 and rows["runB"].n_failed == 0
     assert rows["runA"].batches_seen >= 1
+
+
+# ---------------------------------------------------------------------------
+# curation (chunk dedup / repetition / PII / blocklist)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_dedup_keep_first_semantics(spark):
+    """With a shared boilerplate chunk planted in every doc, only the
+    lowest doc_id keeps it; everyone else loses exactly those
+    chunks."""
+    from ocr_spark.operators.curation import (
+        CHUNK_WORDS,
+        chunk_dedup_stats,
+        plant_boilerplate_col,
+    )
+
+    uniq = [
+        " ".join(f"w{d}x{i}" for i in range(2 * CHUNK_WORDS)) for d in range(4)
+    ]
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in enumerate(uniq)], "doc_id long, text string"
+    ).withColumn("text", plant_boilerplate_col(F.col("text")))
+    out = {r.doc_id: r for r in chunk_dedup_stats(docs).collect()}
+    # 3 boilerplate chunks + 2 unique chunks per doc
+    assert all(r.n_chunks == 5 for r in out.values())
+    assert out[0].n_kept == 5 and out[0].dup_frac == 0.0
+    for d in (1, 2, 3):
+        assert out[d].n_kept == 2, out[d]
+        assert out[d].dup_frac == pytest.approx(0.6)
+
+
+def test_chunk_dedup_shuffle_carries_no_text(spark):
+    """The aggregation input projects only (doc_id, pk, h) — the
+    chunk text must not survive into the exchange."""
+    from ocr_spark.operators.curation import chunk_dedup_stats
+
+    out = chunk_dedup_stats(_docs(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # winner shuffle is keyed on the bigint hash60, and the min() is
+    # hash-aggregable (a string key/agg would force SortAggregate)
+    assert "Exchange hashpartitioning(h#" in final, final
+    assert "SortAggregate" not in final, final
+
+
+def test_repetition_flags_self_concatenated_docs(spark):
+    from ocr_spark.operators.curation import (
+        plant_repetition_col,
+        repetition_stats,
+    )
+
+    docs = _docs(spark).withColumn(
+        "text", plant_repetition_col(F.col("text"), F.col("doc_id"))
+    )
+    rows = repetition_stats(docs).collect()
+    planted = [r for r in rows if r.doc_id % 3 == 0]
+    clean = [r for r in rows if r.doc_id % 3 != 0]
+    assert planted and clean
+    # self-concatenation makes ~half of all 3-gram occurrences repeats
+    assert all(r.dup_3gram_frac > 0.4 for r in planted)
+    assert sum(1 for r in planted if not r.keep) >= 0.95 * len(planted)
+    assert all(r.dup_3gram_frac < 0.1 for r in clean)
+
+
+def test_pii_redaction_complete(spark):
+    """Every planted email/phone is counted once and nothing matching
+    the patterns survives redaction."""
+    from ocr_spark.operators.curation import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        pii_redact,
+    )
+
+    out = pii_redact(_docs(spark))
+    assert out.filter((F.col("n_emails") != 1) | (F.col("n_phones") != 1)).count() == 0
+    leftovers = out.filter(
+        F.col("redacted").rlike(PII_EMAIL_RE)
+        | F.col("redacted").rlike(PII_PHONE_RE)
+    ).count()
+    assert leftovers == 0
+    assert out.filter(~F.col("redacted").contains("<EMAIL>")).count() == 0
+
+
+def test_blocklist_filter_is_broadcast_anti_join(spark):
+    from ocr_spark.operators.curation import BLOCKED_SOURCES, blocklist_filter
+
+    docs = _docs(spark)
+    out = blocklist_filter(spark, docs)
+    assert out.filter(F.col("source").isin(BLOCKED_SOURCES)).count() == 0
+    kept_plus_blocked = out.count() + docs.filter(
+        F.col("source").isin(BLOCKED_SOURCES)
+    ).count()
+    assert kept_plus_blocked == docs.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "LeftAnti" in final, final
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    """jobs/curate.py chains blocklist → quality → repetition →
+    chunk-dedup → sampling → packing and writes output + audit
+    report; every surviving doc carries a shard id."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "curated")
+    rep = str(tmp_path / "report")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/jobs/curate.py",
+            "--input",
+            "/root/testdata/sf0.01/documents.parquet",
+            "--output",
+            out,
+            "--report",
+            rep,
+            "--audit",
+            "--shard-tokens",
+            "2000",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    curated = spark.read.parquet(out)
+    report = {r.stage: r.n_docs for r in spark.read.parquet(rep).collect()}
+    assert report["input"] == 500
+    # monotone shrinkage through the funnel
+    order = ["input", "blocklist", "quality", "repetition", "chunk_dedup",
+             "sampling", "output"]
+    present = [report[s] for s in order if s in report]
+    assert all(a >= b for a, b in zip(present, present[1:])), report
+    assert report["output"] == curated.count() > 0
+    assert curated.filter(F.col("shard").isNull()).count() == 0
+    assert curated.filter(F.col("source").isin("src2", "src7", "src13")).count() == 0
