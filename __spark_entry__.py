@@ -268,6 +268,31 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUOTA_DAILY = 1600.0
+
+
+def q_quota_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 proper: per-user daily usage rollup + running total +
+    over-quota flag (the reference's user-quota ledger,
+    models/database.py's quota accounting, as a windowed aggregation
+    instead of a row-at-a-time UPDATE)."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("day_value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "day_value",
+        F.round(F.sum("day_value").over(w), 6).alias("cum_value"),
+    ).withColumn("over_quota", F.col("cum_value") > QUOTA_DAILY)
+
+
 def q_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: time-window scan (last week of the event range)."""
     events = _t(spark, sf_dir, "events")
@@ -959,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rate": q_sliding_rate,
         "latest_per_key": q_latest_per_key,
         "time_window": q_time_window,
+        "quota_accounting": q_quota_accounting,
         "topn": q_topn,
         "pagination": q_pagination,
         "having_rank": q_having_rank,
@@ -1081,6 +1107,26 @@ def oracle_sql() -> dict[str, str]:
         "time_window": """
             SELECT event_id, user_id, event_type FROM events
             WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        """,
+        "quota_accounting": f"""
+            WITH daily AS (
+                SELECT user_id,
+                       CAST(ts AS DATE) AS day,
+                       round(sum(value), 6) AS day_value
+                FROM events GROUP BY user_id, CAST(ts AS DATE)
+            )
+            SELECT user_id,
+                   strftime(day, '%Y-%m-%d') AS day_s,
+                   day_value,
+                   round(sum(day_value) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS cum_value,
+                   (round(sum(day_value) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) > {QUOTA_DAILY!r}) AS over_quota
+            FROM daily
         """,
         "topn": """
             SELECT event_id, round(value, 6) AS value FROM events

@@ -72,6 +72,8 @@ HEADLINE_QUERIES = [
     "fingerprint_winnow",
     "quality_gopher",
     "pack_shards",
+    "chunk_dedup",
+    "repetition_stats",
     "quality_score",
     "latest_per_key",
 ]
@@ -127,6 +129,57 @@ def _scale_worker(width: int) -> None:
              "docs_per_sec": round(n / best, 1)}
         )
     )
+
+
+def _breakdown_worker(width: int) -> None:
+    """Child-process entry: decompose the Spark job's cost at one
+    pinned width into (scan, extraction-no-shuffle, full-with-shuffle)
+    so the 8→32 efficiency loss can be attributed to a specific stage
+    instead of argued about. Same warm + best-of-K protocol as
+    _scale_worker."""
+    _pin(width)
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.operators.extract import EXTRACT_SCHEMA, admit, extract_batch
+    from ocr_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ocr_spark-breakdown-{width}", cores=width)
+    job = _scale_job(spark, _bench_corpus_path(), SCALE_REPEAT)
+
+    def scan():
+        # sum(length) defeats the parquet-stats count shortcut: the
+        # payload bytes really cross the scan
+        return job.select(F.sum(F.length("html"))).first()
+
+    def noshuffle():
+        # scan → admission → Arrow extraction with NO exchange: the
+        # full job minus the url-hash repartition
+        return (
+            admit(job)
+            .select("url", "html")
+            .mapInPandas(extract_batch, schema=EXTRACT_SCHEMA)
+            .count()
+        )
+
+    def full():
+        return extract_documents(job, n_partitions=2 * width).count()
+
+    out = {"width": width}
+    for name, fn in [("scan", scan), ("extract_noshuffle", noshuffle),
+                     ("extract_full", full)]:
+        fn()  # warm
+        best = float("inf")
+        for _ in range(max(1, SCALE_TRIALS)):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        out[name + "_sec"] = round(best, 3)
+    n_docs = N_BENCH_DOCS * SCALE_REPEAT
+    out["docs"] = n_docs
+    out["noshuffle_docs_per_sec"] = round(n_docs / out["extract_noshuffle_sec"], 1)
+    out["full_docs_per_sec"] = round(n_docs / out["extract_full_sec"], 1)
+    print(json.dumps(out))
 
 
 def _mp_chunk_worker(payloads) -> int:
@@ -352,5 +405,7 @@ if __name__ == "__main__":
         _scale_worker(int(sys.argv[2]))
     elif len(sys.argv) == 3 and sys.argv[1] == "--mp-worker":
         _mp_worker(int(sys.argv[2]))
+    elif len(sys.argv) == 3 and sys.argv[1] == "--breakdown-worker":
+        _breakdown_worker(int(sys.argv[2]))
     else:
         main()
