@@ -162,10 +162,15 @@ def chunk_dedup_stats(
 
 def _gram_stats(docs: DataFrame, key_col: str, text_col: str, k: int) -> DataFrame:
     """Per-doc (top_cnt, total, distinct) over k-word grams via a
-    linear explode→count — never per-row O(n²) array scans."""
+    linear explode→count — never per-row O(n²) array scans. Grams are
+    counted by their 60-bit hash so the shuffle carries 8 bytes per
+    gram instead of the gram text (collisions are 2^-60-level noise on
+    a count statistic)."""
     grams = docs.select(
         F.col(key_col).alias("doc_id"),
-        F.explode(shingles_col(F.col(text_col), k)).alias("gram"),
+        F.explode(
+            F.transform(shingles_col(F.col(text_col), k), _hash60)
+        ).alias("gram"),
     )
     per_gram = grams.groupBy("doc_id", F.col("gram")).agg(
         F.count(F.lit(1)).alias("cnt")
@@ -332,7 +337,10 @@ def _sql_gram_stats(k: int, text_expr: str = "text") -> str:
         FROM (
             SELECT doc_id, gram, count(*) AS cnt
             FROM (
-                SELECT doc_id, unnest({sql_shingles(text_expr, k)}) AS gram
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(unnest(
+                           {sql_shingles(text_expr, k)})), 1, 15)
+                            AS BIGINT) AS gram
                 FROM documents
             ) GROUP BY doc_id, gram
         ) GROUP BY doc_id
