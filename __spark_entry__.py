@@ -28,6 +28,7 @@ from ocr_spark.functions import moderate as _moderate_sql  # noqa: E402
 from ocr_spark.operators import ann as _ann_sql  # noqa: E402
 from ocr_spark.operators import corpus_ops as _corpus_sql  # noqa: E402
 from ocr_spark.operators import curation as _curation_sql  # noqa: E402
+from ocr_spark.operators import cluster as _cluster_sql  # noqa: E402
 from ocr_spark.operators import dedup as _dedup_sql  # noqa: E402
 
 
@@ -581,6 +582,17 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash-LSH pairs: alternating
+    Large-Star/Small-Star connected components; cluster id = component
+    min, canonical = the kept doc. Oracle = recursive-CTE min-label
+    propagation over the identical pair set."""
+    from ocr_spark.operators import cluster, dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return cluster.neardup_clusters(dedup.neardup_corpus(docs))
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH embedding near-dup pairs, cosine-verified."""
     from ocr_spark.operators import ann
@@ -995,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_ivf_topk": q_ann_ivf_topk,
         "moderation": q_moderation,
@@ -1166,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _dedup_sql.sql_minhash_pairs(),
         "dedup_simhash": _dedup_sql.sql_simhash_signatures(),
         "dedup_jaccard": _dedup_sql.sql_jaccard_pairs(0.5),
+        "dedup_clusters": _cluster_sql.sql_neardup_clusters(),
         "embedding_neardup_lsh": _ann_sql.sql_neardup_pairs(),
         "ann_ivf_topk": _ann_sql.sql_ivf_topk(query_vec_id=0, k=10),
         "moderation": f"""

@@ -1,0 +1,207 @@
+"""Connected-components clustering for near-duplicate groups.
+
+LSH candidate *pairs* (``dedup.minhash_candidate_pairs``) are only half
+of corpus deduplication: chains of pairwise near-dups (A~B, B~C) must
+collapse into one cluster so exactly one canonical document survives.
+The reference has no notion of this (its only uniqueness is
+`INSERT OR REPLACE` on (task_id, page), models/database.py:860-869);
+this is the standard web-corpus step between candidate generation and
+"keep one per cluster".
+
+Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+shuffle-native CC algorithm. Each round is one groupBy per star
+operation (no joins, no driver-side graph), and the edge set converges
+to per-component stars centered on the component's minimum node id in
+O(log^2 n) rounds regardless of graph diameter — a plain min-label
+propagation loop needs O(diameter) rounds, which on a 10^12-row crawl
+with long mutation chains is unbounded. Per-round state is
+checkpointed (``localCheckpoint``) to truncate the growing lineage;
+on a real cluster flip to reliable ``checkpoint`` with a checkpoint
+dir.
+
+Scale shape per round: symmetrize (map-only) -> groupBy(u) collecting
+neighbor sets -> explode star edges -> distinct. The neighbor-set
+collect is the textbook skew point: after the first large-star round,
+high-degree hubs are exactly the component minima, and their neighbor
+lists are the component membership lists — bounded by component size,
+the same bound any CC output must materialize anyway.
+
+DuckDB oracle: a recursive CTE propagating min-reachable-label
+(``sql_neardup_clusters``), so Spark's star-convergence and the
+oracle's transitive closure must agree bit-for-bit on cluster ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup
+
+# Alternating star converges in O(log^2 n) rounds; 25 covers n ~ 2^5000.
+# The loop exits on the first stable round, so this is a runaway guard,
+# not a tuning knob.
+MAX_CC_ROUNDS = 25
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: every edge in both orientations, no self loops."""
+    return (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    grouped = _symmetrize(edges).groupBy("u").agg(
+        F.collect_set("v").alias("nbrs")
+    )
+    m = F.least(F.array_min("nbrs"), F.col("u"))
+    return (
+        grouped.select(
+            F.explode(
+                F.filter("nbrs", lambda v: v > F.col("u"))
+            ).alias("node"),
+            m.alias("center"),
+        )
+        .select(F.col("node").alias("u"), F.col("center").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large->small; connect u and its smaller neighbors
+    to the minimum of that neighborhood."""
+    directed = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    grouped = directed.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.array_min("nbrs")  # nbrs are all < u, so min includes the center
+    members = F.array_union(
+        F.filter("nbrs", lambda v: v != F.array_min("nbrs")),
+        F.array(F.col("u")),
+    )
+    return (
+        grouped.select(
+            F.explode(members).alias("node"), m.alias("center")
+        )
+        .select(F.col("node").alias("u"), F.col("center").alias("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple:
+    """Cheap convergence probe: (count, sum(u), sum(v)). Star rounds
+    only ever re-point edges toward component minima, so a stable
+    checksum across one full L+S round means a stable edge set."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+    ).first()
+    return (row["n"], row["su"], row["sv"])
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS
+) -> DataFrame:
+    """nodes(node) + edges(u, v) -> (node, component) where component
+    is the minimum node id reachable from ``node``.
+
+    Isolated nodes (no incident edge) label themselves. One Spark
+    action per round (the convergence checksum); all data movement is
+    groupBy shuffles — nothing graph-shaped ever reaches the driver.
+    """
+    cur = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
+    cur = cur.localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(nxt)
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    comp = (
+        _symmetrize(cur)
+        .groupBy("u")
+        .agg(F.min("v").alias("nbr_min"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("nbr_min")).alias("component"),
+        )
+    )
+    return (
+        nodes.select("node")
+        .distinct()
+        .join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
+
+
+def neardup_clusters(
+    corpus: DataFrame, max_bucket: int = dedup.MAX_MINHASH_BUCKET
+) -> DataFrame:
+    """corpus(doc_id, text) -> (doc_id, cluster_id, is_canonical):
+    transitive closure of the MinHash-LSH candidate pairs, cluster id =
+    min doc_id of the component, canonical = that minimum (the doc a
+    keep-one-per-cluster dedup retains)."""
+    pairs = dedup.minhash_candidate_pairs(corpus, max_bucket)
+    cc = connected_components(
+        corpus.select(F.col("doc_id").alias("node")),
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+    )
+
+
+def sql_neardup_clusters() -> str:
+    """DuckDB oracle: min-reachable-label via recursive CTE over the
+    same minhash candidate pairs (same shingles, same band keys)."""
+    return f"""
+        WITH RECURSIVE corpus AS ({dedup.sql_neardup_corpus()}),
+        shingled AS (
+            SELECT doc_id, {dedup.sql_shingles('text')} AS sh FROM corpus
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   unnest(range(0, {dedup.MINHASH_BANDS})) AS band,
+                   unnest({dedup.sql_band_keys('sh')}) AS key
+            FROM shingled
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM keyed a JOIN keyed b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        walk(node, label) AS (
+            SELECT doc_id, doc_id FROM corpus
+            UNION
+            SELECT e.src, w.label
+            FROM edges e JOIN walk w ON w.node = e.dst
+        )
+        SELECT node AS doc_id,
+               CAST(min(label) AS BIGINT) AS cluster_id,
+               CAST(node = min(label) AS INTEGER) AS is_canonical
+        FROM walk
+        GROUP BY node
+    """

@@ -543,3 +543,66 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert report["output"] == curated.count() > 0
     assert curated.filter(F.col("shard").isNull()).count() == 0
     assert curated.filter(F.col("source").isin("src2", "src7", "src13")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# connected-components clustering (dedup_clusters)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_known_graph(spark):
+    from ocr_spark.operators.cluster import connected_components
+
+    # chain, triangle, pair, isolated node
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "u bigint, v bigint",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 30]],
+        "node bigint",
+    )
+    got = {
+        r.node: r.component for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20, 30: 30}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node chain has diameter 63; plain min-label propagation
+    would need 63 rounds. Alternating star must finish inside the
+    default round cap (O(log^2 n)) and still label everything with the
+    chain minimum."""
+    from ocr_spark.operators.cluster import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u bigint, v bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    out = connected_components(nodes, edges, max_rounds=10).collect()
+    assert len(out) == n
+    assert all(r.component == 0 for r in out)
+
+
+def test_neardup_clusters_groups_orig_with_mutant(spark):
+    from ocr_spark.operators import cluster, dedup
+
+    docs = _docs(spark).limit(120)
+    n_docs = docs.count()
+    out = cluster.neardup_clusters(dedup.neardup_corpus(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 2 * n_docs
+    # ≥98% of mutants collapse into their original's cluster, and the
+    # original (the component min) is the canonical survivor
+    joined = sum(
+        1
+        for did, r in rows.items()
+        if did >= dedup.NEARDUP_OFFSET
+        and r.cluster_id == did - dedup.NEARDUP_OFFSET
+    )
+    assert joined >= 0.98 * n_docs
+    for did, r in rows.items():
+        assert r.is_canonical == (1 if r.cluster_id == did else 0)
