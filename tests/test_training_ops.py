@@ -606,3 +606,67 @@ def test_neardup_clusters_groups_orig_with_mutant(spark):
     assert joined >= 0.98 * n_docs
     for did, r in rows.items():
         assert r.is_canonical == (1 if r.cluster_id == did else 0)
+
+
+def test_dedup_job_end_to_end(spark, tmp_path):
+    """jobs/dedup.py chains exact dedup → LSH pairs → Jaccard verify →
+    connected components and annotates every surviving doc with
+    cluster_id + is_canonical."""
+    import subprocess
+    import sys
+
+    from ocr_spark.operators import dedup
+
+    docs = _docs(spark).limit(150).select("doc_id", "text", "n_chars")
+    planted = docs.unionByName(
+        # exact copies (must die in stage 1) ...
+        docs.select(
+            (F.col("doc_id") + 500_000).alias("doc_id"), "text", "n_chars"
+        )
+    ).unionByName(
+        # ... and near-dup mutants (must cluster with their original)
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            dedup._mutated_text(F.col("text"), F.col("n_chars")).alias(
+                "text"
+            ),
+            "n_chars",
+        )
+    ).select("doc_id", "text")
+    inp = str(tmp_path / "input")
+    out = str(tmp_path / "deduped")
+    rep = str(tmp_path / "report")
+    planted.write.mode("overwrite").parquet(inp)
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/jobs/dedup.py",
+            "--input", inp,
+            "--output", out,
+            "--report", rep,
+            "--jaccard", "0.5",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    result = spark.read.parquet(out)
+    rows = {r.doc_id: r for r in result.collect()}
+    report = {r.stage: r.n_docs for r in spark.read.parquet(rep).collect()}
+
+    assert report["input"] == 450
+    assert report["exact_unique"] == 300  # exact copies collapsed
+    assert report["verified_pairs"] <= report["candidate_pairs"]
+    assert len(rows) == 300
+    # >=95% of mutants land in their original's cluster with the
+    # original as the canonical survivor
+    joined = sum(
+        1
+        for did, r in rows.items()
+        if did >= 1_000_000 and r.cluster_id == did - 1_000_000
+    )
+    assert joined >= 0.95 * 150
+    for did, r in rows.items():
+        assert r.is_canonical == (1 if r.cluster_id == did else 0)
