@@ -535,6 +535,26 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("url").cast("bigint").alias("doc_id"), "text")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: documents + planted exact copies through
+    a stateful dropDuplicates stream — the emitted first-sighting set
+    is exactly the distinct content hashes, regardless of which
+    arrival won."""
+    import tempfile
+
+    from ocr_spark.streaming import dedup_stream, run_stream_to_memory_append
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ocr_spark_stream_dedup_")
+    docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(500_000)).alias("doc_id"), "text"
+        )
+    ).write.mode("overwrite").parquet(path)
+    out = run_stream_to_memory_append(dedup_stream(spark, path))
+    return out.select("content_hash")
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-word screen over text."""
     docs = _t(spark, sf_dir, "documents")
@@ -1035,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_topk_join": q_ann_topk_join,
         "stream_extract": q_stream_extract,
+        "stream_dedup": q_stream_dedup,
         "skew_salted_agg": q_skew_salted_agg,
         "chunk_dedup": q_chunk_dedup,
         "repetition_stats": q_repetition_stats,
@@ -1319,6 +1340,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk_join": _ann_sql.sql_topk_join([0, 1, 2], k=10),
         "stream_extract": _ORACLE_ROUNDTRIP,
+        "stream_dedup": """
+            SELECT DISTINCT md5(text) AS content_hash FROM documents
+        """,
         "skew_salted_agg": """
             SELECT source,
                    CAST(count(n_chars) AS BIGINT) AS n_docs,

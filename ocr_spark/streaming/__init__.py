@@ -1,6 +1,7 @@
 """Structured Streaming surfaces: windowed metrics over event/lineage
 streams (reference W1/W4 analogs, SURVEY.md §2.7)."""
 
+from .dedup_stream import dedup_stream  # noqa: F401
 from .extract_stream import (  # noqa: F401
     extraction_stream,
     run_extraction_stream,

@@ -670,3 +670,66 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     assert joined >= 0.95 * 150
     for did, r in rows.items():
         assert r.is_canonical == (1 if r.cluster_id == did else 0)
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup (stream_dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_dedup_state_crosses_microbatches(spark, tmp_path):
+    """With maxFilesPerTrigger=1 each file is its own micro-batch; a
+    duplicate arriving in a LATER batch must still be suppressed by
+    the dropDuplicates state store."""
+    from ocr_spark.streaming import dedup_stream, run_stream_to_memory_append
+
+    d = str(tmp_path / "stream_in")
+    docs = _docs(spark).limit(50).select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    # second file: 50 exact copies (new ids, same text) + 10 new docs
+    copies = docs.select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+    fresh = (
+        _docs(spark)
+        .filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 60))
+        .select("doc_id", "text")
+    )
+    copies.unionByName(fresh).coalesce(1).write.mode("append").parquet(d)
+
+    out = run_stream_to_memory_append(
+        dedup_stream(spark, d, max_files_per_trigger=1)
+    )
+    hashes = [r.content_hash for r in out.collect()]
+    assert len(hashes) == 60  # 50 + 10 survived, 50 copies suppressed
+    assert len(set(hashes)) == 60
+
+
+def test_stream_dedup_watermark_variant_bounded_state(spark, tmp_path):
+    """The watermarked regime (dropDuplicatesWithinWatermark) dedups
+    re-sightings inside the delay window; state is evictable. Same
+    drain => same first-sighting set."""
+    from ocr_spark.streaming import dedup_stream, run_stream_to_memory_append
+
+    d = str(tmp_path / "stream_wm")
+    docs = _docs(spark).limit(40).select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias(
+            "ts"
+        ),
+    )
+    dup = docs.select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        "text",
+        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+    )
+    docs.unionByName(dup).coalesce(1).write.mode("overwrite").parquet(d)
+    out = run_stream_to_memory_append(
+        dedup_stream(
+            spark,
+            d,
+            schema="doc_id bigint, text string, ts timestamp",
+            event_time="ts",
+            delay="10 minutes",
+        )
+    )
+    assert out.count() == 40
