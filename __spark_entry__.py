@@ -602,6 +602,21 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.5)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a fresh ingest batch (mutants) probes the
+    persisted LSH signature index of the existing corpus (originals) —
+    per-ingest cost is O(batch), never a corpus recompute."""
+    from ocr_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    new = docs.select(
+        (F.col("doc_id") + F.lit(dedup.NEARDUP_OFFSET)).alias("doc_id"),
+        dedup._mutated_text(F.col("text"), F.col("n_chars")).alias("text"),
+    )
+    return dedup.incremental_neardup_pairs(new, dedup.signature_table(old))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash-LSH pairs: alternating
     Large-Star/Small-Star connected components; cluster id = component
@@ -1028,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_ivf_topk": q_ann_ivf_topk,
         "moderation": q_moderation,
@@ -1201,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup_sql.sql_simhash_signatures(),
         "dedup_jaccard": _dedup_sql.sql_jaccard_pairs(0.5),
         "dedup_clusters": _cluster_sql.sql_neardup_clusters(),
+        "dedup_incremental": _dedup_sql.sql_incremental_pairs(),
         "embedding_neardup_lsh": _ann_sql.sql_neardup_pairs(),
         "ann_ivf_topk": _ann_sql.sql_ivf_topk(query_vec_id=0, k=10),
         "moderation": f"""

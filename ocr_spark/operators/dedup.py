@@ -334,6 +334,46 @@ def minhash_candidate_pairs(
     )
 
 
+def signature_table(
+    corpus: DataFrame, max_bucket: int = MAX_MINHASH_BUCKET
+) -> DataFrame:
+    """(doc_id, band, key) LSH index of a corpus, with degenerate
+    buckets (> ``max_bucket`` members) dropped at build time — the
+    persisted state that makes dedup *incremental*: a fresh ingest
+    batch probes this table instead of re-signaturing the whole
+    corpus. Persist with ``plans.bucketed.save_bucketed(...,
+    key="key")`` so every future probe join is exchange-free on the
+    indexed side; the oversize drop is auditable via
+    ``oversize_minhash_buckets`` on the same corpus."""
+    keyed = _band_keyed(corpus)
+    ok = (
+        keyed.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") <= max_bucket)
+        .select("band", "key")
+    )
+    return keyed.join(ok, ["band", "key"], "left_semi")
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame, signatures: DataFrame
+) -> DataFrame:
+    """(doc_new, doc_old) candidate pairs between an ingest batch and
+    an indexed corpus — the production shape: per-ingest cost is
+    O(|batch|) signatures plus one equi-join against the signature
+    table on (band, key), never a corpus-wide recompute. With the
+    signature table stored bucketed on the band key, the join
+    shuffles only the batch side."""
+    new_keyed = _band_keyed(new_docs).select(
+        F.col("doc_id").alias("doc_new"), "band", "key"
+    )
+    hits = new_keyed.join(
+        signatures.select(F.col("doc_id").alias("doc_old"), "band", "key"),
+        ["band", "key"],
+    ).filter(F.col("doc_new") != F.col("doc_old"))
+    return hits.select("doc_new", "doc_old").distinct()
+
+
 def oversize_minhash_buckets(
     corpus: DataFrame, max_bucket: int = MAX_MINHASH_BUCKET
 ) -> DataFrame:
@@ -484,4 +524,42 @@ def sql_jaccard_pairs(threshold: float) -> str:
         WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
               / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
               >= {threshold}
+    """
+
+
+def sql_incremental_pairs(max_bucket: int = MAX_MINHASH_BUCKET) -> str:
+    """Oracle for incremental dedup: originals are the indexed corpus,
+    their mutants are the ingest batch; same band keys, same
+    oversize-bucket drop on the indexed side only."""
+    return f"""
+        WITH old_sh AS (
+            SELECT doc_id, {sql_shingles('text')} AS sh FROM documents
+        ),
+        old_k AS (
+            SELECT doc_id,
+                   unnest(range(0, {MINHASH_BANDS})) AS band,
+                   unnest({sql_band_keys('sh')}) AS key
+            FROM old_sh
+        ),
+        ok AS (
+            SELECT band, key FROM old_k GROUP BY band, key
+            HAVING count(*) <= {max_bucket}
+        ),
+        old_ok AS (
+            SELECT o.* FROM old_k o JOIN ok USING (band, key)
+        ),
+        new_sh AS (
+            SELECT doc_id + {NEARDUP_OFFSET} AS doc_id,
+                   {sql_shingles(sql_mutated_text())} AS sh
+            FROM documents
+        ),
+        new_k AS (
+            SELECT doc_id,
+                   unnest(range(0, {MINHASH_BANDS})) AS band,
+                   unnest({sql_band_keys('sh')}) AS key
+            FROM new_sh
+        )
+        SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+        FROM new_k n JOIN old_ok o USING (band, key)
+        WHERE n.doc_id != o.doc_id
     """

@@ -27,14 +27,17 @@ def save_bucketed(
     df: DataFrame,
     table_name: str,
     n_buckets: int = DEFAULT_TABLE_BUCKETS,
-    key: str = "url",
+    key: str | tuple[str, ...] = "url",
 ) -> None:
-    """Write ``df`` as a parquet table bucketed AND sorted by ``key``.
+    """Write ``df`` as a parquet table bucketed AND sorted by ``key``
+    (a column name or tuple of names — a join avoids shuffling the
+    bucketed side when its equi-join keys cover the bucket columns).
     Bucket metadata lives in the session catalog; matching bucket
     counts on two tables make their equi-join exchange-free."""
+    keys = [key] if isinstance(key, str) else list(key)
     (
-        df.write.bucketBy(n_buckets, key)
-        .sortBy(key)
+        df.write.bucketBy(n_buckets, keys[0], *keys[1:])
+        .sortBy(keys[0], *keys[1:])
         .mode("overwrite")
         .format("parquet")
         .saveAsTable(table_name)

@@ -733,3 +733,66 @@ def test_stream_dedup_watermark_variant_bounded_state(spark, tmp_path):
         )
     )
     assert out.count() == 40
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (signature index + ingest-batch probe)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_finds_mutants(spark):
+    from ocr_spark.operators import dedup
+
+    docs = _docs(spark).limit(120)
+    n_docs = docs.count()
+    old = docs.select("doc_id", "text")
+    new = docs.select(
+        (F.col("doc_id") + dedup.NEARDUP_OFFSET).alias("doc_id"),
+        dedup._mutated_text(F.col("text"), F.col("n_chars")).alias("text"),
+    )
+    pairs = dedup.incremental_neardup_pairs(new, dedup.signature_table(old))
+    hits = pairs.filter(
+        F.col("doc_new") - F.col("doc_old") == dedup.NEARDUP_OFFSET
+    ).count()
+    assert hits >= 0.98 * n_docs
+
+
+def test_incremental_probe_is_exchange_free_on_index(spark):
+    """With the signature table persisted bucketed on the band key,
+    the per-ingest probe join shuffles ONLY the batch side — the
+    indexed corpus (the 10^12-row side) is scanned in place."""
+    from ocr_spark.operators import dedup
+    from ocr_spark.plans import save_bucketed
+
+    docs = _docs(spark).filter(F.col("doc_id") < 100)
+    old = docs.select("doc_id", "text")
+    # filter, not limit: a global limit injects a SinglePartition
+    # exchange that has nothing to do with the probe join shape
+    new = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + dedup.NEARDUP_OFFSET).alias("doc_id"),
+        dedup._mutated_text(F.col("text"), F.col("n_chars")).alias("text"),
+    )
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS t_sig_index")
+    shutil.rmtree("spark-warehouse/t_sig_index", ignore_errors=True)
+    save_bucketed(
+        dedup.signature_table(old), "t_sig_index", 8, key=("band", "key")
+    )
+    oldconf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = dedup.incremental_neardup_pairs(new, spark.table("t_sig_index"))
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # exactly three exchanges, all on the batch side: the probe's
+        # minhash signature agg, its repartition onto (band, key), and
+        # the final distinct agg. A fourth would mean the indexed
+        # corpus (the 10^12-row side) is being shuffled.
+        assert plan.count("Exchange") == 3, plan
+        assert pairs.filter(
+            F.col("doc_new") - F.col("doc_old") == dedup.NEARDUP_OFFSET
+        ).count() >= 19
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldconf)
+        spark.sql("DROP TABLE IF EXISTS t_sig_index")
