@@ -960,6 +960,22 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_stats(docs)
 
 
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact-substring duplication (Lee-et-al-style,
+    hashed-gram approximation): per-doc fraction of stride-1 10-word
+    gram positions shared with another document; boilerplate planted
+    so the cross-doc signal is non-trivial."""
+    from ocr_spark.operators.curation import (
+        plant_boilerplate_col,
+        substring_dup_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", plant_boilerplate_col(F.col("text"))
+    )
+    return substring_dup_stats(docs)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition rules: top-2gram fraction + duplicate-3gram
     fraction per doc, linear explode→count (no per-row O(n²)); every
@@ -1074,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "skew_salted_agg": q_skew_salted_agg,
         "chunk_dedup": q_chunk_dedup,
+        "substring_dup": q_substring_dup,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "blocklist_filter": q_blocklist_filter,
@@ -1368,6 +1385,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "chunk_dedup": _curation_sql.sql_chunk_dedup_stats(
+            _curation_sql.sql_plant_boilerplate()
+        ),
+        "substring_dup": _curation_sql.sql_substring_dup_stats(
             _curation_sql.sql_plant_boilerplate()
         ),
         "repetition_stats": _curation_sql.sql_repetition_stats(

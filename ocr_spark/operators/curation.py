@@ -219,6 +219,66 @@ def repetition_stats(
 # ---------------------------------------------------------------------------
 
 
+SUBSTR_K = 10  # stride-1 gram length (words) for cross-doc substring dedup
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SUBSTR_K,
+) -> DataFrame:
+    """Per-doc cross-document exact-substring duplication: the
+    fraction of a doc's k-word gram positions (stride 1 — every word
+    offset, unlike ``chunk_dedup_stats``' fixed non-overlapping
+    chunks) whose gram also occurs in at least one OTHER document.
+    The hashed-gram approximation of suffix-array exact-substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): a shared run of >= k words shows up as a run of
+    shared grams, so ``dup_frac`` measures how much of the doc is
+    verbatim-copied from elsewhere in the corpus.
+
+    Scale shape: two hash-partitioned aggs and one semi join, ALL on
+    60-bit gram hashes (8 bytes per word position through every
+    shuffle, never gram text). Linear in corpus word count — the
+    stride-1 blow-up vs chunking is exactly k rows per word, the
+    price of position-granular detection.
+    """
+    grams = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(
+            F.transform(shingles_col(F.col(text_col), k), _hash60)
+        ).alias("gram"),
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    totals = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_pos")
+    )
+    dups = (
+        grams.join(shared, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_pos"))
+    )
+    dup_pos = F.coalesce(F.col("dup_pos"), F.lit(0)).cast("bigint")
+    frac = F.round(
+        dup_pos.cast("double") / F.greatest("total_pos", F.lit(1)), 6
+    )
+    return (
+        totals.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            dup_pos.alias("dup_pos"),
+            F.col("total_pos").cast("bigint").alias("total_pos"),
+            frac.alias("dup_frac"),
+        )
+    )
+
+
 def pii_inject_col(text: Column, key: Column) -> Column:
     """Deterministically plant an email + phone in the doc (the
     synthetic corpus carries none) so the scrubber has real work; a
@@ -344,6 +404,38 @@ def _sql_gram_stats(k: int, text_expr: str = "text") -> str:
                 FROM documents
             ) GROUP BY doc_id, gram
         ) GROUP BY doc_id
+    """
+
+
+def sql_substring_dup_stats(text_expr: str = "text", k: int = SUBSTR_K) -> str:
+    return f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(unnest(
+                       {sql_shingles(text_expr, k)})), 1, 15)
+                        AS BIGINT) AS gram
+            FROM documents
+        ),
+        shared AS (
+            SELECT gram FROM grams
+            GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+        ),
+        totals AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS total_pos
+            FROM grams GROUP BY doc_id
+        ),
+        dups AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_pos
+            FROM grams
+            WHERE gram IN (SELECT gram FROM shared)
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(d.dup_pos, 0) AS dup_pos,
+               t.total_pos,
+               round(CAST(COALESCE(d.dup_pos, 0) AS DOUBLE)
+                     / greatest(t.total_pos, 1), 6) AS dup_frac
+        FROM totals t LEFT JOIN dups d USING (doc_id)
     """
 
 

@@ -796,3 +796,22 @@ def test_incremental_probe_is_exchange_free_on_index(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldconf)
         spark.sql("DROP TABLE IF EXISTS t_sig_index")
+
+
+def test_substring_dup_stats_exact_shared_run(spark):
+    """Two docs share an exact 12-word run; with k=10 exactly 3 gram
+    positions per doc are cross-doc duplicated (the run's 3 internal
+    10-gram offsets), at different positions in each doc."""
+    from ocr_spark.operators.curation import substring_dup_stats
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    a = shared + " " + " ".join(f"a{i}" for i in range(20))  # 32 words
+    b = " ".join(f"b{i}" for i in range(5)) + " " + shared  # 17 words
+    c = " ".join(f"c{i}" for i in range(30))  # 30 words, unique
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in substring_dup_stats(df).collect()}
+    assert (out[1].dup_pos, out[1].total_pos) == (3, 23)
+    assert (out[2].dup_pos, out[2].total_pos) == (3, 8)
+    assert (out[3].dup_pos, out[3].dup_frac) == (0, 0.0)
