@@ -960,6 +960,15 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_stats(docs)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-500 whitespace tokens by frequency
+    (map-side-combined count, TakeOrdered top-k — never a global
+    sort), ties broken lexicographically."""
+    from ocr_spark.operators.corpus_ops import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=500)
+
+
 def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc exact-substring duplication (Lee-et-al-style,
     hashed-gram approximation): per-doc fraction of stride-1 10-word
@@ -1091,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "chunk_dedup": q_chunk_dedup,
         "substring_dup": q_substring_dup,
+        "vocab_topk": q_vocab_topk,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "blocklist_filter": q_blocklist_filter,
@@ -1390,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup": _curation_sql.sql_substring_dup_stats(
             _curation_sql.sql_plant_boilerplate()
         ),
+        "vocab_topk": _corpus_sql.sql_vocab_topk(k=500),
         "repetition_stats": _curation_sql.sql_repetition_stats(
             _curation_sql.sql_plant_repetition()
         ),

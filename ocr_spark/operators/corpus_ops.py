@@ -186,6 +186,28 @@ def pack_shards(
     )
 
 
+def vocab_topk(
+    docs: DataFrame, k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """(word, n) — the corpus's k most frequent whitespace tokens,
+    ties broken lexicographically: the input a tokenizer-training or
+    stopword-derivation step consumes.
+
+    Scale shape: explode → hash-partitioned count with map-side
+    combine (the partial aggregation collapses each partition to its
+    distinct words before the shuffle), then a TakeOrdered top-k —
+    k rows to the driver, never a global sort of the vocabulary."""
+    words = docs.select(
+        F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL mirrors
 # ---------------------------------------------------------------------------
@@ -280,4 +302,18 @@ def sql_pack_shards(
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                     ) - {nt} AS DOUBLE) / {budget_tokens}) AS INT) AS shard
         FROM documents
+    """
+
+
+def sql_vocab_topk(k: int = 1000, text_expr: str = "text") -> str:
+    return f"""
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest({_sql_words(text_expr)}) AS word
+            FROM documents
+        )
+        WHERE word != ''
+        GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT {k}
     """
