@@ -123,7 +123,14 @@ class TestRunPipeline:
         """Scale regression: run_pipeline must not cache the extracted
         table (a persist would push a second text-bearing copy of the
         corpus through memory+disk at 100 TB) — lineage comes from a
-        column-pruned re-read of the written parquet instead."""
+        column-pruned re-read of the written parquet instead.
+
+        Delta-based: the suite shares one session and other tests
+        legitimately leave cached RDDs behind (localCheckpoint in the
+        repair pass, streaming state), so assert run_pipeline ADDS no
+        cached RDD rather than that storage is globally empty."""
+        sc = spark.sparkContext._jsc.sc()
+        before = {s.id() for s in sc.getRDDStorageInfo()}
         run_pipeline(
             spark,
             corpus_path,
@@ -132,8 +139,8 @@ class TestRunPipeline:
             run_id="r1",
             n_buckets=4,
         )
-        storage_info = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        assert len(storage_info) == 0, [str(s) for s in storage_info]
+        new = [s for s in sc.getRDDStorageInfo() if s.id() not in before]
+        assert len(new) == 0, [str(s) for s in new]
 
     def test_lineage_metrics(self, spark, corpus_path, paths):
         run_pipeline(
