@@ -30,6 +30,9 @@ from ocr_spark.operators import corpus_ops as _corpus_sql  # noqa: E402
 from ocr_spark.operators import curation as _curation_sql  # noqa: E402
 from ocr_spark.operators import cluster as _cluster_sql  # noqa: E402
 from ocr_spark.operators import dedup as _dedup_sql  # noqa: E402
+from ocr_spark.operators import events as _events_sql  # noqa: E402
+from ocr_spark.operators import graph as _graph_sql  # noqa: E402
+from ocr_spark.sources import wrap as _wrap_sql  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1021,6 +1024,95 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source/sink fidelity end-to-end: wrap docs as HTML pages,
+    serialize into shard-grouped multi-record WARC blobs (the
+    Common-Crawl container, sources/warc.py), split the blobs back
+    into records, and emit per-record byte length + md5.  The oracle
+    reconstructs the wrapped page bytes in SQL — agreement proves the
+    serialize→concatenate→split cycle is byte-lossless."""
+    from ocr_spark.sources import wrap_as_html
+    from ocr_spark.sources.warc import records_from_blobs, to_warc_blobs
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = wrap_as_html(docs, "doc_id")
+    recs = records_from_blobs(to_warc_blobs(wrapped, n_shards=8))
+    return recs.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.length("html").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"),
+        "status",
+    )
+
+
+def q_link_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link graph, half 1: build deterministic in-corpus /doc/<id>
+    anchors with pure column expressions, extract them back with a JVM
+    regex (no UDF), and roll up in/out degree.  The oracle states the
+    edge set by construction — the regex-extracted edges agreeing with
+    it is the check."""
+    from ocr_spark.operators.graph import (
+        degree_stats,
+        extract_links,
+        linked_pages,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return degree_stats(extract_links(linked_pages(docs, n)))
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link graph, half 2: 5 synchronous PageRank rounds over the
+    extracted edges — each round one (node, rank) shuffle, ranks
+    rounded per-iteration in both engines so float drift can't
+    compound."""
+    from ocr_spark.operators.graph import (
+        extract_links,
+        linked_pages,
+        pagerank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = extract_links(linked_pages(docs, n))
+    return pagerank(edges, n_nodes=n, n_iter=5)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the value of the
+    user's latest 'view' event at-or-before its timestamp.  Spark
+    side is the union-merge pattern (one exchange + one sort, no
+    range-join blow-up); the oracle is DuckDB's native ASOF JOIN —
+    an independent implementation of the semantics."""
+    from ocr_spark.operators.events import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+    right = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, key="user_id", ts="ts", value_col="value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30-min) with per-session rollups — lag +
+    running sum over a single per-user exchange, integer-microsecond
+    gap arithmetic for exact cross-engine parity."""
+    from ocr_spark.operators.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 scalar surface: JSON extraction, string fns, hashing."""
     events = _t(spark, sf_dir, "events")
@@ -1104,6 +1196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "blocklist_filter": q_blocklist_filter,
+        "warc_roundtrip": q_warc_roundtrip,
+        "link_degree": q_link_degree,
+        "link_pagerank": q_link_pagerank,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "scalar_funcs": q_scalar_funcs,
     }
 
@@ -1443,4 +1540,18 @@ def oracle_sql() -> dict[str, str]:
                    sha256(event_type) AS h
             FROM events
         """,
+        "warc_roundtrip": f"""
+            SELECT doc_id,
+                   octet_length(encode({_wrap_sql.sql_wrapped_html('text')}))
+                       AS n_bytes,
+                   md5({_wrap_sql.sql_wrapped_html('text')}) AS payload_md5,
+                   'ok' AS status
+            FROM documents
+        """,
+        "link_degree": _graph_sql.sql_degree_stats(),
+        "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
+        "asof_join": _events_sql.sql_asof_join(
+            "event_type = 'purchase'", "event_type = 'view'"
+        ),
+        "sessionize": _events_sql.sql_sessionize(),
     }

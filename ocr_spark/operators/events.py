@@ -1,0 +1,192 @@
+"""Event-time operators: as-of join and gap sessionization.
+
+The reference's analytics surface is status rollups over its task
+tables (database.py get_task_stats*); a crawl/teletry pipeline also
+needs the two classic event-time shapes Spark has no built-in for:
+
+* **As-of join** (``asof_join``) — for each left row, the latest right
+  row with ``right.ts <= left.ts`` per key.  Implemented as the
+  union-merge pattern: tag both sides, one hash exchange on the key,
+  one sort within partitions by (ts, side, seq), then a running
+  ``last(value, ignorenulls)`` window — O(n log n) per partition, no
+  range-join row blow-up, no per-row Python.  At 10^12 rows both
+  sides shuffle once on the key; compare a naive range join, whose
+  candidate set is quadratic per key.
+* **Sessionization** (``sessionize``) — gap-based session ids via
+  lag + running sum over the same single exchange, then a per-session
+  rollup.  The standard training-data shape for user-activity logs.
+
+Both are stated identically in DuckDB for the oracle (DuckDB has a
+native ASOF JOIN — the mirror uses it, so the Spark plan is checked
+against an independent implementation, not a restatement of itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ASOF_SESSION_GAP_MIN = 30
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+) -> DataFrame:
+    """Left rows + ``asof_<value_col>``: the value of the latest right
+    row at-or-before the left row's timestamp, per key (NULL when no
+    right row precedes).
+
+    Right rows are first reduced to one per (key, ts) — the row with
+    the greatest ``value_col`` — so tie semantics are deterministic
+    and match DuckDB's ASOF JOIN against the same reduced side.  The
+    left row's own columns ride through the union (no (key, ts)
+    join-back, which would duplicate rows on timestamp ties).
+    """
+    passthrough = [c for c in left.columns if c not in (key, ts)]
+    r = (
+        right.groupBy(key, ts)
+        .agg(F.max(value_col).alias("_asof_v"))
+        .select(
+            key,
+            ts,
+            "_asof_v",
+            F.lit(0).alias("_side"),
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in passthrough
+            ],
+        )
+    )
+    l = left.select(
+        key,
+        ts,
+        F.lit(None).cast(r.schema["_asof_v"].dataType).alias("_asof_v"),
+        F.lit(1).alias("_side"),
+        *passthrough,
+    )
+    # (ts, side) ordering puts the right row first at equal timestamps,
+    # so the match is inclusive (right.ts <= left.ts) like DuckDB ASOF.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).withColumn(
+        "_asof", F.last("_asof_v", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("_side") == 1).select(
+        key, ts, *passthrough, F.col("_asof").alias(f"asof_{value_col}")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: int = ASOF_SESSION_GAP_MIN,
+) -> DataFrame:
+    """Per-session rollup: a new session starts when the gap since the
+    key's previous event exceeds ``gap_minutes``.  One exchange on the
+    key; ids and the rollup ride the same partitioning."""
+    order = [F.col(ts).asc(), F.col("event_id").asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    # integer microseconds end-to-end: the testdata timestamps carry
+    # microseconds, and second-truncating arithmetic (unix_timestamp /
+    # DuckDB epoch) would disagree between engines at gap boundaries
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_id = (
+        events.withColumn("_prev", F.lag(ts).over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (
+                    # cast NTZ->TZ for unix_micros (session tz is UTC;
+                    # only differences are used, so any offset cancels)
+                    F.unix_micros(F.col(ts).cast("timestamp"))
+                    - F.unix_micros(F.col("_prev").cast("timestamp"))
+                    > gap_us
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return with_id.groupBy(key, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+        (
+            F.unix_micros(F.max(ts).cast("timestamp"))
+            - F.unix_micros(F.min(ts).cast("timestamp"))
+        ).alias("duration_us"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL mirrors
+# ---------------------------------------------------------------------------
+
+
+def sql_asof_join(
+    left_filter: str, right_filter: str, value_col: str = "value"
+) -> str:
+    """Native DuckDB ASOF JOIN over the same reduced right side — an
+    independent implementation of the semantics, not a restatement of
+    the Spark plan."""
+    return f"""
+        WITH l AS (
+            SELECT event_id, user_id, ts, round(value, 6) AS value
+            FROM events WHERE {left_filter}
+        ),
+        r AS (
+            SELECT user_id, ts, max({value_col}) AS v
+            FROM events WHERE {right_filter}
+            GROUP BY user_id, ts
+        )
+        SELECT l.event_id, l.user_id,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, l.value,
+               round(r.v, 6) AS asof_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+
+def sql_sessionize(gap_minutes: int = ASOF_SESSION_GAP_MIN) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {gap_us}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        ids AS (
+            SELECT user_id, ts, event_id, value,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM tagged
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+               round(sum(value), 6) AS total_value
+        FROM ids
+        GROUP BY user_id, session_idx
+    """

@@ -1,0 +1,221 @@
+"""Web link graph: href extraction, degree stats, PageRank.
+
+A crawl corpus is a graph, and the standard curation signals on it
+(in-degree as a popularity prior, PageRank as a quality prior — the
+original use case of the algorithm) are first-class pipeline
+operators here:
+
+* ``linked_pages`` — deterministic page builder: each document gets
+  the same boilerplate-wrapped HTML as ``sources.wrap`` plus
+  ``LINKS_PER_DOC`` in-corpus ``/doc/<id>`` anchors derived from its
+  doc_id.  Built entirely with column expressions (concat + escape
+  chain) — the whole page body is whole-stage-codegen, zero Python.
+* ``extract_links`` — href scan via ``regexp_extract_all`` on the
+  decoded page (JVM regex, no UDF), explode to an edge list.
+* ``degree_stats`` — in/out degree per page: two map-side-combined
+  aggs joined on the page id.
+* ``pagerank`` — fixed-iteration PageRank as a loop of
+  (join on src → groupBy dst) rounds.  Every iteration is one shuffle
+  of (node, rank) pairs — 16 bytes a row, never page bytes.  Ranks
+  are rounded to 12 decimals each iteration IN BOTH ENGINES, so
+  float-sum association drift cannot accumulate across iterations and
+  the DuckDB mirror (the same fixed iterations as chained CTEs)
+  hash-matches at 6-decimal output precision.
+
+Scale shape: at 10^12 edges each PageRank iteration is a shuffle on
+dst — unavoidable (it IS the computation) — but partial aggregation
+collapses each partition's contributions before the exchange, so the
+shuffle carries at most n_nodes rows per partition.  For many
+iterations you would localCheckpoint every ~5 rounds to truncate the
+growing plan; the operator takes ``checkpoint_every`` for exactly
+that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LINKS_PER_DOC = 3
+LINK_STRIDE = 7
+DAMPING = 0.85
+ITER_ROUND = 12
+
+
+def _escape_col(c):
+    # html.escape replacement order: & first, then < > " '
+    for src, dst in [
+        ("&", "&amp;"),
+        ("<", "&lt;"),
+        (">", "&gt;"),
+        ('"', "&quot;"),
+        ("'", "&#x27;"),
+    ]:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return c
+
+
+def linked_pages(docs: DataFrame, n_docs: int) -> DataFrame:
+    """(doc_id, html): boilerplate page whose article body is the
+    escaped text plus LINKS_PER_DOC anchors to
+    ``(doc_id * LINK_STRIDE + j + 1) % n_docs``.  Pure column
+    expressions — the page assembles inside codegen."""
+    from ..sources.wrap import _HTML_TEMPLATE_HEAD, _HTML_TEMPLATE_TAIL
+
+    anchors = [
+        F.concat(
+            F.lit('<a href="/doc/'),
+            ((F.col("doc_id") * LINK_STRIDE + F.lit(j + 1)) % n_docs).cast(
+                "string"
+            ),
+            F.lit('">ref</a>'),
+        )
+        for j in range(LINKS_PER_DOC)
+    ]
+    page = F.concat(
+        F.lit(_HTML_TEMPLATE_HEAD),
+        F.lit("<p>"),
+        _escape_col(F.col("text")),
+        F.lit("</p>"),
+        *anchors,
+        F.lit(_HTML_TEMPLATE_TAIL),
+    )
+    return docs.select("doc_id", F.encode(page, "utf-8").alias("html"))
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(src, dst) edge list from ``/doc/<id>`` hrefs — JVM regex over
+    the decoded page, exploded; no Python touches the bytes."""
+    hrefs = F.regexp_extract_all(
+        F.decode(F.col("html"), "utf-8"), F.lit('href="/doc/(\\d+)"'), 1
+    )
+    return pages.select(
+        F.col("doc_id").alias("src"), F.explode(hrefs).alias("dst")
+    ).select("src", F.col("dst").cast("bigint").alias("dst"))
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """(page, out_deg, in_deg) — two partial-agg counts, one join."""
+    out_d = edges.groupBy(F.col("src").alias("page")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("page")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out_d.join(in_d, "page", "full")
+        .select(
+            "page",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_nodes: int,
+    n_iter: int = 5,
+    damping: float = DAMPING,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` synchronous PageRank rounds.
+
+    Nodes are 0..n_nodes-1 (the linked_pages construction guarantees
+    every node has out-degree LINKS_PER_DOC, so there is no dangling
+    mass).  Intermediate ranks round to ITER_ROUND decimals — matched
+    by the SQL mirror — so cross-engine float drift cannot compound.
+    """
+    spark = edges.sparkSession
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    contrib_edges = edges.join(out_deg, "src")
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    ranks = nodes.withColumn(
+        "rank", F.round(F.lit(1.0 / n_nodes), ITER_ROUND)
+    )
+    base = (1.0 - damping) / n_nodes
+    for i in range(n_iter):
+        contribs = (
+            contrib_edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inbound"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("inbound", F.lit(0.0)),
+                ITER_ROUND,
+            ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            # truncate the growing lineage so the plan (and the DAG
+            # scheduler's work) stays bounded over many iterations
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL mirrors
+# ---------------------------------------------------------------------------
+
+
+def sql_edges(n_docs_expr: str = "(SELECT count(*) FROM documents)") -> str:
+    """Edge list stated by construction (the Spark side extracts the
+    SAME edges back out of real html bytes with a regex — the two
+    derivations agreeing is the point of the check)."""
+    return f"""
+        SELECT doc_id AS src,
+               (doc_id * {LINK_STRIDE} + j.j) % {n_docs_expr} AS dst
+        FROM documents,
+             (SELECT unnest(range(1, {LINKS_PER_DOC + 1})) AS j) j
+    """
+
+
+def sql_degree_stats() -> str:
+    return f"""
+        WITH edges AS ({sql_edges()}),
+        o AS (SELECT src AS page, count(*) AS out_deg FROM edges GROUP BY src),
+        i AS (SELECT dst AS page, count(*) AS in_deg FROM edges GROUP BY dst)
+        SELECT COALESCE(o.page, i.page) AS page,
+               COALESCE(out_deg, 0) AS out_deg,
+               COALESCE(in_deg, 0) AS in_deg
+        FROM o FULL OUTER JOIN i ON o.page = i.page
+    """
+
+
+def sql_pagerank(n_iter: int = 5, damping: float = DAMPING) -> str:
+    """The same fixed iterations as chained CTEs (r0..r{n_iter}), each
+    rounded to ITER_ROUND decimals like the Spark loop."""
+    n = "(SELECT count(*) FROM documents)"
+    parts = [
+        f"WITH edges AS ({sql_edges()}),",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),",
+        "nodes AS (SELECT doc_id AS node FROM documents),",
+        f"r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / {n}, "
+        f"{ITER_ROUND}) AS rank FROM nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f""", r{i + 1} AS (
+                SELECT n.node,
+                       round(CAST({(1.0 - damping)!r} AS DOUBLE) / {n}
+                             + CAST({damping!r} AS DOUBLE) *
+                             COALESCE(c.inbound, CAST(0.0 AS DOUBLE)),
+                             {ITER_ROUND}) AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node,
+                           sum(r.rank / d.out_deg) AS inbound
+                    FROM edges e
+                    JOIN deg d ON e.src = d.src
+                    JOIN r{i} r ON e.src = r.node
+                    GROUP BY e.dst
+                ) c ON n.node = c.node
+            )"""
+        )
+    parts.append(
+        f"SELECT node, round(rank, 6) AS rank FROM r{n_iter}"
+    )
+    return "\n".join(parts)

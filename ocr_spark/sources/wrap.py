@@ -124,6 +124,26 @@ def wrap_text_pdf_pages(text: str, page_words: int = PAGE_WORDS) -> bytes:
     return _build_pdf(chunks)
 
 
+def sql_wrapped_html(text_expr: str) -> str:
+    """DuckDB expression for ``wrap_text_html(text)`` as a VARCHAR —
+    the byte-exact SQL restatement (html.escape's replacement order:
+    ``&`` first, then ``<``, ``>``, ``\"``, ``'``) used by the WARC
+    roundtrip oracle to verify payload bytes end-to-end."""
+    escaped = text_expr
+    for src, dst in [
+        ("&", "&amp;"),
+        ("<", "&lt;"),
+        (">", "&gt;"),
+        ('"', "&quot;"),
+        ("'", "&#x27;"),
+    ]:
+        sq_src = src.replace("'", "''")
+        escaped = f"replace({escaped}, '{sq_src}', '{dst}')"
+    head = _HTML_TEMPLATE_HEAD.replace("'", "''")
+    tail = _HTML_TEMPLATE_TAIL.replace("'", "''")
+    return f"('{head}' || '<p>' || {escaped} || '</p>' || '{tail}')"
+
+
 _WRAPPERS = {
     "html": wrap_text_html,
     "pdf": wrap_text_pdf,

@@ -1,0 +1,194 @@
+"""WARC source/sink, link graph, and event-time operators.
+
+The oracle-gated queries (warc_roundtrip, link_degree, link_pagerank,
+asof_join, sessionize) check value parity; these tests cover the
+contracts the SQL gate can't see: malformed-input robustness, the
+file-based source/sink cycle, and plan shapes.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.warc import (
+    build_record,
+    read_warc_dir,
+    split_records,
+    write_warc_files,
+)
+
+
+class TestWarcPure:
+    def test_single_record_roundtrip(self):
+        payload = b"<html>\xe4\xb8\xad</html>"
+        rec = build_record("http://a/x", payload)
+        rows = split_records(rec)
+        assert rows == [("http://a/x", payload, "ok")]
+
+    def test_multi_record_blob(self):
+        blob = b"".join(
+            build_record(f"u{i}", bytes([i]) * i) for i in range(1, 6)
+        )
+        rows = split_records(blob)
+        assert [r[0] for r in rows] == [f"u{i}" for i in range(1, 6)]
+        assert all(r[2] == "ok" for r in rows)
+        assert [len(r[1]) for r in rows] == [1, 2, 3, 4, 5]
+
+    def test_payload_containing_magic_bytes(self):
+        """Content-Length framing must win over magic scanning: a
+        payload that CONTAINS 'WARC/1.0\\r\\n' must not split."""
+        evil = b"xx" + b"WARC/1.0\r\n" + b"yy"
+        blob = build_record("u1", evil) + build_record("u2", b"ok")
+        rows = split_records(blob)
+        assert [(r[0], r[1]) for r in rows] == [("u1", evil), ("u2", b"ok")]
+
+    def test_truncated_final_record(self):
+        full = build_record("u1", b"abcdef")
+        rows = split_records(full[:-10])  # cut inside the payload
+        assert rows[0][0] == "u1"
+        assert rows[0][2] == "truncated"
+
+    def test_garbage_prefix_skipped(self):
+        blob = b"\x00\x01 not a warc " + build_record("u1", b"p")
+        rows = split_records(blob)
+        assert rows == [("u1", b"p", "ok")]
+
+    def test_missing_content_length_is_error_row(self):
+        bad = b"WARC/1.0\r\nWARC-Target-URI: u9\r\n\r\n"
+        rows = split_records(bad + build_record("u1", b"p"))
+        assert rows[0] == ("u9", b"", "bad_header")
+        assert rows[1] == ("u1", b"p", "ok")
+
+    def test_garbage_only_yields_nothing(self):
+        assert split_records(b"complete nonsense") == []
+
+
+class TestWarcSpark:
+    @pytest.fixture(scope="class")
+    def payloads(self, spark):
+        from ocr_spark.sources import wrap_as_html
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        return wrap_as_html(docs, "doc_id")
+
+    def test_file_sink_source_roundtrip(self, spark, payloads, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("warc") / "dump")
+        write_warc_files(payloads, path, n_shards=4)
+        files = [f for f in os.listdir(path) if f.endswith(".warc")]
+        assert 0 < len(files) <= 4
+        back = read_warc_dir(spark, path)
+        orig = payloads.select(
+            "url", F.md5("html").alias("h")
+        )
+        got = back.filter(F.col("status") == "ok").select(
+            "url", F.md5("html").alias("h")
+        )
+        assert got.count() == orig.count()
+        assert got.exceptAll(orig).count() == 0
+
+    def test_blob_serialization_single_exchange(self, payloads):
+        from ocr_spark.sources.warc import to_warc_blobs
+
+        plan = to_warc_blobs(payloads, n_shards=4)._jdf.queryExecution().executedPlan().toString()
+        # one repartition on the shard key; record assembly must not
+        # add further exchanges
+        assert plan.count("Exchange") == 1, plan
+
+
+class TestLinkGraph:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def test_edges_match_construction(self, docs):
+        from ocr_spark.operators.graph import (
+            LINK_STRIDE,
+            LINKS_PER_DOC,
+            extract_links,
+            linked_pages,
+        )
+
+        n = docs.count()
+        edges = extract_links(linked_pages(docs, n))
+        got = {(r.src, r.dst) for r in edges.collect()}
+        want = {
+            (d, (d * LINK_STRIDE + j) % n)
+            for d in range(n)
+            for j in range(1, LINKS_PER_DOC + 1)
+        }
+        assert got == want
+
+    def test_pagerank_sums_to_one(self, docs):
+        from ocr_spark.operators.graph import extract_links, linked_pages, pagerank
+
+        n = docs.count()
+        edges = extract_links(linked_pages(docs, n))
+        ranks = pagerank(edges, n_nodes=n, n_iter=3)
+        total = ranks.agg(F.sum("rank")).first()[0]
+        assert abs(total - 1.0) < 1e-4
+        assert ranks.count() == n
+
+    def test_pagerank_no_python_in_plan(self, docs):
+        """The whole graph pipeline — page build, href regex, rank
+        iterations — must stay JVM-side."""
+        from ocr_spark.operators.graph import extract_links, linked_pages, pagerank
+
+        n = docs.count()
+        plan = (
+            pagerank(extract_links(linked_pages(docs, n)), n_nodes=n, n_iter=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan, plan
+
+
+class TestAsof:
+    def test_no_preceding_right_row_is_null(self, spark):
+        from ocr_spark.operators.events import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100, 10.0), (1, 300, 30.0)], "k int, ts int, v double"
+        ).select("k", "ts", F.col("v").alias("lv"))
+        right = spark.createDataFrame(
+            [(1, 200, 99.0)], "k int, ts int, value double"
+        )
+        out = {
+            r.ts: r.asof_value
+            for r in asof_join(left, right, "k", "ts", "value").collect()
+        }
+        assert out[100] is None
+        assert out[300] == 99.0
+
+    def test_equal_timestamp_is_inclusive(self, spark):
+        from ocr_spark.operators.events import asof_join
+
+        left = spark.createDataFrame([(1, 200)], "k int, ts int")
+        right = spark.createDataFrame(
+            [(1, 200, 7.0), (1, 200, 9.0)], "k int, ts int, value double"
+        )
+        row = asof_join(left, right, "k", "ts", "value").first()
+        # inclusive match; ties reduced to max(value)
+        assert row.asof_value == 9.0
+
+    def test_single_exchange_per_side(self, spark):
+        """The union-merge as-of is one hash exchange on the key (plus
+        the window sort) — no range-join row blow-up."""
+        from ocr_spark.operators.events import asof_join
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        left = events.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        right = events.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "value"
+        )
+        plan = (
+            asof_join(left, right, "user_id", "ts", "value")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -87,7 +87,15 @@ def test_pdf_roundtrip_arbitrary_latin1_line(line):
 
 @settings(**_SETTINGS)
 @given(
-    st.text(max_size=500).filter(lambda t: len(t.split()) >= 2)
+    # build >=2 words constructively (two non-space chunks joined by a
+    # space) instead of filtering arbitrary text, which trips
+    # hypothesis's filter_too_much health check on unlucky seeds
+    st.builds(
+        lambda a, b, rest: f"{a} {b} {rest}".strip(),
+        st.text(max_size=50).map(lambda s: "".join(s.split()) or "w"),
+        st.text(max_size=50).map(lambda s: "".join(s.split()) or "w"),
+        st.text(max_size=400),
+    )
 )
 def test_html_wrap_roundtrip_arbitrary_text(text):
     """Any text at or above the content-word threshold survives the
