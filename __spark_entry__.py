@@ -1024,6 +1024,98 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, first 'view' and the first
+    'purchase' at-or-after it — one hash join on user_id plus two
+    map-side-combined aggs (no window over the whole event stream,
+    no range join)."""
+    events = _t(spark, sf_dir, "events")
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    # conditional min (NOT a filter): a user whose purchases all
+    # precede the first view must still appear, unconverted
+    conv = (
+        first_view.join(purchases, "user_id", "left")
+        .groupBy("user_id", "first_view")
+        .agg(
+            F.min(
+                F.when(F.col("p_ts") >= F.col("first_view"), F.col("p_ts"))
+            ).alias("first_purchase")
+        )
+    )
+    # sentinels instead of NULLs (see q_asof_join note)
+    return conv.select(
+        "user_id",
+        F.date_format("first_view", "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+        F.coalesce(
+            F.date_format("first_purchase", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("never"),
+        ).alias("first_purchase"),
+        F.col("first_purchase").isNotNull().alias("converted"),
+        F.coalesce(
+            F.unix_micros(F.col("first_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("first_view").cast("timestamp")),
+            F.lit(-1),
+        ).alias("us_to_convert"),
+    )
+
+
+def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (decomposed sequences planted so the
+    op has real work): Python unicodedata vs DuckDB's independent
+    utf8proc implementation must agree on every byte."""
+    from ocr_spark.operators.curation import normalize_nfc
+
+    return normalize_nfc(_t(spark, sf_dir, "documents"))
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of doc length per language — the
+    corpus-profiling rollup (Spark `percentile` == DuckDB
+    `quantile_cont`, both linear-interpolation)."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = F.percentile(
+        F.col("n_chars").cast("double"),
+        F.array(*[F.lit(p) for p in (0.25, 0.5, 0.9, 0.99)]),
+    )
+    agg = docs.groupBy("lang").agg(qs.alias("q"), F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        "lang",
+        "n",
+        F.round(F.element_at("q", 1), 6).alias("p25"),
+        F.round(F.element_at("q", 2), 6).alias("p50"),
+        F.round(F.element_at("q", 3), 6).alias("p90"),
+        F.round(F.element_at("q", 4), 6).alias("p99"),
+    )
+
+
+def q_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (3 rounds, k=8) over the embedding
+    column: literal-broadcast argmax assignment (zero shuffle) +
+    numpy partial sums collapsed per partition before the bounded
+    driver merge — the trained IVF codebook, emitted as
+    (centroid, pos, val) rows.  The oracle replays the identical
+    iterations as chained DuckDB CTEs."""
+    from ocr_spark.operators.ann import kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook = kmeans_train(emb, k=8, n_iter=3)
+    rows = [
+        (cid, pos + 1, float(v))
+        for cid, vec in codebook
+        for pos, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(
+        rows, "centroid bigint, pos bigint, val double"
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source/sink fidelity end-to-end: wrap docs as HTML pages,
     serialize into shard-grouped multi-record WARC blobs (the
@@ -1095,12 +1187,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "value"
     )
     out = asof_join(left, right, key="user_id", ts="ts", value_col="value")
+    # coalesce to a sentinel: a NULL double renders as None via
+    # collect() but NaN via the pandas fetch path, so a nullable
+    # gated column would hash-mismatch depending on the driver's
+    # fetch; the no-preceding-row NULL semantics is pytest-covered
     return out.select(
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         "value",
-        F.round("asof_value", 6).alias("asof_value"),
+        F.round(F.coalesce("asof_value", F.lit(-1.0)), 6).alias("asof_value"),
     )
 
 
@@ -1196,6 +1292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "blocklist_filter": q_blocklist_filter,
+        "funnel": q_funnel,
+        "normalize_nfc": q_normalize_nfc,
+        "length_quantiles": q_length_quantiles,
+        "kmeans_codebook": q_kmeans_codebook,
         "warc_roundtrip": q_warc_roundtrip,
         "link_degree": q_link_degree,
         "link_pagerank": q_link_pagerank,
@@ -1548,6 +1648,43 @@ def oracle_sql() -> dict[str, str]:
                    'ok' AS status
             FROM documents
         """,
+        "funnel": """
+            WITH fv AS (
+                SELECT user_id, min(ts) AS first_view
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            conv AS (
+                SELECT fv.user_id, fv.first_view,
+                       min(CASE WHEN p.ts >= fv.first_view THEN p.ts END)
+                           AS first_purchase
+                FROM fv LEFT JOIN (
+                    SELECT user_id, ts FROM events
+                    WHERE event_type = 'purchase') p
+                  ON fv.user_id = p.user_id
+                GROUP BY fv.user_id, fv.first_view
+            )
+            SELECT user_id,
+                   strftime(first_view, '%Y-%m-%d %H:%M:%S') AS first_view,
+                   COALESCE(strftime(first_purchase, '%Y-%m-%d %H:%M:%S'),
+                            'never') AS first_purchase,
+                   first_purchase IS NOT NULL AS converted,
+                   COALESCE(epoch_us(first_purchase) - epoch_us(first_view),
+                            -1) AS us_to_convert
+            FROM conv
+        """,
+        "normalize_nfc": _curation_sql.sql_normalize_nfc(),
+        "length_quantiles": """
+            SELECT lang, n,
+                   round(q[1], 6) AS p25, round(q[2], 6) AS p50,
+                   round(q[3], 6) AS p90, round(q[4], 6) AS p99
+            FROM (
+                SELECT lang, count(*) AS n,
+                       quantile_cont(CAST(n_chars AS DOUBLE),
+                                     [0.25, 0.5, 0.9, 0.99]) AS q
+                FROM documents GROUP BY lang
+            )
+        """,
+        "kmeans_codebook": _ann_sql.sql_kmeans_centroids(k=8, n_iter=3),
         "link_degree": _graph_sql.sql_degree_stats(),
         "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
         "asof_join": _events_sql.sql_asof_join(

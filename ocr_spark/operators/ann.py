@@ -220,6 +220,14 @@ def ivf_assignments(emb: DataFrame) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    return assign_to_codebook(emb, codebook)
+
+
+def assign_to_codebook(emb: DataFrame, codebook) -> DataFrame:
+    """(vec_id, embedding, centroid): nearest codebook entry by
+    rounded cosine — one array expression per row (all centroid
+    cosines in one array, argmax positionally), zero shuffle, zero
+    blow-up.  ``codebook`` is a bounded list of (id, vector)."""
     coses = F.array(
         *[
             F.round(cosine_col(F.col("embedding"), _lit_array(cvec)), 6)
@@ -237,11 +245,100 @@ def ivf_assignments(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+# Rounding applied to every trained centroid component IN BOTH ENGINES
+# each iteration: partial-sum association order (numpy per-partition
+# sums merged on the driver vs DuckDB's sequential avg) differs in the
+# last float bits, and without per-iteration rounding that drift feeds
+# into the next assignment round and compounds.
+KMEANS_ROUND = 6
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = IVF_CENTROIDS, n_iter: int = 3
+) -> list:
+    """Lloyd's k-means over the embedding column — the trained
+    codebook the IVF probe should use instead of the first-k stand-in.
+
+    Spark shape per iteration (the MLlib KMeans pattern):
+
+    1. **Assign** — centroids are inlined as broadcast literals and
+       every row picks its argmax-cosine centroid in a single array
+       expression (``assign_to_codebook``): zero shuffle, zero row
+       blow-up.
+    2. **Partial-reduce** — ``mapInPandas`` computes per-batch
+       (centroid, count, component-sums) with one numpy matmul-free
+       groupby: the full corpus collapses to ≤ n_partitions × k tiny
+       rows before anything moves.
+    3. **Merge** — those bounded rows come to the driver (the same
+       justified collect as a trained-model broadcast) and new means
+       are computed and rounded to KMEANS_ROUND decimals.
+
+    Empty clusters keep their previous centroid.  Returns the codebook
+    as a sorted list of (centroid_id, vector).
+    """
+    import numpy as np
+    import pandas as pd
+
+    init = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # centroid ids are 0..k-1 in sorted-vec_id order
+    codebook = [(i, vec) for i, (_, vec) in enumerate(init)]
+    dim = len(codebook[0][1])
+
+    def partials(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            cents = b["centroid"].to_numpy()
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in b["embedding"]]
+            )
+            rows = []
+            for c in np.unique(cents):
+                sel = mat[cents == c]
+                rows.append((int(c), len(sel), sel.sum(axis=0).tolist()))
+            yield pd.DataFrame(rows, columns=["centroid", "n", "vsum"])
+
+    for _ in range(n_iter):
+        assigned = assign_to_codebook(emb, codebook).select(
+            "centroid", "embedding"
+        )
+        rows = assigned.mapInPandas(
+            partials, "centroid int, n bigint, vsum array<double>"
+        ).collect()
+        sums = {cid: (0, np.zeros(dim)) for cid, _ in codebook}
+        for r in sorted(rows, key=lambda r: r.centroid):
+            n0, v0 = sums[r.centroid]
+            sums[r.centroid] = (n0 + r.n, v0 + np.asarray(r.vsum))
+        codebook = [
+            (
+                cid,
+                np.round(v / n, KMEANS_ROUND).tolist() if n else prev,
+            )
+            for (cid, prev), (n, v) in (
+                (entry, sums[entry[0]]) for entry in codebook
+            )
+        ]
+    return codebook
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10, codebook=None
+) -> DataFrame:
     """Top-k by cosine among vectors in the query's IVF cell only.
     Returns (vec_id, cos_sim) — the approximate answer whose recall is
-    checked against the brute-force baseline in tests."""
-    assigned = ivf_assignments(emb)
+    checked against the brute-force baseline in tests.  Pass a
+    ``kmeans_train`` codebook to probe trained cells instead of the
+    first-k stand-in."""
+    assigned = (
+        assign_to_codebook(emb, codebook)
+        if codebook is not None
+        else ivf_assignments(emb)
+    )
     q = assigned.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec"), F.col("centroid").alias("qcentroid")
     )
@@ -443,6 +540,65 @@ def sql_topk_join(query_ids: List[int], k: int = 10) -> str:
         SELECT query_id, vec_id, round(cos_full, 4) AS cos_sim
         FROM scored WHERE rn <= {k}
     """
+
+
+def sql_kmeans_centroids(k: int = IVF_CENTROIDS, n_iter: int = 3) -> str:
+    """The same fixed Lloyd iterations as chained CTEs: assignment =
+    argmax rounded cosine (rn=1 ordered by cos DESC, centroid ASC —
+    the tie rule assign_to_codebook gets from array_position), new
+    centroid = per-position avg rounded to KMEANS_ROUND like the
+    Spark trainer.  Output: (centroid, pos, val) rows of the final
+    codebook."""
+
+    def assign(prev: str) -> str:
+        cos = _sql_cosine("e.embedding", "c.cvec")
+        return f"""(
+            SELECT vec_id, embedding, centroid FROM (
+                SELECT e.vec_id, e.embedding, c.centroid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({cos}, 6) DESC, c.centroid ASC
+                       ) AS rn
+                FROM e CROSS JOIN {prev} c)
+            WHERE rn = 1
+        )"""
+
+    def update(prev: str, asg: str) -> str:
+        return f"""(
+            SELECT p.centroid, COALESCE(m.cvec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN (
+                SELECT centroid,
+                       list(round(avgv, {KMEANS_ROUND}) ORDER BY pos) AS cvec
+                FROM (
+                    SELECT a.centroid, ii.pos, avg(a.embedding[ii.pos]) AS avgv
+                    FROM {asg} a,
+                         (SELECT unnest(range(1, {EMB_DIM + 1})) AS pos) ii
+                    GROUP BY a.centroid, ii.pos)
+                GROUP BY centroid
+            ) m ON p.centroid = m.centroid
+        )"""
+
+    parts = [
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding "
+        "FROM embeddings),",
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid,
+                   embedding AS cvec
+            FROM e WHERE vec_id < {k}
+        )""",
+    ]
+    for i in range(n_iter):
+        parts.append(f", a{i} AS {assign(f'c{i}')}")
+        parts.append(f", c{i + 1} AS {update(f'c{i}', f'a{i}')}")
+    parts.append(
+        f"""
+        SELECT c.centroid, ii.pos, c.cvec[ii.pos] AS val
+        FROM c{n_iter} c,
+             (SELECT unnest(range(1, {EMB_DIM + 1})) AS pos) ii
+        """
+    )
+    return "\n".join(parts)
 
 
 def sql_ivf_topk(query_vec_id: int = 0, k: int = 10) -> str:

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from typing import Iterable, List, Tuple
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -318,6 +320,67 @@ def pii_redact(
         ),
         redacted.alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC)
+# ---------------------------------------------------------------------------
+
+# Planted decomposed sequences (e + combining acute, A + combining
+# ring) — the synthetic corpus is ASCII, so without planting the
+# normalizer would be checked on a no-op.
+NON_NFC_SUFFIX = " cafe\u0301 A\u030a"  # rendered: " café Å"
+
+
+def plant_non_nfc_col(text: Column) -> Column:
+    return F.concat(text, F.lit(NON_NFC_SUFFIX))
+
+
+def sql_plant_non_nfc(text_expr: str = "text") -> str:
+    return f"({text_expr} || ' cafe' || chr(769) || ' A' || chr(778))"
+
+
+def normalize_nfc(
+    docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """NFC normalization — the canonical first step of a crawl text
+    pipeline (mixed decomposed/composed forms break exact dedup and
+    tokenization).  The Unicode composition tables are intrinsically
+    library code, so this is an Arrow-batched ``pandas_udf`` (the
+    accepted slow-path shape, like functions/parse.py); the oracle
+    checks it against DuckDB's INDEPENDENT utf8proc-based
+    ``nfc_normalize`` — two unrelated implementations agreeing on
+    bytes.  Emits char counts + digest, not the text, so the gated
+    rows stay narrow."""
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if t is not None
+            else None
+        )
+
+    planted = plant_non_nfc_col(F.col(text_col))
+    norm = _nfc(planted)
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.length(planted).alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_nfc"),
+        F.md5(F.encode(norm, "utf-8")).alias("digest"),
+    )
+
+
+def sql_normalize_nfc() -> str:
+    planted = sql_plant_non_nfc()
+    return f"""
+        SELECT doc_id,
+               length({planted}) AS n_chars_raw,
+               length(nfc_normalize({planted})) AS n_chars_nfc,
+               md5(nfc_normalize({planted})) AS digest
+        FROM documents
+    """
 
 
 # ---------------------------------------------------------------------------

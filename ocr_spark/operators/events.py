@@ -156,7 +156,7 @@ def sql_asof_join(
         )
         SELECT l.event_id, l.user_id,
                strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, l.value,
-               round(r.v, 6) AS asof_value
+               COALESCE(round(r.v, 6), CAST(-1.0 AS DOUBLE)) AS asof_value
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ts >= r.ts
     """

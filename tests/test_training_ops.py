@@ -815,3 +815,57 @@ def test_substring_dup_stats_exact_shared_run(spark):
     assert (out[1].dup_pos, out[1].total_pos) == (3, 23)
     assert (out[2].dup_pos, out[2].total_pos) == (3, 8)
     assert (out[3].dup_pos, out[3].dup_frac) == (0, 0.0)
+
+
+def test_kmeans_cost_decreases_and_is_deterministic(spark):
+    """Lloyd invariant: within-cluster cost is non-increasing across
+    iterations; same input -> bit-identical codebook."""
+    import numpy as np
+
+    from ocr_spark.operators import ann
+
+    emb = _emb(spark)
+    mats = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
+    norms = mats / np.linalg.norm(mats, axis=1, keepdims=True)
+
+    def cost(codebook):
+        c = np.array([v for _, v in codebook])
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        return float((1.0 - (norms @ c.T).max(axis=1)).sum())
+
+    costs = [
+        cost(ann.kmeans_train(emb, k=8, n_iter=i)) for i in range(1, 4)
+    ]
+    assert costs[2] <= costs[1] + 1e-9
+    assert costs[1] <= costs[0] + 1e-9
+    a = ann.kmeans_train(emb, k=8, n_iter=3)
+    b = ann.kmeans_train(emb, k=8, n_iter=3)
+    assert a == b
+
+
+def test_kmeans_trained_codebook_probe_works(spark):
+    """ivf_topk over a trained codebook still recalls most of the
+    brute-force top-10 from its single probed cell."""
+    from ocr_spark.operators import ann
+
+    emb = _emb(spark)
+    codebook = ann.kmeans_train(emb, k=8, n_iter=3)
+    approx = {
+        r.vec_id for r in ann.ivf_topk(emb, 0, 10, codebook=codebook).collect()
+    }
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    cand = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = ann.cosine_col(F.col("embedding"), F.col("qvec"))
+    exact = {
+        r.vec_id
+        for r in cand.select("vec_id", cos.alias("c"))
+        .orderBy(F.desc("c"))
+        .limit(10)
+        .collect()
+    }
+    assert len(approx & exact) >= 5
