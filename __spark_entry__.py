@@ -32,6 +32,7 @@ from ocr_spark.operators import cluster as _cluster_sql  # noqa: E402
 from ocr_spark.operators import dedup as _dedup_sql  # noqa: E402
 from ocr_spark.operators import events as _events_sql  # noqa: E402
 from ocr_spark.operators import graph as _graph_sql  # noqa: E402
+from ocr_spark.operators import webcorpus as _webcorpus_sql  # noqa: E402
 from ocr_spark.sources import wrap as _wrap_sql  # noqa: E402
 
 
@@ -1116,6 +1117,44 @@ def q_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (lowercase scheme/host, www + default-port
+    strip, tracker-param filter, fragment drop) — pure column
+    expressions over a deterministically-planted messy URL."""
+    from ocr_spark.operators.webcorpus import url_canon
+
+    return url_canon(_t(spark, sf_dir, "documents"))
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document quota: keep <= cap docs per host in
+    deterministic md5-hash order, two-stage salted rank so one hot
+    host can't serialize a reducer; the oracle states the equivalent
+    plain per-host rank."""
+    from ocr_spark.operators.webcorpus import host_cap
+
+    return host_cap(_t(spark, sf_dir, "documents"), cap=5)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag docs sharing any 8-word
+    gram with the synthetic eval set (every 101st doc); gram hashes are
+    60-bit bigints, eval side broadcast."""
+    from ocr_spark.operators.webcorpus import contamination
+
+    return contamination(_t(spark, sf_dir, "documents"))
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM mean surprisal per doc (CCNet-style LM filter):
+    model trained on half the corpus, top-4096 vocab broadcast, OOV
+    floor; per-word log-probs fixed to integer micro-nats so the
+    cross-engine sum is exact."""
+    from ocr_spark.operators.webcorpus import lm_score
+
+    return lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source/sink fidelity end-to-end: wrap docs as HTML pages,
     serialize into shard-grouped multi-record WARC blobs (the
@@ -1296,6 +1335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_nfc": q_normalize_nfc,
         "length_quantiles": q_length_quantiles,
         "kmeans_codebook": q_kmeans_codebook,
+        "url_canon": q_url_canon,
+        "host_cap": q_host_cap,
+        "contamination": q_contamination,
+        "lm_score": q_lm_score,
         "warc_roundtrip": q_warc_roundtrip,
         "link_degree": q_link_degree,
         "link_pagerank": q_link_pagerank,
@@ -1685,6 +1728,10 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "kmeans_codebook": _ann_sql.sql_kmeans_centroids(k=8, n_iter=3),
+        "url_canon": _webcorpus_sql.sql_url_canon(),
+        "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
+        "contamination": _webcorpus_sql.sql_contamination(),
+        "lm_score": _webcorpus_sql.sql_lm_score(),
         "link_degree": _graph_sql.sql_degree_stats(),
         "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
         "asof_join": _events_sql.sql_asof_join(

@@ -1,0 +1,484 @@
+"""Web-corpus governance ops — the URL/host/eval-set hygiene stages a
+crawl-scale training pipeline runs between extraction and tokenization:
+URL canonicalization, per-host document quotas, benchmark-contamination
+screening, and unigram-LM quality scoring.
+
+The reference (an OCR task-queue web app) has none of these; they are
+standard web-corpus practice (RefinedWeb's URL dedup + host caps,
+Lee et al.'s eval-decontamination, CCNet's LM filtering) built entirely
+from Spark built-ins so everything stays JVM-side and codegen'd, each
+with a DuckDB SQL mirror generated from the same constants for the
+driver's oracle gate.
+
+Scale notes per op:
+
+* ``url_canon`` — pure per-row column expressions (regexp parse +
+  higher-order list filter); free at any scale.
+* ``host_cap`` — two-stage ranking: a salted per-(host, salt) partial
+  ``row_number`` prunes every salt-slice to the cap BEFORE the global
+  per-host rank, so a monster host (crawls are Zipf over hosts) puts at
+  most cap x n_salts rows through the final per-host sort instead of
+  its entire corpus slice.  Stage 1 is safe: a row's global rank is >=
+  its salt-local rank, so nothing beyond the cap survives stage 1 that
+  stage 2 would have kept.
+* ``contamination`` — the eval set is small by nature (benchmarks are
+  thousands of docs, not billions), so its distinct gram hashes
+  broadcast; the corpus side is one explode + one map-side-combined
+  groupBy, and every shuffled row is an 8-byte gram hash, never text.
+* ``lm_score`` — the vocabulary is truncated to top-V words (OOV floor
+  handles the tail), so the trained model broadcasts and scoring is a
+  broadcast join + one per-doc aggregation; the corpus never shuffles
+  words except for the one vocabulary count.  Log-probabilities are
+  fixed to integer micro-nats per word (round(-ln p * 1e6)) so the
+  cross-engine sum is exact bigint arithmetic, not float association.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import _hash60, shingles_col, sql_shingles
+
+# ---------------------------------------------------------------------------
+# T43 — URL canonicalization
+# ---------------------------------------------------------------------------
+
+# One RFC-3986-ish split; group 1 scheme, 2 authority, 3 path,
+# 4 ?query, 5 #fragment.  No lookaround/backrefs: valid in BOTH Java
+# regex (Spark) and RE2 (DuckDB).
+_URL_RE = r"^([^:]+)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+# Tracking params stripped during canonicalization (find-anywhere
+# anchored at start in both engines).
+_TRACKER_RE = r"^(utm_|fbclid|gclid)"
+
+
+def plant_url_col(doc_id: Column, source: Column) -> Column:
+    """Deterministic messy URL per doc — the synthetic corpus has no
+    url column, so one is constructed (mixed-case scheme/host, www
+    prefixes, default and non-default ports, tracker params, fragments)
+    keyed on doc_id so every canonicalization branch gets real work.
+    The DuckDB mirror builds the identical string."""
+    scheme = F.when(doc_id % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    hostmid = F.when(doc_id % 3 == 0, F.upper(source)).otherwise(source)
+    www = F.when(doc_id % 5 == 0, F.lit("")).otherwise(F.lit("WWW."))
+    port = (
+        F.when(doc_id % 4 == 0, F.lit(":80"))
+        .when(doc_id % 4 == 1, F.lit(":443"))
+        .when(doc_id % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(doc_id % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/Articles/"), doc_id.cast("string"))
+    )
+    query = F.when(doc_id % 6 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("?utm_source=feed&id="),
+            (doc_id % 97).cast("string"),
+            F.lit("&fbclid=x"),
+            doc_id.cast("string"),
+            F.lit("&ref="),
+            source,
+        )
+    )
+    frag = F.when(doc_id % 2 == 1, F.concat(F.lit("#sec-"), (doc_id % 5).cast("string"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(
+        scheme, F.lit("://"), www, hostmid, F.lit(".com"), port, path, query, frag
+    )
+
+
+def sql_plant_url(doc_id: str = "doc_id", source: str = "source") -> str:
+    return f"""(
+        CASE WHEN {doc_id} % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://'
+        || CASE WHEN {doc_id} % 5 = 0 THEN '' ELSE 'WWW.' END
+        || CASE WHEN {doc_id} % 3 = 0 THEN upper({source}) ELSE {source} END
+        || '.com'
+        || CASE {doc_id} % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                             WHEN 2 THEN ':8080' ELSE '' END
+        || CASE WHEN {doc_id} % 7 = 0 THEN ''
+                ELSE '/Articles/' || CAST({doc_id} AS VARCHAR) END
+        || CASE WHEN {doc_id} % 6 = 0 THEN ''
+                ELSE '?utm_source=feed&id=' || CAST({doc_id} % 97 AS VARCHAR)
+                     || '&fbclid=x' || CAST({doc_id} AS VARCHAR)
+                     || '&ref=' || {source} END
+        || CASE WHEN {doc_id} % 2 = 1
+                THEN '#sec-' || CAST({doc_id} % 5 AS VARCHAR) ELSE '' END
+    )"""
+
+
+def canonicalize_url(url: Column) -> dict:
+    """Canonical form of a URL, all column expressions:
+    lowercase scheme+host, strip ``www.``, drop the default port for
+    the scheme, empty path -> ``/``, strip tracking params (utm_*,
+    fbclid, gclid) preserving the order of the rest, drop the
+    fragment.  Returns {'canon_url', 'host', 'n_params_stripped'}."""
+    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    authority = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    path_raw = F.regexp_extract(url, _URL_RE, 3)
+    qs = F.regexp_extract(url, _URL_RE, 4)
+
+    host = F.regexp_replace(
+        F.regexp_extract(authority, r"^([^:]+)", 1), r"^www\.", ""
+    )
+    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    default_port = (
+        (scheme == "http") & (port == "80")
+        | (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+
+    raw_params = F.when(qs == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.substring(qs, 2, 1 << 20), "&")
+    )
+    kept = F.filter(
+        raw_params, lambda p: (p != "") & ~p.rlike(_TRACKER_RE)
+    )
+    q_part = F.when(F.size(kept) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(kept, "&"))
+    )
+
+    return {
+        "canon_url": F.concat(
+            scheme, F.lit("://"), host, port_part, path, q_part
+        ),
+        "host": host,
+        "n_params_stripped": (F.size(raw_params) - F.size(kept)).cast("bigint"),
+    }
+
+
+def url_canon(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url_raw, canon_url, host, n_params_stripped) — plant a
+    messy URL and canonicalize it, per row."""
+    url = plant_url_col(F.col(key_col), F.col("source"))
+    parts = canonicalize_url(url)
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        url.alias("url_raw"),
+        parts["canon_url"].alias("canon_url"),
+        parts["host"].alias("host"),
+        parts["n_params_stripped"].alias("n_params_stripped"),
+    )
+
+
+def sql_url_canon() -> str:
+    url = sql_plant_url()
+    # DuckDB regexp_extract(s, re, group); RE2 semantics.
+    re = _URL_RE.replace("\\", "\\\\").replace("'", "''")
+    # NB: keep these expressions textually parallel to canonicalize_url.
+    return f"""
+        WITH u AS (SELECT doc_id, {url} AS url FROM documents),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '{re}', 1)) AS scheme,
+                   lower(regexp_extract(url, '{re}', 2)) AS authority,
+                   regexp_extract(url, '{re}', 3) AS path_raw,
+                   regexp_extract(url, '{re}', 4) AS qs
+            FROM u
+        ),
+        comp AS (
+            SELECT doc_id, url, scheme, qs,
+                   regexp_replace(regexp_extract(authority, '^([^:]+)', 1),
+                                  '^www\\.', '') AS host,
+                   regexp_extract(authority, ':([0-9]+)$', 1) AS port,
+                   CASE WHEN path_raw = '' THEN '/' ELSE path_raw END AS path,
+                   CASE WHEN qs = '' THEN []
+                        ELSE string_split(substr(qs, 2), '&') END AS raw_params
+            FROM parts
+        ),
+        fin AS (
+            SELECT doc_id, url, scheme, host, path,
+                   CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                             OR (scheme = 'https' AND port = '443')
+                        THEN '' ELSE ':' || port END AS port_part,
+                   list_filter(raw_params,
+                               p -> p <> '' AND NOT regexp_matches(p, '{_TRACKER_RE}'))
+                       AS kept,
+                   len(raw_params) AS n_raw
+            FROM comp
+        )
+        SELECT doc_id, url AS url_raw,
+               scheme || '://' || host || port_part || path ||
+               CASE WHEN len(kept) = 0 THEN ''
+                    ELSE '?' || array_to_string(kept, '&') END AS canon_url,
+               host,
+               CAST(n_raw - len(kept) AS BIGINT) AS n_params_stripped
+        FROM fin
+    """
+
+
+# ---------------------------------------------------------------------------
+# T44 — per-host document quota (RefinedWeb-style host caps)
+# ---------------------------------------------------------------------------
+
+HOST_CAP = 20
+HOST_CAP_SALTS = 16
+
+
+def host_cap(
+    docs: DataFrame,
+    cap: int = HOST_CAP,
+    host_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` docs per host, chosen by a deterministic
+    md5 hash order (uniform, reproducible across engines and cluster
+    sizes — unlike rand()).  Emits the kept rows with their rank.
+
+    Two-stage rank so one Zipf-hot host can't serialize a reducer:
+    stage 1 ranks within (host, salt) and discards beyond the cap —
+    correct because a row's global in-host rank is >= its salt-local
+    rank — leaving <= cap x n_salts rows per host for the global
+    stage-2 rank."""
+    from pyspark.sql import Window
+
+    ordv = F.md5(
+        F.concat(F.col(host_col), F.lit("#"), F.col(key_col).cast("string"))
+    )
+    salt = F.col(key_col) % HOST_CAP_SALTS
+    w1 = (
+        Window.partitionBy(F.col(host_col), salt)
+        .orderBy(ordv.asc(), F.col(key_col).asc())
+    )
+    pruned = (
+        docs.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= cap)
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(ordv.asc(), F.col(key_col).asc())
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rnk") <= cap)
+        .select(F.col(key_col).alias("doc_id"), F.col(host_col).alias("host"), "rnk")
+    )
+
+
+def sql_host_cap(cap: int = HOST_CAP) -> str:
+    # The salt prefilter is a physical optimization only; the result
+    # equals the plain per-host rank, which is what the oracle states.
+    return f"""
+        SELECT doc_id, host, rnk FROM (
+            SELECT doc_id, source AS host,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(source || '#' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS BIGINT) AS rnk
+            FROM documents)
+        WHERE rnk <= {cap}
+    """
+
+
+# ---------------------------------------------------------------------------
+# T45 — benchmark-contamination screen (Lee et al.-style n-gram overlap)
+# ---------------------------------------------------------------------------
+
+CONTAM_K = 8  # words per gram
+EVAL_MOD = 101  # doc_id % EVAL_MOD == 0 -> member of the "benchmark"
+
+
+def contamination(
+    docs: DataFrame,
+    k: int = CONTAM_K,
+    eval_mod: int = EVAL_MOD,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus docs sharing any k-word gram with the eval set
+    (here: every ``eval_mod``-th doc stands in for a benchmark).
+    Emits (doc_id, in_eval, n_shared, contaminated) for every doc.
+
+    Scale shape: gram hashes are 60-bit bigints (8 bytes through every
+    shuffle, never text); the eval side is distinct + broadcast (real
+    benchmarks are tiny next to the corpus); the corpus side is one
+    explode + map-side-combined distinct count."""
+    grams = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(shingles_col(F.col(text_col), k))
+        ).alias("s"),
+    ).select("doc_id", _hash60(F.col("s")).alias("g"))
+
+    eval_grams = (
+        grams.filter(F.col("doc_id") % eval_mod == 0).select("g").distinct()
+    )
+    shared = (
+        grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )
+    return (
+        docs.select(
+            F.col(key_col).alias("doc_id"),
+            (F.col(key_col) % eval_mod == 0).alias("in_eval"),
+        )
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "in_eval",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sql_contamination(k: int = CONTAM_K, eval_mod: int = EVAL_MOD) -> str:
+    sh = sql_shingles("text", k)
+    return f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS g
+            FROM (SELECT doc_id, unnest(list_distinct({sh})) AS s
+                  FROM documents)
+        ),
+        eval_grams AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % {eval_mod} = 0
+        ),
+        shared AS (
+            SELECT doc_id, count(DISTINCT grams.g) AS n_shared
+            FROM grams JOIN eval_grams ON grams.g = eval_grams.g
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               d.doc_id % {eval_mod} = 0 AS in_eval,
+               CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+               COALESCE(s.n_shared, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# T46 — unigram-LM quality score (CCNet-style LM filtering, unigram model)
+# ---------------------------------------------------------------------------
+
+LM_VOCAB = 4096
+LM_TRAIN_MOD = 2  # train on doc_id % 2 == 0, score everything
+
+# Per-word log-probs are fixed to integer micro-nats BEFORE summing:
+# round(-ln(p) * 1e6) as BIGINT.  The cross-engine doc score is then an
+# exact integer sum divided once — no float-association drift between
+# Spark's partial aggregation and DuckDB's sequential sum.  (Java
+# Math.log and libm log can disagree in the last ulp; at 1e-6
+# granularity a flip needs the true value within ~1 ulp of a rounding
+# boundary — negligible, and a mismatch would surface in the oracle
+# gate immediately.)
+_LP_SCALE = 1_000_000
+
+
+def _lp_col(p: Column) -> Column:
+    return F.round(-F.log(p) * _LP_SCALE).cast("bigint")
+
+
+def lm_score(
+    docs: DataFrame,
+    v: int = LM_VOCAB,
+    train_mod: int = LM_TRAIN_MOD,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc mean unigram surprisal in nats under a model trained on
+    half the corpus, truncated to the top-``v`` words; out-of-vocab
+    words get a 0.5/T floor.  Low score = stereotyped/common text,
+    high = rare/noisy — the CCNet filtering signal, unigram-order.
+
+    Emits (doc_id, n_words, n_oov, score)."""
+    from ocr_spark.operators.corpus_ops import _words
+
+    train_words = (
+        docs.filter(F.col(key_col) % train_mod == 0)
+        .select(F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tot = train_words.agg(F.count(F.lit(1)).alias("T"))
+    vocab = (
+        train_words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(v)
+    )
+    # trained model: bounded (<= v rows) -> broadcast to the scorers
+    model = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        _lp_col(F.col("n").cast("double") / F.col("T").cast("double")).alias(
+            "lp"
+        ),
+    )
+    oov = tot.select(
+        _lp_col(F.lit(0.5) / F.col("T").cast("double")).alias("oov_lp")
+    )
+
+    doc_words = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    scored = (
+        doc_words.join(F.broadcast(model), "word", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("lp").isNull().cast("bigint")).alias("n_oov"),
+            F.sum(F.coalesce("lp", "oov_lp")).alias("lp_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_oov",
+        F.round(
+            F.col("lp_sum").cast("double")
+            / (F.lit(float(_LP_SCALE)) * F.col("n_words").cast("double")),
+            6,
+        ).alias("score"),
+    )
+
+
+def sql_lm_score(v: int = LM_VOCAB, train_mod: int = LM_TRAIN_MOD) -> str:
+    from ocr_spark.operators.corpus_ops import _sql_words
+
+    w = _sql_words("text")
+    return f"""
+        WITH train_words AS (
+            SELECT w AS word FROM (
+                SELECT unnest({w}) AS w FROM documents
+                WHERE doc_id % {train_mod} = 0)
+            WHERE w <> ''
+        ),
+        tot AS (SELECT count(*) AS T FROM train_words),
+        vocab AS (
+            SELECT word, count(*) AS n FROM train_words
+            GROUP BY word ORDER BY n DESC, word ASC LIMIT {v}
+        ),
+        model AS (
+            SELECT word,
+                   CAST(round(-ln(CAST(n AS DOUBLE) / CAST(T AS DOUBLE))
+                              * {_LP_SCALE}) AS BIGINT) AS lp
+            FROM vocab CROSS JOIN tot
+        ),
+        oov AS (
+            SELECT CAST(round(-ln(0.5 / CAST(T AS DOUBLE))
+                              * {_LP_SCALE}) AS BIGINT) AS oov_lp
+            FROM tot
+        ),
+        doc_words AS (
+            SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE w <> ''
+        )
+        SELECT doc_id,
+               count(*) AS n_words,
+               CAST(sum(CASE WHEN m.lp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               round(CAST(sum(COALESCE(m.lp, o.oov_lp)) AS DOUBLE)
+                     / ({_LP_SCALE}.0 * count(*)), 6) AS score
+        FROM doc_words d
+        LEFT JOIN model m ON d.word = m.word
+        CROSS JOIN oov o
+        GROUP BY doc_id
+    """

@@ -1,0 +1,185 @@
+"""Web-corpus governance ops (operators/webcorpus.py): URL
+canonicalization, per-host quotas, contamination screening, unigram-LM
+scoring.  Cross-engine value parity is the driver's oracle gate
+(test_entry_contract covers the new queries automatically); these tests
+pin the operator-level contracts and the scale-shape claims."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import webcorpus as wc
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        if _HAS_TESTDATA
+        else None
+    )
+
+
+import os
+
+_HAS_TESTDATA = os.path.exists("/root/testdata/sf0.001/documents.parquet")
+pytestmark = pytest.mark.skipif(
+    not _HAS_TESTDATA, reason="driver testdata not present"
+)
+
+
+# ---------------------------------------------------------------------------
+# T43 url_canon
+# ---------------------------------------------------------------------------
+
+
+def test_url_canon_branch_cases(spark):
+    """Every canonicalization rule on handcrafted URLs."""
+    rows = [
+        # (url, expected canon)
+        ("HTTP://WWW.Ex.COM:80/a?utm_source=x&id=2#f", "http://ex.com/a?id=2"),
+        ("https://Ex.com:443/", "https://ex.com/"),
+        ("https://ex.com:8080", "https://ex.com:8080/"),  # non-default port, empty path
+        ("http://www.ex.com/p?fbclid=1&gclid=2&utm_a=3", "http://ex.com/p"),
+        ("http://ex.com/p?a=1&b=2", "http://ex.com/p?a=1&b=2"),
+        ("HTTPS://ex.com:80/p", "https://ex.com:80/p"),  # 80 not default for https
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    parts = wc.canonicalize_url(F.col("url"))
+    got = [
+        r.c for r in df.select(parts["canon_url"].alias("c")).collect()
+    ]
+    assert got == [c for _, c in rows]
+
+
+def test_url_canon_param_order_preserved(spark):
+    df = spark.createDataFrame(
+        [("http://e.com/p?z=1&utm_x=0&a=2",)], "url string"
+    )
+    parts = wc.canonicalize_url(F.col("url"))
+    out = df.select(
+        parts["canon_url"].alias("c"), parts["n_params_stripped"].alias("n")
+    ).collect()[0]
+    assert out.c == "http://e.com/p?z=1&a=2"  # relative order kept
+    assert out.n == 1
+
+
+def test_url_canon_no_python_in_plan(spark):
+    """Pure column expressions: no Python/Arrow eval nodes."""
+    out = wc.url_canon(_docs(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# T44 host_cap
+# ---------------------------------------------------------------------------
+
+
+def test_host_cap_bounds_and_determinism(spark):
+    docs = _docs(spark)
+    out = wc.host_cap(docs, cap=3)
+    per_host = (
+        out.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert per_host and all(r.n <= 3 for r in per_host)
+    a = sorted((r.doc_id, r.host, r.rnk) for r in out.collect())
+    b = sorted((r.doc_id, r.host, r.rnk) for r in wc.host_cap(docs, cap=3).collect())
+    assert a == b
+
+
+def test_host_cap_two_stage_equals_plain_rank(spark):
+    """The salted stage-1 prune is a physical optimization only: the
+    result must equal the plain per-host row_number rank."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark)
+    ordv = F.md5(
+        F.concat(F.col("source"), F.lit("#"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(ordv.asc(), F.col("doc_id").asc())
+    plain = (
+        docs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("source").alias("host"), "rnk")
+    )
+    got = sorted(map(tuple, wc.host_cap(docs, cap=3).collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# T45 contamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_eval_docs_flagged_and_planted_copy_caught(spark):
+    docs = _docs(spark)
+    # plant a non-eval doc that copies an eval doc's text verbatim
+    ev = docs.filter(F.col("doc_id") % wc.EVAL_MOD == 0).limit(1)
+    copied = ev.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = wc.contamination(docs.unionByName(copied))
+    rows = {r.doc_id: r for r in out.collect()}
+    planted = [d for d in rows if d >= 1_000_000][0]
+    assert rows[planted].contaminated and not rows[planted].in_eval
+    # every eval doc trivially shares its own grams
+    assert all(r.contaminated for r in rows.values() if r.in_eval)
+    # output covers every input doc exactly once
+    assert len(rows) == docs.count() + 1
+
+
+def test_contamination_eval_side_broadcast(spark):
+    plan = (
+        wc.contamination(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# T46 lm_score
+# ---------------------------------------------------------------------------
+
+
+def test_lm_score_common_text_scores_lower(spark):
+    """A doc of the corpus's most common words must score lower (less
+    surprising) than a doc of words the model never saw."""
+    docs = _docs(spark)
+    vocab_top = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"))
+        .limit(3)
+        .collect()
+    )
+    common = " ".join(r.w for r in vocab_top for _ in range(10))
+    planted = spark.createDataFrame(
+        [
+            (2_000_001, common, "en", "planted", len(common)),
+            (2_000_003, "zzqx9 vvkk7 qqpp3 " * 10, "en", "planted", 54),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = wc.lm_score(docs.unionByName(planted))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[2_000_001].score < rows[2_000_003].score
+    assert rows[2_000_001].n_oov == 0
+    assert rows[2_000_003].n_oov == rows[2_000_003].n_words
+
+
+def test_lm_score_model_is_broadcast(spark):
+    plan = (
+        wc.lm_score(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
