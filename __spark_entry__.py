@@ -33,6 +33,7 @@ from ocr_spark.operators import dedup as _dedup_sql  # noqa: E402
 from ocr_spark.operators import events as _events_sql  # noqa: E402
 from ocr_spark.operators import graph as _graph_sql  # noqa: E402
 from ocr_spark.operators import webcorpus as _webcorpus_sql  # noqa: E402
+from ocr_spark.streaming import metrics as _stream_metrics_sql  # noqa: E402
 from ocr_spark.sources import wrap as _wrap_sql  # noqa: E402
 
 
@@ -1117,6 +1118,35 @@ def q_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per doc; idf fixed to integer micro-nats
+    so score ranking and values are exact bigint math cross-engine."""
+    from ocr_spark.operators.webcorpus import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"))
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization as a NATIVE streaming operator
+    (session_window + watermark): per-key sessions merge in the state
+    store, so a continuous ingest needs one open session per active
+    key, not the key's history.  Exclusive-end boundary (an event
+    exactly gap later starts a new session); the oracle states the
+    same >= rule in batch SQL."""
+    import os
+
+    from ocr_spark.streaming.metrics import (
+        run_stream_to_memory,
+        session_window_stream,
+    )
+
+    return run_stream_to_memory(
+        session_window_stream(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+    )
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (lowercase scheme/host, www + default-port
     strip, tracker-param filter, fragment drop) — pure column
@@ -1335,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_nfc": q_normalize_nfc,
         "length_quantiles": q_length_quantiles,
         "kmeans_codebook": q_kmeans_codebook,
+        "stream_sessions": q_stream_sessions,
+        "tfidf_keywords": q_tfidf_keywords,
         "url_canon": q_url_canon,
         "host_cap": q_host_cap,
         "contamination": q_contamination,
@@ -1728,6 +1760,8 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "kmeans_codebook": _ann_sql.sql_kmeans_centroids(k=8, n_iter=3),
+        "stream_sessions": _stream_metrics_sql.sql_session_window(),
+        "tfidf_keywords": _webcorpus_sql.sql_tfidf_keywords(),
         "url_canon": _webcorpus_sql.sql_url_canon(),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),

@@ -89,6 +89,10 @@ HEADLINE_QUERIES = [
     "repetition_stats",
     "quality_score",
     "latest_per_key",
+    "contamination",
+    "lm_score",
+    "tfidf_keywords",
+    "host_cap",
 ]
 
 

@@ -439,6 +439,111 @@ def lm_score(
     )
 
 
+# ---------------------------------------------------------------------------
+# T47 — TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    topk: int = TFIDF_TOPK,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``topk`` keywords per doc by tf-idf.  idf is fixed to
+    integer micro-nats per word — round(ln(N/df) * 1e6) as BIGINT — so
+    the per-word score tf x idf is exact bigint arithmetic and ranking
+    ties are engine-independent (score desc, word asc).
+
+    Scale shape: one shuffle for (doc, word) tf counts (map-side
+    combine collapses each partition's repeats first), one word-keyed
+    agg for df, a 1:n join back on word (the Zipf-hot common words are
+    exactly the low-idf ones, and the build side is one row per word),
+    then a per-doc top-k window.  No floats until the final display
+    division.  Emits (doc_id, rnk, word, score)."""
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.corpus_ops import _words
+
+    dw = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = dw.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).alias("N")
+    )
+    idf = df_t.crossJoin(F.broadcast(n_docs)).select(
+        "word",
+        F.round(
+            F.log(F.col("N").cast("double") / F.col("df").cast("double"))
+            * _LP_SCALE
+        )
+        .cast("bigint")
+        .alias("idf_u"),
+    )
+    scored = tf.join(idf, "word").select(
+        "doc_id",
+        "word",
+        (F.col("tf") * F.col("idf_u")).alias("score_u"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_u"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "doc_id",
+            "rnk",
+            "word",
+            F.round(F.col("score_u").cast("double") / _LP_SCALE, 6).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def sql_tfidf_keywords(topk: int = TFIDF_TOPK) -> str:
+    from ocr_spark.operators.corpus_ops import _sql_words
+
+    w = _sql_words("text")
+    return f"""
+        WITH dw AS (
+            SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE w <> ''
+        ),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM dw GROUP BY doc_id, word
+        ),
+        idf AS (
+            SELECT word,
+                   CAST(round(ln(CAST((SELECT count(*) FROM documents)
+                                      AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                              * {_LP_SCALE}) AS BIGINT) AS idf_u
+            FROM tf GROUP BY word
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.word, tf.tf * idf.idf_u AS score_u
+            FROM tf JOIN idf ON tf.word = idf.word
+        )
+        SELECT doc_id, rnk, word,
+               round(CAST(score_u AS DOUBLE) / {_LP_SCALE}, 6) AS score
+        FROM (
+            SELECT doc_id, word, score_u,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_u DESC, word ASC) AS BIGINT) AS rnk
+            FROM scored)
+        WHERE rnk <= {topk}
+    """
+
+
 def sql_lm_score(v: int = LM_VOCAB, train_mod: int = LM_TRAIN_MOD) -> str:
     from ocr_spark.operators.corpus_ops import _sql_words
 

@@ -96,6 +96,88 @@ def lineage_rates_stream(
     )
 
 
+SESSION_GAP_MIN = 30
+
+
+def session_window_stream(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = SESSION_GAP_MIN,
+) -> DataFrame:
+    """Gap sessionization as a NATIVE streaming operator: Spark's
+    ``session_window`` merges per-key sessions inside the state store,
+    so a continuous ingest emits finalized sessions as the watermark
+    passes them — the streaming twin of the batch ``events.sessionize``
+    (T38), which needs the whole history per key.
+
+    Boundary semantics match the batch op: Spark merges an event into
+    the open session when it is at most ``gap`` after the previous
+    event (inclusive — an event exactly ``gap`` later still merges;
+    empirically pinned by a test), i.e. a new session starts only when
+    the gap is strictly greater.  Session end = last event + gap.
+
+    State is one open session per active key, evicted at the
+    watermark — bounded regardless of history length."""
+    stream = _file_stream(spark, events_path, EVENTS_SCHEMA)
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            # window end = last event + gap (exclusive)
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sql_session_window(gap_minutes: int = SESSION_GAP_MIN) -> str:
+    """Batch restatement of the streaming session-window semantics:
+    islands split where the gap is STRICTLY greater than
+    ``gap_minutes`` (an exact-gap event merges — pinned by
+    test_session_window_exact_gap_merges), session_end = max(ts) + gap."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {gap_us}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        ids AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM tagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL {gap_minutes} MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM ids
+        GROUP BY user_id, sid
+    """
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str | None = None) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into an
     in-memory sink; return the finished result as a batch DataFrame.

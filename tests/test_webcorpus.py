@@ -183,3 +183,68 @@ def test_lm_score_model_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# T47 tfidf_keywords
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_distinctive_word_wins(spark):
+    """A word unique to one doc (max idf) repeated enough times must
+    be that doc's top keyword."""
+    docs = _docs(spark)
+    planted_text = "xqzunique " * 5 + "the common words appear here"
+    planted = spark.createDataFrame(
+        [(3_000_001, planted_text, "en", "planted", len(planted_text))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = wc.tfidf_keywords(docs.unionByName(planted))
+    top = {
+        r.rnk: r.word
+        for r in out.filter(F.col("doc_id") == 3_000_001).collect()
+    }
+    assert top[1] == "xqzunique"
+    # every doc gets at most topk rows, ranks contiguous from 1
+    counts = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rnk").alias("m")
+    )
+    bad = counts.filter(
+        (F.col("n") > wc.TFIDF_TOPK) | (F.col("n") != F.col("m"))
+    ).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming session_window boundary semantics
+# ---------------------------------------------------------------------------
+
+
+def test_session_window_exact_gap_merges(spark, tmp_path):
+    """Boundary pin: an event exactly `gap` after the previous one
+    MERGES into the session (Spark's inclusive rule — the oracle's
+    `> gap` split mirrors this); one microsecond beyond splits."""
+    import datetime as dt
+
+    from ocr_spark.streaming.metrics import (
+        run_stream_to_memory,
+        session_window_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(minutes=30)
+    rows = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + gap, 7, "view", 1.0, "{}"),  # exactly gap -> merges
+        (3, t0 + 2 * gap + dt.timedelta(microseconds=1), 7, "view", 1.0, "{}"),
+    ]
+    path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    out = run_stream_to_memory(
+        session_window_stream(spark, path, gap_minutes=30)
+    ).collect()
+    assert sorted(r.n_events for r in out) == [1, 2]
