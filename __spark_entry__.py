@@ -1118,6 +1118,17 @@ def q_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: per-subspace k-means codebooks (the
+    distributed Lloyd trainer per slice) + one-projection encoding —
+    (vec_id, sub, code, sub_cos).  64 dims -> 4 bytes per vector at
+    the defaults; the oracle replays training and encoding as CTEs."""
+    from ocr_spark.operators.ann import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, pq_train(emb))
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf keywords per doc; idf fixed to integer micro-nats
     so score ranking and values are exact bigint math cross-engine."""
@@ -1366,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "kmeans_codebook": q_kmeans_codebook,
         "stream_sessions": q_stream_sessions,
+        "pq_codes": q_pq_codes,
         "tfidf_keywords": q_tfidf_keywords,
         "url_canon": q_url_canon,
         "host_cap": q_host_cap,
@@ -1762,6 +1774,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_codebook": _ann_sql.sql_kmeans_centroids(k=8, n_iter=3),
         "stream_sessions": _stream_metrics_sql.sql_session_window(),
         "tfidf_keywords": _webcorpus_sql.sql_tfidf_keywords(),
+        "pq_codes": _ann_sql.sql_pq_codes(),
         "url_canon": _webcorpus_sql.sql_url_canon(),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),

@@ -459,19 +459,19 @@ def _sql_dot(vec_expr: str, lit_list: str) -> str:
     )
 
 
-def _sql_dot_cols(a_expr: str, b_expr: str) -> str:
+def _sql_dot_cols(a_expr: str, b_expr: str, dim: int = EMB_DIM) -> str:
     return (
-        f"list_reduce(list_prepend(0.0, list_transform(range(1, {EMB_DIM + 1}), "
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
         f"i -> CAST(({a_expr})[i] AS DOUBLE) * CAST(({b_expr})[i] AS DOUBLE))), "
         "(acc, x) -> acc + x)"
     )
 
 
-def _sql_cosine(a_expr: str, b_expr: str) -> str:
+def _sql_cosine(a_expr: str, b_expr: str, dim: int = EMB_DIM) -> str:
     return (
-        f"({_sql_dot_cols(a_expr, b_expr)} / "
-        f"(sqrt({_sql_dot_cols(a_expr, a_expr)}) * "
-        f"sqrt({_sql_dot_cols(b_expr, b_expr)})))"
+        f"({_sql_dot_cols(a_expr, b_expr, dim)} / "
+        f"(sqrt({_sql_dot_cols(a_expr, a_expr, dim)}) * "
+        f"sqrt({_sql_dot_cols(b_expr, b_expr, dim)})))"
     )
 
 
@@ -627,3 +627,150 @@ def sql_ivf_topk(query_vec_id: int = 0, k: int = 10) -> str:
         WHERE a.centroid = q.qcentroid AND a.vec_id <> {query_vec_id}
         ORDER BY cos_sim DESC, a.vec_id ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# T49 — product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codes per subspace
+PQ_ITER = 2  # Lloyd rounds per sub-codebook
+
+
+def pq_train(
+    emb: DataFrame, m: int = PQ_M, k: int = PQ_K, n_iter: int = PQ_ITER
+) -> List[list]:
+    """Train one k-means codebook per embedding subspace (Jegou et al.
+    2011): slice the vector into ``m`` contiguous blocks and run the
+    same distributed Lloyd trainer (``kmeans_train``) on each.  A
+    64-dim vector compresses to m log2(k) bits = 4 bytes at the
+    defaults — the standard memory-bound ANN layout at 10^12 rows.
+
+    Each subspace training is the kmeans_train shape: zero-shuffle
+    literal-broadcast assignment, mapInPandas partial sums, bounded
+    driver merge.  Returns a list of m codebooks."""
+    d = EMB_DIM // m
+    return [
+        kmeans_train(
+            emb.select(
+                "vec_id", F.slice("embedding", s * d + 1, d).alias("embedding")
+            ),
+            k=k,
+            n_iter=n_iter,
+        )
+        for s in range(m)
+    ]
+
+
+def pq_encode(emb: DataFrame, codebooks: List[list]) -> DataFrame:
+    """(vec_id, sub, code, sub_cos): each vector's per-subspace nearest
+    code (argmax rounded cosine, ties to the lowest code id) plus the
+    achieved cosine — the PQ quantization-quality signal.
+
+    All m assignments happen in ONE projection: the codebooks are
+    inlined literals, the argmax is an array expression per subspace,
+    and the (sub, code) rows come from exploding an in-row struct
+    array — zero shuffle, zero join, nothing leaves the row until the
+    explode."""
+    m = len(codebooks)
+    d = EMB_DIM // m
+    structs = []
+    for s, book in enumerate(codebooks):
+        sub = F.transform(
+            F.slice(F.col("embedding"), s * d + 1, d),
+            lambda x: x.cast("double"),
+        )
+        coses = F.array(
+            *[F.round(cosine_col(sub, _lit_array(v)), 6) for _, v in book]
+        )
+        ids = F.array(*[F.lit(int(c)) for c, _ in book])
+        pos = F.array_position(coses, F.array_max(coses)).cast("int")
+        structs.append(
+            F.struct(
+                F.lit(s).cast("bigint").alias("sub"),
+                F.element_at(ids, pos).cast("bigint").alias("code"),
+                F.element_at(coses, pos).alias("sub_cos"),
+            )
+        )
+    return emb.select(
+        "vec_id", F.explode(F.array(*structs)).alias("q")
+    ).select("vec_id", "q.sub", "q.code", "q.sub_cos")
+
+
+def sql_pq_codes(
+    m: int = PQ_M, k: int = PQ_K, n_iter: int = PQ_ITER
+) -> str:
+    """Per-subspace replay of the PQ trainer + encoder as chained
+    CTEs: for each of the m slices, the identical Lloyd iterations as
+    sql_kmeans_centroids (argmax rounded cosine, per-position avg
+    rounded to KMEANS_ROUND), then the final assignment emitting
+    (vec_id, sub, code, sub_cos)."""
+    d = EMB_DIM // m
+
+    def assign(e: str, prev: str) -> str:
+        cos = _sql_cosine("e.embedding", "c.cvec", dim=d)
+        return f"""(
+            SELECT vec_id, embedding, centroid FROM (
+                SELECT e.vec_id, e.embedding, c.centroid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({cos}, 6) DESC, c.centroid ASC
+                       ) AS rn
+                FROM {e} e CROSS JOIN {prev} c)
+            WHERE rn = 1
+        )"""
+
+    def update(prev: str, asg: str) -> str:
+        return f"""(
+            SELECT p.centroid, COALESCE(m.cvec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN (
+                SELECT centroid,
+                       list(round(avgv, {KMEANS_ROUND}) ORDER BY pos) AS cvec
+                FROM (
+                    SELECT a.centroid, ii.pos, avg(a.embedding[ii.pos]) AS avgv
+                    FROM {asg} a,
+                         (SELECT unnest(range(1, {d + 1})) AS pos) ii
+                    GROUP BY a.centroid, ii.pos)
+                GROUP BY centroid
+            ) m ON p.centroid = m.centroid
+        )"""
+
+    def final(e: str, prev: str, s: int) -> str:
+        cos = _sql_cosine("e.embedding", "c.cvec", dim=d)
+        return f"""(
+            SELECT vec_id, CAST({s} AS BIGINT) AS sub,
+                   CAST(centroid AS BIGINT) AS code, ccos AS sub_cos
+            FROM (
+                SELECT e.vec_id, c.centroid, round({cos}, 6) AS ccos,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({cos}, 6) DESC, c.centroid ASC
+                       ) AS rn
+                FROM {e} e CROSS JOIN {prev} c)
+            WHERE rn = 1
+        )"""
+
+    parts = []
+    sels = []
+    for s in range(m):
+        lo, hi = s * d + 1, (s + 1) * d
+        e = f"e{s}"
+        parts.append(
+            f"{e} AS (SELECT vec_id, "
+            f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) "
+            f"AS embedding FROM embeddings)"
+        )
+        parts.append(
+            f"""c{s}_0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid,
+                   embedding AS cvec
+            FROM {e} WHERE vec_id < {k}
+        )"""
+        )
+        for i in range(n_iter):
+            parts.append(f"a{s}_{i} AS {assign(e, f'c{s}_{i}')}")
+            parts.append(f"c{s}_{i + 1} AS {update(f'c{s}_{i}', f'a{s}_{i}')}")
+        parts.append(f"fin{s} AS {final(e, f'c{s}_{n_iter}', s)}")
+        sels.append(f"SELECT * FROM fin{s}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)

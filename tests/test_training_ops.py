@@ -869,3 +869,58 @@ def test_kmeans_trained_codebook_probe_works(spark):
         .collect()
     }
     assert len(approx & exact) >= 5
+
+
+def test_pq_codes_shape_range_and_quality(spark):
+    """PQ encode: one row per (vector, subspace); codes within [0, k);
+    the quantizer's achieved cosine beats a fixed code-0 assignment
+    (i.e. the argmax actually selects per-row)."""
+    from ocr_spark.operators import ann
+
+    emb = _emb(spark).limit(200)
+    n = emb.count()
+    books = ann.pq_train(emb)
+    out = ann.pq_encode(emb, books)
+    rows = out.collect()
+    assert len(rows) == n * ann.PQ_M
+    assert all(0 <= r.code < ann.PQ_K for r in rows)
+    assert all(0 <= r.sub < ann.PQ_M for r in rows)
+    # quality: mean achieved sub-cosine must be >= the mean cosine to
+    # code 0 alone (argmax can't do worse than any fixed choice).
+    mean_best = out.agg(F.avg("sub_cos")).collect()[0][0]
+    d = ann.EMB_DIM // ann.PQ_M
+    fixed = []
+    for s, book in enumerate(books):
+        sub = F.transform(
+            F.slice(F.col("embedding"), s * d + 1, d),
+            lambda x: x.cast("double"),
+        )
+        fixed.append(
+            emb.select(
+                ann.cosine_col(sub, ann._lit_array(book[0][1])).alias("c")
+            )
+        )
+    import functools
+
+    mean_fixed = (
+        functools.reduce(lambda a, b: a.union(b), fixed)
+        .agg(F.avg("c"))
+        .collect()[0][0]
+    )
+    assert mean_best >= mean_fixed - 1e-9
+
+
+def test_pq_encode_is_exchange_free(spark):
+    """The encoder is a single projection + explode: codebooks are
+    inlined literals, so the plan must contain no Exchange."""
+    from ocr_spark.operators import ann
+
+    emb = _emb(spark)
+    books = ann.pq_train(emb.limit(50))
+    plan = (
+        ann.pq_encode(emb, books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
