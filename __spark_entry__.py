@@ -1129,6 +1129,17 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(emb, pq_train(emb))
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's scoring half: asymmetric-distance top-10 for query
+    vec 0 over the PQ codes — literal lookup-table sums in one
+    projection (zero shuffle), TakeOrdered finish.  The oracle replays
+    training, builds the same LUTs in SQL, and sums with the same
+    left association, so rounded scores match bit-for-bit."""
+    from ocr_spark.operators.ann import pq_adc_topk
+
+    return pq_adc_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf keywords per doc; idf fixed to integer micro-nats
     so score ranking and values are exact bigint math cross-engine."""
@@ -1378,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_codebook": q_kmeans_codebook,
         "stream_sessions": q_stream_sessions,
         "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         "tfidf_keywords": q_tfidf_keywords,
         "url_canon": q_url_canon,
         "host_cap": q_host_cap,
@@ -1775,6 +1787,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessions": _stream_metrics_sql.sql_session_window(),
         "tfidf_keywords": _webcorpus_sql.sql_tfidf_keywords(),
         "pq_codes": _ann_sql.sql_pq_codes(),
+        "pq_adc_topk": _ann_sql.sql_pq_adc_topk(),
         "url_canon": _webcorpus_sql.sql_url_canon(),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),

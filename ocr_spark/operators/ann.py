@@ -698,14 +698,12 @@ def pq_encode(emb: DataFrame, codebooks: List[list]) -> DataFrame:
     ).select("vec_id", "q.sub", "q.code", "q.sub_cos")
 
 
-def sql_pq_codes(
-    m: int = PQ_M, k: int = PQ_K, n_iter: int = PQ_ITER
-) -> str:
-    """Per-subspace replay of the PQ trainer + encoder as chained
-    CTEs: for each of the m slices, the identical Lloyd iterations as
-    sql_kmeans_centroids (argmax rounded cosine, per-position avg
-    rounded to KMEANS_ROUND), then the final assignment emitting
-    (vec_id, sub, code, sub_cos)."""
+def _sql_pq_parts(m: int, k: int, n_iter: int) -> list:
+    """The shared PQ-training CTE list: for each of the m slices, the
+    identical Lloyd iterations as sql_kmeans_centroids (argmax rounded
+    cosine, per-position avg rounded to KMEANS_ROUND), ending in
+    ``fin{s}`` (vec_id, sub, code, sub_cos) with the trained codebook
+    left available as ``c{s}_{n_iter}``."""
     d = EMB_DIM // m
 
     def assign(e: str, prev: str) -> str:
@@ -752,7 +750,6 @@ def sql_pq_codes(
         )"""
 
     parts = []
-    sels = []
     for s in range(m):
         lo, hi = s * d + 1, (s + 1) * d
         e = f"e{s}"
@@ -772,5 +769,160 @@ def sql_pq_codes(
             parts.append(f"a{s}_{i} AS {assign(e, f'c{s}_{i}')}")
             parts.append(f"c{s}_{i + 1} AS {update(f'c{s}_{i}', f'a{s}_{i}')}")
         parts.append(f"fin{s} AS {final(e, f'c{s}_{n_iter}', s)}")
-        sels.append(f"SELECT * FROM fin{s}")
-    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sels)
+    return parts
+
+
+def sql_pq_codes(
+    m: int = PQ_M, k: int = PQ_K, n_iter: int = PQ_ITER
+) -> str:
+    """Per-subspace replay of the PQ trainer + encoder (see
+    _sql_pq_parts), unioning the m per-slice assignments."""
+    parts = _sql_pq_parts(m, k, n_iter)
+    sels = "\nUNION ALL\n".join(f"SELECT * FROM fin{s}" for s in range(m))
+    return "WITH " + ",\n".join(parts) + "\n" + sels
+
+
+def _pq_code_col(book: list, s: int, d: int) -> Column:
+    """In-row PQ code for subspace ``s``: argmax rounded cosine against
+    the inlined sub-codebook, ties to the lowest code id (the book is
+    sorted by code id, so first-max position wins)."""
+    sub = F.transform(
+        F.slice(F.col("embedding"), s * d + 1, d),
+        lambda x: x.cast("double"),
+    )
+    coses = F.array(
+        *[F.round(cosine_col(sub, _lit_array(v)), 6) for _, v in book]
+    )
+    ids = F.array(*[F.lit(int(c)) for c, _ in book])
+    pos = F.array_position(coses, F.array_max(coses)).cast("int")
+    return F.element_at(ids, pos)
+
+
+def _fold_dot(a: List[float], b: List[float]) -> float:
+    """Driver-side dot with the SAME left-fold association as dot_col /
+    the DuckDB list_reduce mirror, so literals computed here are
+    bit-identical to what either engine would compute from data."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    codebooks: List[list] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jegou et al.
+    2011): the query stays full-precision, every corpus vector is
+    represented by its m sub-codes, and the approximate cosine is a
+    lookup-table sum —
+
+        adc_cos(x) = sum_s LUT_d[s][code_s(x)]
+                     / (|q| * sqrt(sum_s LUT_n[s][code_s(x)]))
+
+    where LUT_d[s][c] = <q_s, codebook_s[c]> and LUT_n[s][c] =
+    |codebook_s[c]|^2 (the reconstruction's norm, summed exactly
+    because subspaces are orthogonal slices).
+
+    Scale shape: the LUTs are m*k = 64 doubles inlined as literals
+    (the broadcast-a-trained-model pattern); scoring is ONE projection
+    per row — sub-code argmax + element_at sums, zero shuffle, zero
+    join — finished by TakeOrderedAndProject.  At 10^12 rows the scan
+    reads 4-byte codes instead of 256-byte vectors once codes are
+    materialized; compose with the IVF cell filter (``ivf_topk``'s
+    assignment) to probe a fraction of the corpus.  The query fetch
+    and training collects are bounded (1 row / k rows).
+
+    Sum association is pinned left-to-right per subspace in both
+    engines (see ``sql_pq_adc_topk``) so the rounded scores are
+    bit-identical cross-engine.
+    """
+    import math
+
+    books = codebooks if codebooks is not None else pq_train(emb)
+    m = len(books)
+    d = EMB_DIM // m
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()[0]
+        .embedding
+    ]
+    qn = math.sqrt(_fold_dot(q, q))
+    dsum, nsum = None, None
+    for s, book in enumerate(books):
+        qs = q[s * d : (s + 1) * d]
+        lut_d = _lit_array([_fold_dot(qs, v) for _, v in book])
+        lut_n = _lit_array([_fold_dot(v, v) for _, v in book])
+        idx = (_pq_code_col(book, s, d) + F.lit(1)).cast("int")
+        dterm = F.element_at(lut_d, idx)
+        nterm = F.element_at(lut_n, idx)
+        dsum = dterm if dsum is None else dsum + dterm
+        nsum = nterm if nsum is None else nsum + nterm
+    score = F.round(dsum / (F.lit(qn) * F.sqrt(nsum)), 6)
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", score.alias("adc_cos"))
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def sql_pq_adc_topk(
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_iter: int = PQ_ITER,
+) -> str:
+    """DuckDB replay of pq_adc_topk: the shared PQ-training CTEs, plus
+    per-subspace LUT CTEs (dot/norm of every trained code vector
+    against the query slice) and a left-associated m-term score
+    identical bit-for-bit to the Spark expression."""
+    d = EMB_DIM // m
+    parts = _sql_pq_parts(m, n_codes, n_iter)
+    parts.append(
+        "qf AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        f"AS embedding FROM embeddings WHERE vec_id = {query_vec_id})"
+    )
+    parts.append(
+        f"qn AS (SELECT {_sql_dot_cols('embedding', 'embedding')} AS n2 "
+        "FROM qf)"
+    )
+    for s in range(m):
+        dv = _sql_dot_cols("q.embedding", "c.cvec", dim=d)
+        nv = _sql_dot_cols("c.cvec", "c.cvec", dim=d)
+        parts.append(
+            f"""lut{s} AS (
+            SELECT c.centroid AS code, {dv} AS dv, {nv} AS nv
+            FROM c{s}_{n_iter} c,
+                 (SELECT embedding FROM e{s} WHERE vec_id = {query_vec_id}) q
+        )"""
+        )
+    joins = " ".join(
+        f"JOIN fin{s} f{s} ON f{s}.vec_id = f0.vec_id "
+        f"JOIN lut{s} l{s} ON l{s}.code = f{s}.code"
+        if s
+        else "JOIN lut0 l0 ON l0.code = f0.code"
+        for s in range(m)
+    )
+    dsum = "".join(
+        f"l{s}.dv" if s == 0 else f" + l{s}.dv" for s in range(m)
+    )
+    nsum = "".join(
+        f"l{s}.nv" if s == 0 else f" + l{s}.nv" for s in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT f0.vec_id,
+               round(({dsum}) / (sqrt(qn.n2) * sqrt({nsum})), 6) AS adc_cos
+        FROM fin0 f0 {joins} CROSS JOIN qn
+        WHERE f0.vec_id <> {query_vec_id}
+        ORDER BY adc_cos DESC, f0.vec_id ASC LIMIT {k}
+    """
+    )

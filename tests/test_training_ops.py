@@ -924,3 +924,31 @@ def test_pq_encode_is_exchange_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pq_adc_finds_planted_neardup(spark):
+    """ADC sanity on the planted corpus: the perturbed copy of the
+    query (true cosine ~0.989) quantizes to (nearly) the query's own
+    codes, so it must rank in the ADC top-10 — and ahead of every
+    natural vector's true-cosine ceiling (~0.51) by a wide margin."""
+    from ocr_spark.operators import ann
+
+    corpus = ann.neardup_corpus(_emb(spark).limit(300))
+    books = ann.pq_train(corpus)
+    top = ann.pq_adc_topk(corpus, query_vec_id=0, k=10, codebooks=books)
+    rows = top.collect()
+    ids = [r.vec_id for r in rows]
+    assert ann.ANN_OFFSET in ids  # the planted copy of vec 0
+
+
+def test_pq_adc_scoring_is_exchange_free(spark):
+    """ADC scoring is one projection over literal LUTs finished by
+    TakeOrdered: no Exchange anywhere in the scored plan."""
+    from ocr_spark.operators import ann
+
+    emb = _emb(spark)
+    books = ann.pq_train(emb.limit(50))
+    top = ann.pq_adc_topk(emb, query_vec_id=0, k=10, codebooks=books)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
