@@ -1140,6 +1140,18 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted near-dup corpus: k-means clusters,
+    then within-cluster cosine >= 0.95 marks duplicates (witness = the
+    lowest qualifying id, -1 for survivors).  Every planted mutant
+    lands in its original's cluster, so the op separates planted pairs
+    from natural neighbors exactly; the oracle replays Lloyd + the
+    pairwise screen as CTEs."""
+    from ocr_spark.operators.ann import neardup_corpus, semantic_dedup
+
+    return semantic_dedup(neardup_corpus(_t(spark, sf_dir, "embeddings")))
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf keywords per doc; idf fixed to integer micro-nats
     so score ranking and values are exact bigint math cross-engine."""
@@ -1390,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
+        "semantic_dedup": q_semantic_dedup,
         "tfidf_keywords": q_tfidf_keywords,
         "url_canon": q_url_canon,
         "host_cap": q_host_cap,
@@ -1788,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": _webcorpus_sql.sql_tfidf_keywords(),
         "pq_codes": _ann_sql.sql_pq_codes(),
         "pq_adc_topk": _ann_sql.sql_pq_adc_topk(),
+        "semantic_dedup": _ann_sql.sql_semantic_dedup(),
         "url_canon": _webcorpus_sql.sql_url_canon(),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),

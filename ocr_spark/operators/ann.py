@@ -926,3 +926,156 @@ def sql_pq_adc_topk(
         ORDER BY adc_cos DESC, f0.vec_id ASC LIMIT {k}
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# T51 — semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.95
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    codebook: list | None = None,
+    k: int = IVF_CENTROIDS,
+    n_iter: int = 2,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    max_cluster: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then within each cluster mark a vector a duplicate when its cosine
+    to some LOWER-id cluster-mate reaches ``threshold``.  Returns
+    (vec_id, centroid, dup_of, is_dup) with dup_of = the smallest
+    qualifying witness id, -1 for survivors — each near-dup group
+    keeps exactly its lowest id.
+
+    Scale shape: assignment is the zero-shuffle literal-codebook
+    argmax (``assign_to_codebook``); candidate generation reuses the
+    per-bucket pair expansion (bucket = cluster), so the shuffle
+    carries (vec_id, centroid) pairs, never embeddings, and the exact
+    cosine is computed only for in-cluster candidate pairs.  The
+    within-cluster pair cost is O(c^2/2) — at production scale k is
+    chosen ~ n/2048 so clusters stay small, and ``max_cluster`` skips
+    degenerate clusters outright (same audit story as the LSH caps).
+    """
+    books = (
+        codebook
+        if codebook is not None
+        else kmeans_train(corpus, k=k, n_iter=n_iter)
+    )
+    assigned = assign_to_codebook(corpus, books)
+    members = (
+        assigned.groupBy("centroid")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_cluster))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.transform(
+                F.filter(F.col("ids"), lambda y: y > x),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
+        )
+    )
+    cand = members.select(F.explode(combos).alias("p")).select(
+        "p.vec_a", "p.vec_b"
+    )
+    emb_a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    emb_b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    cos = F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6)
+    dups = (
+        cand.join(emb_a, "vec_a")
+        .join(emb_b, "vec_b")
+        .filter(cos >= F.lit(threshold))
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("witness"))
+        .select(F.col("vec_b").alias("vec_id"), "witness")
+    )
+    return (
+        assigned.select("vec_id", F.col("centroid").cast("bigint").alias("centroid"))
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid",
+            F.coalesce("witness", F.lit(-1)).cast("bigint").alias("dup_of"),
+            F.col("witness").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def sql_semantic_dedup(
+    k: int = IVF_CENTROIDS,
+    n_iter: int = 2,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> str:
+    """DuckDB replay of semantic_dedup over the planted near-dup
+    corpus: the sql_kmeans_centroids Lloyd chain retargeted at the
+    corpus CTE, final assignment, then within-cluster pairwise cosine
+    with the same rounding/tie rules."""
+    asg_cos = _sql_cosine("e.embedding", "c.cvec")
+
+    def assign(prev: str) -> str:
+        return f"""(
+            SELECT vec_id, embedding, centroid FROM (
+                SELECT e.vec_id, e.embedding, c.centroid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({asg_cos}, 6) DESC, c.centroid ASC
+                       ) AS rn
+                FROM e CROSS JOIN {prev} c)
+            WHERE rn = 1
+        )"""
+
+    def update(prev: str, asg: str) -> str:
+        return f"""(
+            SELECT p.centroid, COALESCE(m.cvec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN (
+                SELECT centroid,
+                       list(round(avgv, {KMEANS_ROUND}) ORDER BY pos) AS cvec
+                FROM (
+                    SELECT a.centroid, ii.pos, avg(a.embedding[ii.pos]) AS avgv
+                    FROM {asg} a,
+                         (SELECT unnest(range(1, {EMB_DIM + 1})) AS pos) ii
+                    GROUP BY a.centroid, ii.pos)
+                GROUP BY centroid
+            ) m ON p.centroid = m.centroid
+        )"""
+
+    parts = [
+        f"e AS ({sql_neardup_corpus()})",
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid,
+                   embedding AS cvec
+            FROM e WHERE vec_id < {k}
+        )""",
+    ]
+    for i in range(n_iter):
+        parts.append(f"a{i} AS {assign(f'c{i}')}")
+        parts.append(f"c{i + 1} AS {update(f'c{i}', f'a{i}')}")
+    pair_cos = _sql_cosine("a.embedding", "b.embedding")
+    parts.append(f"fin AS {assign(f'c{n_iter}')}")
+    parts.append(
+        f"""dups AS (
+            SELECT b.vec_id, min(a.vec_id) AS witness
+            FROM fin a JOIN fin b
+              ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+            WHERE round({pair_cos}, 6) >= {threshold}
+            GROUP BY b.vec_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+        SELECT f.vec_id, CAST(f.centroid AS BIGINT) AS centroid,
+               CAST(COALESCE(d.witness, -1) AS BIGINT) AS dup_of,
+               d.witness IS NOT NULL AS is_dup
+        FROM fin f LEFT JOIN dups d ON f.vec_id = d.vec_id
+    """
+    )

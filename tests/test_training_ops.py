@@ -952,3 +952,23 @@ def test_pq_adc_scoring_is_exchange_free(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_dedup_marks_planted_mutants_only(spark):
+    """SemDeDup on the planted corpus: duplicates are (almost) exactly
+    the planted mutants — no natural vector reaches cosine 0.95 to a
+    cluster-mate (natural max ~0.51) — and each detected mutant's
+    witness is its own original (the only >=0.95 neighbor)."""
+    from ocr_spark.operators import ann
+
+    emb = _emb(spark).limit(300)
+    n = emb.count()
+    out = ann.semantic_dedup(ann.neardup_corpus(emb)).collect()
+    assert len(out) == 2 * n
+    dups = [r for r in out if r.is_dup]
+    assert all(r.vec_id >= ann.ANN_OFFSET for r in dups)
+    assert all(r.dup_of == r.vec_id - ann.ANN_OFFSET for r in dups)
+    # clustering puts most mutants in their original's cell
+    assert len(dups) >= 0.85 * n
+    # survivors carry the sentinel, never a witness
+    assert all(r.dup_of == -1 for r in out if not r.is_dup)
