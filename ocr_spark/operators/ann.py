@@ -40,6 +40,7 @@ from natural ones exactly.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import List
 
 from pyspark.sql import Column, DataFrame
@@ -1078,4 +1079,122 @@ def sql_semantic_dedup(
                d.witness IS NOT NULL AS is_dup
         FROM fin f LEFT JOIN dups d ON f.vec_id = d.vec_id
     """
+    )
+
+
+# ---------------------------------------------------------------------------
+# T52 — persisted IVF-PQ index (centroid-partitioned code table)
+# ---------------------------------------------------------------------------
+
+
+def pq_codes_col(codebooks: List[list]) -> Column:
+    """All m PQ codes as one in-row array<int> — the storage layout of
+    the persisted index (4 small ints instead of 64 floats)."""
+    m = len(codebooks)
+    d = EMB_DIM // m
+    return F.array(
+        *[
+            _pq_code_col(book, s, d).cast("int")
+            for s, book in enumerate(codebooks)
+        ]
+    )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    coarse: list | None = None,
+    codebooks: List[list] | None = None,
+    k_coarse: int = IVF_CENTROIDS,
+    n_iter: int = 2,
+) -> dict:
+    """Materialize an IVF-PQ index: one parquet table (vec_id, codes)
+    PARTITIONED BY centroid, plus a ``_codebooks.json`` sidecar holding
+    the trained coarse + product codebooks (underscore-prefixed files
+    are invisible to Spark's reader; on a real deployment this is a
+    catalog/table-property entry).
+
+    Scale shape: training collects only bounded codebook rows; the
+    index write is one zero-shuffle projection (coarse argmax + m code
+    argmaxes over inlined literals) and a partitioned write — each
+    inverted list IS a partition directory, so a probe's cell filter
+    becomes partition pruning at the source (no data read outside the
+    probed cells).  At 10^12 rows the index is ~1-2% the corpus bytes.
+    """
+    import json
+
+    coarse = (
+        coarse
+        if coarse is not None
+        else kmeans_train(emb, k=k_coarse, n_iter=n_iter)
+    )
+    books = codebooks if codebooks is not None else pq_train(emb)
+    assigned = assign_to_codebook(emb, coarse)
+    idx = assigned.select(
+        "vec_id",
+        pq_codes_col(books).alias("codes"),
+        F.col("centroid").cast("int").alias("centroid"),
+    )
+    idx.write.mode("overwrite").partitionBy("centroid").parquet(path)
+    meta = {"coarse": coarse, "books": books}
+    sidecar = os.path.join(path, "_codebooks.json")
+    with open(sidecar, "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivfpq_probe(
+    spark,
+    path: str,
+    query_vec: List[float],
+    k: int = 10,
+    n_probe: int = 1,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k against a persisted IVF-PQ index: rank the coarse
+    centroids against the query DRIVER-SIDE (k_coarse bounded rows),
+    read only the ``n_probe`` nearest cells — a partition-pruned scan,
+    verified in tests via the plan's PartitionFilters — and score the
+    4-byte codes with the same literal-LUT sum as ``pq_adc_topk``."""
+    import json
+    import math
+
+    with open(os.path.join(path, "_codebooks.json")) as fh:
+        meta = json.load(fh)
+    coarse = meta["coarse"]
+    books = meta["books"]
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(_fold_dot(q, q))
+
+    def cos_to(cvec: List[float]) -> float:
+        return _fold_dot(q, cvec) / (
+            qn * math.sqrt(_fold_dot(cvec, cvec))
+        )
+
+    ranked = sorted(
+        ((round(cos_to(cvec), 6), -int(cid)) for cid, cvec in coarse),
+        reverse=True,
+    )
+    cells = [-neg for _, neg in ranked[:n_probe]]
+    m = len(books)
+    d = EMB_DIM // m
+    idx = spark.read.parquet(path).filter(F.col("centroid").isin(cells))
+    dsum, nsum = None, None
+    for s, book in enumerate(books):
+        qs = q[s * d : (s + 1) * d]
+        lut_d = _lit_array([_fold_dot(qs, v) for _, v in book])
+        lut_n = _lit_array([_fold_dot(v, v) for _, v in book])
+        at = (F.col("codes").getItem(s) + F.lit(1)).cast("int")
+        dterm = F.element_at(lut_d, at)
+        nterm = F.element_at(lut_n, at)
+        dsum = dterm if dsum is None else dsum + dterm
+        nsum = nterm if nsum is None else nsum + nterm
+    score = F.round(dsum / (F.lit(qn) * F.sqrt(nsum)), 6)
+    out = idx
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        out.select("vec_id", score.alias("adc_cos"))
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(k)
     )
