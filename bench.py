@@ -93,6 +93,8 @@ HEADLINE_QUERIES = [
     "lm_score",
     "tfidf_keywords",
     "host_cap",
+    "pq_adc_topk",
+    "semantic_dedup",
 ]
 
 

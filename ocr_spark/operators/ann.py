@@ -262,15 +262,16 @@ def kmeans_train(
 
     Spark shape per iteration (the MLlib KMeans pattern):
 
-    1. **Assign** — centroids are inlined as broadcast literals and
-       every row picks its argmax-cosine centroid in a single array
-       expression (``assign_to_codebook``): zero shuffle, zero row
-       blow-up.
-    2. **Partial-reduce** — ``mapInPandas`` computes per-batch
-       (centroid, count, component-sums) with one numpy matmul-free
-       groupby: the full corpus collapses to ≤ n_partitions × k tiny
-       rows before anything moves.
-    3. **Merge** — those bounded rows come to the driver (the same
+    1. **Assign + partial-reduce in ONE Arrow pass** — the codebook
+       rides into a ``mapInPandas`` kernel as a task-closure constant;
+       each batch picks per-row argmax-rounded-cosine centroids with
+       the fold-exact numpy kernels (bit-identical to the
+       ``assign_to_codebook`` expression and the SQL mirror's tie
+       rule) and immediately collapses to (centroid, count,
+       component-sums): the full corpus reduces to ≤ n_partitions × k
+       tiny rows before anything moves — zero shuffle, zero extra
+       scan.
+    2. **Merge** — those bounded rows come to the driver (the same
        justified collect as a trained-model broadcast) and new means
        are computed and rounded to KMEANS_ROUND decimals.
 
@@ -290,26 +291,31 @@ def kmeans_train(
     codebook = [(i, vec) for i, (_, vec) in enumerate(init)]
     dim = len(codebook[0][1])
 
-    def partials(batches):
-        for b in batches:
-            if not len(b):
-                continue
-            cents = b["centroid"].to_numpy()
-            mat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in b["embedding"]]
-            )
-            rows = []
-            for c in np.unique(cents):
-                sel = mat[cents == c]
-                rows.append((int(c), len(sel), sel.sum(axis=0).tolist()))
-            yield pd.DataFrame(rows, columns=["centroid", "n", "vsum"])
+    def make_partials(book):
+        ids = np.asarray([int(c) for c, _ in book], dtype=np.int64)
+
+        def partials(batches):
+            for b in batches:
+                if not len(b):
+                    continue
+                mat = _np_stack(b["embedding"])
+                cents = ids[_np_rounded_cos(mat, book).argmax(axis=1)]
+                rows = []
+                for c in np.unique(cents):
+                    sel = mat[cents == c]
+                    rows.append(
+                        (int(c), len(sel), sel.sum(axis=0).tolist())
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["centroid", "n", "vsum"]
+                )
+
+        return partials
 
     for _ in range(n_iter):
-        assigned = assign_to_codebook(emb, codebook).select(
-            "centroid", "embedding"
-        )
-        rows = assigned.mapInPandas(
-            partials, "centroid int, n bigint, vsum array<double>"
+        rows = emb.select("embedding").mapInPandas(
+            make_partials(codebook),
+            "centroid int, n bigint, vsum array<double>",
         ).collect()
         sums = {cid: (0, np.zeros(dim)) for cid, _ in codebook}
         for r in sorted(rows, key=lambda r: r.centroid):
@@ -669,34 +675,48 @@ def pq_encode(emb: DataFrame, codebooks: List[list]) -> DataFrame:
     code (argmax rounded cosine, ties to the lowest code id) plus the
     achieved cosine — the PQ quantization-quality signal.
 
-    All m assignments happen in ONE projection: the codebooks are
-    inlined literals, the argmax is an array expression per subspace,
-    and the (sub, code) rows come from exploding an in-row struct
-    array — zero shuffle, zero join, nothing leaves the row until the
-    explode."""
+    All m assignments happen in ONE Arrow-batched pass: the codebooks
+    ride into the numpy kernel as task-closure constants (the
+    broadcast-a-trained-model pattern), the argmax is fold-exact
+    vectorized numpy (see the kernel block above), and the m
+    (sub, code) rows per vector are emitted in-batch — zero shuffle,
+    zero join.  First-max argmax + code-id-ordered books reproduce the
+    'ties to the lowest code id' rule of the SQL mirror."""
+    import numpy as np
+    import pandas as pd
+
     m = len(codebooks)
     d = EMB_DIM // m
-    structs = []
-    for s, book in enumerate(codebooks):
-        sub = F.transform(
-            F.slice(F.col("embedding"), s * d + 1, d),
-            lambda x: x.cast("double"),
-        )
-        coses = F.array(
-            *[F.round(cosine_col(sub, _lit_array(v)), 6) for _, v in book]
-        )
-        ids = F.array(*[F.lit(int(c)) for c, _ in book])
-        pos = F.array_position(coses, F.array_max(coses)).cast("int")
-        structs.append(
-            F.struct(
-                F.lit(s).cast("bigint").alias("sub"),
-                F.element_at(ids, pos).cast("bigint").alias("code"),
-                F.element_at(coses, pos).alias("sub_cos"),
-            )
-        )
-    return emb.select(
-        "vec_id", F.explode(F.array(*structs)).alias("q")
-    ).select("vec_id", "q.sub", "q.code", "q.sub_cos")
+    ids_per_sub = [
+        np.asarray([int(c) for c, _ in book], dtype=np.int64)
+        for book in codebooks
+    ]
+
+    def encode(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_stack(b["embedding"])
+            vec = b["vec_id"].to_numpy()
+            frames = []
+            for s, book in enumerate(codebooks):
+                C = _np_rounded_cos(X[:, s * d : (s + 1) * d], book)
+                pos = C.argmax(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vec,
+                            "sub": np.int64(s),
+                            "code": ids_per_sub[s][pos],
+                            "sub_cos": C[np.arange(len(X)), pos],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id bigint, sub bigint, code bigint, sub_cos double"
+    )
 
 
 def _sql_pq_parts(m: int, k: int, n_iter: int) -> list:
@@ -783,22 +803,6 @@ def sql_pq_codes(
     return "WITH " + ",\n".join(parts) + "\n" + sels
 
 
-def _pq_code_col(book: list, s: int, d: int) -> Column:
-    """In-row PQ code for subspace ``s``: argmax rounded cosine against
-    the inlined sub-codebook, ties to the lowest code id (the book is
-    sorted by code id, so first-max position wins)."""
-    sub = F.transform(
-        F.slice(F.col("embedding"), s * d + 1, d),
-        lambda x: x.cast("double"),
-    )
-    coses = F.array(
-        *[F.round(cosine_col(sub, _lit_array(v)), 6) for _, v in book]
-    )
-    ids = F.array(*[F.lit(int(c)) for c, _ in book])
-    pos = F.array_position(coses, F.array_max(coses)).cast("int")
-    return F.element_at(ids, pos)
-
-
 def _fold_dot(a: List[float], b: List[float]) -> float:
     """Driver-side dot with the SAME left-fold association as dot_col /
     the DuckDB list_reduce mirror, so literals computed here are
@@ -807,6 +811,136 @@ def _fold_dot(a: List[float], b: List[float]) -> float:
     for x, y in zip(a, b):
         acc = acc + float(x) * float(y)
     return acc
+
+
+# --- fold-exact numpy kernels -----------------------------------------------
+#
+# The HOF expressions (zip_with + aggregate) are NOT whole-stage-
+# codegen'd — Catalyst interprets each lambda step, which is fine for
+# one broadcast query vector but catastrophically slow for per-row ×
+# per-code work (PQ encodes 64 sub-cosines per row).  These kernels
+# move that loop into Arrow-batched numpy, vectorized ACROSS ROWS but
+# accumulated dimension-by-dimension IN ORDER, so every row sees the
+# exact IEEE operation sequence of the left-fold — results are
+# bit-identical to dot_col / the DuckDB mirror (empirically pinned by
+# the oracle-parity tests).
+
+
+def _np_halfup(a, nd: int = 6):
+    """Spark's ROUND_HALF_UP on doubles: away-from-zero at .5.  numpy's
+    np.round is banker's; ties at exactly .5e-6 are measure-zero for
+    these cosines, but the rule is matched anyway."""
+    import numpy as np
+
+    scale = 10.0**nd
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
+def _np_stack(col) -> "object":
+    """(n, dim) float64 matrix from a pandas column of array values
+    (float32 -> float64 is exact, same as the expressions' cast)."""
+    import numpy as np
+
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _np_fold_dot(X, v) -> "object":
+    """Per-row left-fold dot of matrix X against vector v."""
+    import numpy as np
+
+    acc = np.zeros(len(X))
+    for i in range(X.shape[1]):
+        acc = acc + X[:, i] * np.float64(v[i])
+    return acc
+
+
+def _np_self_dot(X) -> "object":
+    import numpy as np
+
+    acc = np.zeros(len(X))
+    for i in range(X.shape[1]):
+        acc = acc + X[:, i] * X[:, i]
+    return acc
+
+
+def _np_rounded_cos(X, book) -> "object":
+    """(n_rows, n_codes) rounded-cosine matrix of X against a codebook
+    (list of (code_id, vector)), fold-exact per entry."""
+    import numpy as np
+
+    xn = np.sqrt(_np_self_dot(X))
+    out = np.empty((len(X), len(book)))
+    for j, (_, v) in enumerate(book):
+        cn = _fold_dot(v, v)
+        out[:, j] = _np_halfup(
+            _np_fold_dot(X, v) / (xn * np.sqrt(cn))
+        )
+    return out
+
+
+def assign_codebook_np(emb: DataFrame, codebook: list) -> DataFrame:
+    """(vec_id, centroid): the ``assign_to_codebook`` semantics (argmax
+    rounded cosine, ties to the lowest centroid id) in one fold-exact
+    Arrow pass — same bits, per-batch numpy instead of interpreted HOF
+    lambdas.  Zero shuffle, zero blow-up."""
+    import numpy as np
+    import pandas as pd
+
+    ids = np.asarray([int(c) for c, _ in codebook], dtype=np.int64)
+
+    def assign(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_stack(b["embedding"])
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"].to_numpy(),
+                    "centroid": ids[
+                        _np_rounded_cos(X, codebook).argmax(axis=1)
+                    ],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, centroid bigint"
+    )
+
+
+def pair_cosine_np(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    emb_a: str,
+    emb_b: str,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim): rounded cosine per candidate pair,
+    fold-exact vectorized — the verify kernel for candidate sets whose
+    size makes interpreted per-element lambdas the bottleneck."""
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            A = _np_stack(b[emb_a])
+            B = _np_stack(b[emb_b])
+            dot = np.zeros(len(A))
+            for i in range(A.shape[1]):
+                dot = dot + A[:, i] * B[:, i]
+            cos = _np_halfup(
+                dot / (np.sqrt(_np_self_dot(A)) * np.sqrt(_np_self_dot(B)))
+            )
+            yield pd.DataFrame(
+                {id_a: b[id_a].to_numpy(), id_b: b[id_b].to_numpy(), "cos_sim": cos}
+            )
+
+    return pairs.select(id_a, id_b, emb_a, emb_b).mapInPandas(
+        score, f"{id_a} bigint, {id_b} bigint, cos_sim double"
+    )
+
+
 
 
 def pq_adc_topk(
@@ -827,20 +961,24 @@ def pq_adc_topk(
     |codebook_s[c]|^2 (the reconstruction's norm, summed exactly
     because subspaces are orthogonal slices).
 
-    Scale shape: the LUTs are m*k = 64 doubles inlined as literals
-    (the broadcast-a-trained-model pattern); scoring is ONE projection
-    per row — sub-code argmax + element_at sums, zero shuffle, zero
-    join — finished by TakeOrderedAndProject.  At 10^12 rows the scan
-    reads 4-byte codes instead of 256-byte vectors once codes are
-    materialized; compose with the IVF cell filter (``ivf_topk``'s
-    assignment) to probe a fraction of the corpus.  The query fetch
-    and training collects are bounded (1 row / k rows).
+    Scale shape: the LUTs are m*k = 64 doubles shipped as task-closure
+    constants (the broadcast-a-trained-model pattern); scoring is ONE
+    Arrow-batched fold-exact numpy pass — sub-code argmax + LUT sums,
+    zero shuffle, zero join — finished by TakeOrderedAndProject.  At
+    10^12 rows the scan reads 4-byte codes instead of 256-byte vectors
+    once codes are materialized; compose with the IVF cell filter
+    (``ivf_topk``'s assignment) to probe a fraction of the corpus.
+    The query fetch and training collects are bounded (1 row / k
+    rows).
 
     Sum association is pinned left-to-right per subspace in both
     engines (see ``sql_pq_adc_topk``) so the rounded scores are
     bit-identical cross-engine.
     """
     import math
+
+    import numpy as np
+    import pandas as pd
 
     books = codebooks if codebooks is not None else pq_train(emb)
     m = len(books)
@@ -853,20 +991,38 @@ def pq_adc_topk(
         .embedding
     ]
     qn = math.sqrt(_fold_dot(q, q))
-    dsum, nsum = None, None
-    for s, book in enumerate(books):
-        qs = q[s * d : (s + 1) * d]
-        lut_d = _lit_array([_fold_dot(qs, v) for _, v in book])
-        lut_n = _lit_array([_fold_dot(v, v) for _, v in book])
-        idx = (_pq_code_col(book, s, d) + F.lit(1)).cast("int")
-        dterm = F.element_at(lut_d, idx)
-        nterm = F.element_at(lut_n, idx)
-        dsum = dterm if dsum is None else dsum + dterm
-        nsum = nterm if nsum is None else nsum + nterm
-    score = F.round(dsum / (F.lit(qn) * F.sqrt(nsum)), 6)
+    lut_d = [
+        np.asarray([_fold_dot(q[s * d : (s + 1) * d], v) for _, v in book])
+        for s, book in enumerate(books)
+    ]
+    lut_n = [
+        np.asarray([_fold_dot(v, v) for _, v in book]) for book in books
+    ]
+
+    def score(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_stack(b["embedding"])
+            dsum = np.zeros(len(X))
+            nsum = np.zeros(len(X))
+            for s, book in enumerate(books):
+                pos = _np_rounded_cos(
+                    X[:, s * d : (s + 1) * d], book
+                ).argmax(axis=1)
+                dsum = dsum + lut_d[s][pos]
+                nsum = nsum + lut_n[s][pos]
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"].to_numpy(),
+                    "adc_cos": _np_halfup(dsum / (qn * np.sqrt(nsum))),
+                }
+            )
+
     return (
         emb.filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id", score.alias("adc_cos"))
+        .select("vec_id", "embedding")
+        .mapInPandas(score, "vec_id bigint, adc_cos double")
         .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
         .limit(k)
     )
@@ -951,21 +1107,23 @@ def semantic_dedup(
     qualifying witness id, -1 for survivors — each near-dup group
     keeps exactly its lowest id.
 
-    Scale shape: assignment is the zero-shuffle literal-codebook
-    argmax (``assign_to_codebook``); candidate generation reuses the
-    per-bucket pair expansion (bucket = cluster), so the shuffle
-    carries (vec_id, centroid) pairs, never embeddings, and the exact
-    cosine is computed only for in-cluster candidate pairs.  The
-    within-cluster pair cost is O(c^2/2) — at production scale k is
-    chosen ~ n/2048 so clusters stay small, and ``max_cluster`` skips
-    degenerate clusters outright (same audit story as the LSH caps).
+    Scale shape: assignment is the zero-shuffle codebook argmax in one
+    fold-exact Arrow pass (``assign_codebook_np``); candidate
+    generation reuses the per-bucket pair expansion (bucket =
+    cluster), so the shuffle carries (vec_id, centroid) pairs, never
+    embeddings, and the exact cosine is computed only for in-cluster
+    candidate pairs — again in Arrow-batched numpy, not interpreted
+    HOF lambdas.  The within-cluster pair cost is O(c^2/2) — at
+    production scale k is chosen ~ n/2048 so clusters stay small, and
+    ``max_cluster`` skips degenerate clusters outright (same audit
+    story as the LSH caps).
     """
     books = (
         codebook
         if codebook is not None
         else kmeans_train(corpus, k=k, n_iter=n_iter)
     )
-    assigned = assign_to_codebook(corpus, books)
+    assigned = assign_codebook_np(corpus, books)
     members = (
         assigned.groupBy("centroid")
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
@@ -983,17 +1141,21 @@ def semantic_dedup(
     cand = members.select(F.explode(combos).alias("p")).select(
         "p.vec_a", "p.vec_b"
     )
-    emb_a = assigned.select(
+    emb_a = corpus.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )
-    emb_b = assigned.select(
+    emb_b = corpus.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
     )
-    cos = F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6)
     dups = (
-        cand.join(emb_a, "vec_a")
-        .join(emb_b, "vec_b")
-        .filter(cos >= F.lit(threshold))
+        pair_cosine_np(
+            cand.join(emb_a, "vec_a").join(emb_b, "vec_b"),
+            "vec_a",
+            "vec_b",
+            "emb_a",
+            "emb_b",
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
         .groupBy("vec_b")
         .agg(F.min("vec_a").alias("witness"))
         .select(F.col("vec_b").alias("vec_id"), "witness")
@@ -1087,19 +1249,6 @@ def sql_semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
-def pq_codes_col(codebooks: List[list]) -> Column:
-    """All m PQ codes as one in-row array<int> — the storage layout of
-    the persisted index (4 small ints instead of 64 floats)."""
-    m = len(codebooks)
-    d = EMB_DIM // m
-    return F.array(
-        *[
-            _pq_code_col(book, s, d).cast("int")
-            for s, book in enumerate(codebooks)
-        ]
-    )
-
-
 def build_ivfpq_index(
     emb: DataFrame,
     path: str,
@@ -1115,13 +1264,17 @@ def build_ivfpq_index(
     catalog/table-property entry).
 
     Scale shape: training collects only bounded codebook rows; the
-    index write is one zero-shuffle projection (coarse argmax + m code
-    argmaxes over inlined literals) and a partitioned write — each
-    inverted list IS a partition directory, so a probe's cell filter
-    becomes partition pruning at the source (no data read outside the
-    probed cells).  At 10^12 rows the index is ~1-2% the corpus bytes.
+    index write is ONE fold-exact Arrow pass (coarse argmax + m code
+    argmaxes per batch, codebooks as task-closure constants) into a
+    partitioned write — each inverted list IS a partition directory,
+    so a probe's cell filter becomes partition pruning at the source
+    (no data read outside the probed cells).  At 10^12 rows the index
+    is ~1-2% the corpus bytes.
     """
     import json
+
+    import numpy as np
+    import pandas as pd
 
     coarse = (
         coarse
@@ -1129,11 +1282,41 @@ def build_ivfpq_index(
         else kmeans_train(emb, k=k_coarse, n_iter=n_iter)
     )
     books = codebooks if codebooks is not None else pq_train(emb)
-    assigned = assign_to_codebook(emb, coarse)
-    idx = assigned.select(
-        "vec_id",
-        pq_codes_col(books).alias("codes"),
-        F.col("centroid").cast("int").alias("centroid"),
+    m = len(books)
+    d = EMB_DIM // m
+    coarse_ids = np.asarray([int(c) for c, _ in coarse], dtype=np.int32)
+    code_ids = [
+        np.asarray([int(c) for c, _ in book], dtype=np.int32)
+        for book in books
+    ]
+
+    def encode(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_stack(b["embedding"])
+            cents = coarse_ids[_np_rounded_cos(X, coarse).argmax(axis=1)]
+            codes = np.stack(
+                [
+                    code_ids[s][
+                        _np_rounded_cos(
+                            X[:, s * d : (s + 1) * d], book
+                        ).argmax(axis=1)
+                    ]
+                    for s, book in enumerate(books)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"].to_numpy(),
+                    "codes": list(codes),
+                    "centroid": cents,
+                }
+            )
+
+    idx = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id bigint, codes array<int>, centroid int"
     )
     idx.write.mode("overwrite").partitionBy("centroid").parquet(path)
     meta = {"coarse": coarse, "books": books}
