@@ -1140,6 +1140,16 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ retrieval: ADC top-40 candidate pool from the
+    4-byte codes, then exact rounded cosine re-ranks only those 40 and
+    keeps the top 10 — the standard quantize-then-refine production
+    shape.  Oracle chains the ADC CTEs into an exact-cosine join."""
+    from ocr_spark.operators.ann import pq_adc_rerank_topk
+
+    return pq_adc_rerank_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the planted near-dup corpus: k-means clusters,
     then within-cluster cosine >= 0.95 marks duplicates (witness = the
@@ -1403,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "semantic_dedup": q_semantic_dedup,
+        "pq_adc_rerank": q_pq_adc_rerank,
         "tfidf_keywords": q_tfidf_keywords,
         "url_canon": q_url_canon,
         "host_cap": q_host_cap,
@@ -1802,6 +1813,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _ann_sql.sql_pq_codes(),
         "pq_adc_topk": _ann_sql.sql_pq_adc_topk(),
         "semantic_dedup": _ann_sql.sql_semantic_dedup(),
+        "pq_adc_rerank": _ann_sql.sql_pq_adc_rerank_topk(),
         "url_canon": _webcorpus_sql.sql_url_canon(),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),

@@ -1381,3 +1381,83 @@ def ivfpq_probe(
         .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# T53 — ADC + exact re-rank (the production IVF-PQ retrieval shape)
+# ---------------------------------------------------------------------------
+
+ADC_RERANK_FACTOR = 4
+
+
+def pq_adc_rerank_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    r: int | None = None,
+    codebooks: List[list] | None = None,
+) -> DataFrame:
+    """Two-stage retrieval (Jegou et al. 2011 §V): ADC over PQ codes
+    selects a candidate pool of ``r`` (default 4k) — cheap, 4-byte
+    codes — then the exact rounded cosine re-ranks ONLY those r
+    vectors and keeps the top k.  Returns (vec_id, cos_sim).
+
+    Scale shape: stage 1 is the shuffle-free ``pq_adc_topk`` scan
+    (TakeOrdered cutoff, deterministic adc/vec_id tie rule); stage 2
+    broadcasts the r-row candidate set against the corpus (a
+    broadcast semi-join — the corpus is never shuffled) and computes
+    r exact cosines, not n.  Quantization error only costs recall if
+    a true neighbor falls outside the ADC top-r."""
+    books = codebooks if codebooks is not None else pq_train(emb)
+    r = r if r is not None else ADC_RERANK_FACTOR * k
+    cand = pq_adc_topk(
+        emb, query_vec_id=query_vec_id, k=r, codebooks=books
+    ).select("vec_id")
+    q = _lit_array(
+        [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == query_vec_id)
+            .select("embedding")
+            .collect()[0]
+            .embedding
+        ]
+    )
+    exact = F.round(
+        cosine_col(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")), q
+        ),
+        6,
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .select("vec_id", exact.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def sql_pq_adc_rerank_topk(
+    query_vec_id: int = 0,
+    k: int = 10,
+    r: int | None = None,
+    m: int = PQ_M,
+    n_codes: int = PQ_K,
+    n_iter: int = PQ_ITER,
+) -> str:
+    """DuckDB replay: the sql_pq_adc_topk CTE chain cut at top-r, then
+    an exact-cosine re-rank join against the raw embeddings."""
+    r = r if r is not None else ADC_RERANK_FACTOR * k
+    inner = sql_pq_adc_topk(
+        query_vec_id=query_vec_id, k=r, m=m, n_codes=n_codes, n_iter=n_iter
+    )
+    cos = _sql_cosine("ef.embedding", "qq.embedding")
+    return f"""
+        WITH cand AS ({inner}),
+        ef AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE))
+                      AS embedding FROM embeddings),
+        qq AS (SELECT embedding FROM ef WHERE vec_id = {query_vec_id})
+        SELECT ef.vec_id, round({cos}, 6) AS cos_sim
+        FROM ef JOIN cand c ON ef.vec_id = c.vec_id, qq
+        ORDER BY cos_sim DESC, ef.vec_id ASC LIMIT {k}
+    """

@@ -1057,3 +1057,45 @@ def test_ann_index_job_end_to_end(spark, tmp_path):
     assert len(top) == 5
     assert all(r.vec_id != 0 for r in top)
     assert all(-1.0 <= r.adc_cos <= 1.0 for r in top)
+
+
+def test_pq_adc_rerank_exact_top1(spark):
+    """Quantize-then-refine: the re-rank stage must surface the planted
+    copy (true cosine ~0.989) as top-1 with its EXACT cosine, fixing
+    any quantization-induced ordering noise inside the candidate
+    pool."""
+    from ocr_spark.operators import ann
+
+    corpus = ann.neardup_corpus(_emb(spark).limit(200))
+    books = ann.pq_train(corpus)
+    top = ann.pq_adc_rerank_topk(
+        corpus, query_vec_id=0, k=10, codebooks=books
+    ).collect()
+    assert top[0].vec_id == ann.ANN_OFFSET
+    assert top[0].cos_sim >= 0.98
+
+
+def test_ivfpq_probe_all_cells_equals_full_adc_scan(spark, tmp_path):
+    """Probing every cell of the persisted index must reproduce the
+    oracle-gated full ADC scan row-for-row (same codebooks, same
+    scores) — ties the file-based index path to the checked math."""
+    from ocr_spark.operators import ann
+
+    emb = _emb(spark).limit(300)
+    path = str(tmp_path / "ivfpq")
+    meta = ann.build_ivfpq_index(emb, path)
+    q = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    probe = ann.ivfpq_probe(
+        spark,
+        path,
+        [float(x) for x in q],
+        k=10,
+        n_probe=len(meta["coarse"]),
+        exclude_vec_id=0,
+    ).collect()
+    full = ann.pq_adc_topk(
+        emb, query_vec_id=0, k=10, codebooks=meta["books"]
+    ).collect()
+    assert [(r.vec_id, r.adc_cos) for r in probe] == [
+        (r.vec_id, r.adc_cos) for r in full
+    ]
