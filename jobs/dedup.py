@@ -77,7 +77,12 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(app_name="ocr_spark-dedup")
-    docs = spark.read.parquet(args.input)
+    # spread a narrow scan before the tokenize-heavy stages
+    # (ocr_spark/plans/width.py) — integer/hash math only here,
+    # so the round-robin exchange is partition-order safe
+    from ocr_spark.plans import spread_cpu
+
+    docs = spread_cpu(spark.read.parquet(args.input))
     key, text = args.key_col, args.text_col
 
     stages = []

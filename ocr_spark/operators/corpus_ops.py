@@ -317,3 +317,188 @@ def sql_vocab_topk(k: int = 1000, text_expr: str = "text") -> str:
         ORDER BY n DESC, word ASC
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# T54 — deterministic weighted sampling (Efraimidis–Spirakis A-Res)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_ROUND = 9  # priority rounding: kills libm ln() last-ulp drift
+                   # between engines; ties break on doc_id in both
+
+
+def _u_pos(key: Column, seed: str) -> Column:
+    """md5-derived uniform in (0, 1] — strictly positive so ln() is
+    defined; same 32-bit construction as hash_fraction, shifted by 1."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    return (h + F.lit(1.0)) / F.lit(float(2**32))
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic across
+    engines, runs, and cluster sizes: the Efraimidis–Spirakis A-Res
+    scheme — per row draw u from its md5 hash and take the k largest
+    priorities ln(u)/w (equivalent to the textbook u^(1/w) order but
+    float-stable).  Heavier rows win proportionally more often; the
+    hash seed makes the 'randomness' a pure function of the key.
+
+    Scale shape: one projection + TakeOrderedAndProject — k rows to
+    the driver, never a global sort, no shuffle of the corpus.  This
+    is the selection primitive for mixture construction when sources
+    are weighted by quality/size rather than capped.
+    """
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    pri = F.round(F.log(_u_pos(F.col(key_col), seed)) / w, WSAMPLE_ROUND)
+    return (
+        df.select(
+            F.col(key_col).alias("doc_id"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            pri.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def sql_weighted_sample(
+    k: int,
+    weight_expr: str = "n_chars",
+    key_expr: str = "doc_id",
+    seed: str = "wsample",
+) -> str:
+    u = (
+        f"((CAST(CAST('0x' || substr(md5('{seed}:' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0)"
+        f" / {float(2**32)!r})"
+    )
+    return f"""
+        SELECT {key_expr} AS doc_id,
+               CAST({weight_expr} AS BIGINT) AS weight,
+               round(ln({u}) / greatest(CAST({weight_expr} AS DOUBLE), 1.0),
+                     {WSAMPLE_ROUND}) AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id ASC
+        LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# T55 — token-budget mixture construction
+# ---------------------------------------------------------------------------
+
+MIXTURE_SALTS = 16
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: Dict[str, int],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_salts: int = MIXTURE_SALTS,
+) -> DataFrame:
+    """Build a training mixture: for each stratum (language/source),
+    keep documents in deterministic md5-hash order until the stratum's
+    token budget is filled.  A doc whose running count STARTS under
+    the budget is kept whole (pack_shards' started-in rule); strata
+    without a budget drop.  This is the Pile/DoReMi-style mixing step
+    — target token counts per source — as one declarative plan.
+
+    Two-stage lossless prune (host_cap's salt trick adapted from ranks
+    to running sums): stage 1 computes the running sum within
+    (stratum, salt) and discards docs whose salt-local prior-sum
+    already reaches the budget — correct because every salt-local
+    predecessor is also a global predecessor under the same hash
+    order, so global prior-sum >= salt-local prior-sum.  That bounds
+    stage 2's exact per-stratum window at ~budget tokens per salt
+    instead of a Zipf-dominant language's entire slice.
+    """
+    from pyspark.sql import Window as W
+
+    expr = None
+    for stratum, b in sorted(budgets.items()):
+        cond = F.col(strata_col) == stratum
+        expr = (
+            F.when(cond, F.lit(int(b)))
+            if expr is None
+            else expr.when(cond, F.lit(int(b)))
+        )
+    budget = expr.otherwise(F.lit(-1)) if expr is not None else F.lit(-1)
+
+    nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    ordv = F.md5(
+        F.concat(
+            F.col(strata_col), F.lit("@"), F.col(key_col).cast("string")
+        )
+    )
+    base = df.filter(budget >= 0).select(
+        F.col(strata_col).alias("stratum"),
+        F.col(key_col).alias("doc_id"),
+        nt.alias("n_tokens"),
+        ordv.alias("_ord"),
+        budget.alias("_budget"),
+        (F.col(key_col) % n_salts).alias("_salt"),
+    )
+    w1 = (
+        W.partitionBy("stratum", "_salt")
+        .orderBy(F.asc("_ord"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pruned = base.withColumn("_cum1", F.sum("n_tokens").over(w1)).filter(
+        F.col("_cum1") - F.col("n_tokens") < F.col("_budget")
+    )
+    w2 = (
+        W.partitionBy("stratum")
+        .orderBy(F.asc("_ord"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        pruned.withColumn("cum_tokens", F.sum("n_tokens").over(w2))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
+        .select("stratum", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+def sql_mixture_sample(
+    budgets: Dict[str, int],
+    strata_expr: str = "lang",
+    key_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    # The salt prefilter is a physical optimization only; the oracle
+    # states the plain per-stratum running-sum window.
+    nt = f"len(string_split_regex(trim({text_expr}), '\\s+'))"
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {int(b)}"
+        for s, b in sorted(budgets.items())
+    )
+    langs = ", ".join(f"'{s}'" for s in sorted(budgets))
+    return f"""
+        SELECT stratum, doc_id, n_tokens, cum_tokens FROM (
+            SELECT {strata_expr} AS stratum,
+                   {key_expr} AS doc_id,
+                   CAST({nt} AS BIGINT) AS n_tokens,
+                   CAST(sum({nt}) OVER (
+                       PARTITION BY {strata_expr}
+                       ORDER BY md5({strata_expr} || '@' ||
+                                    CAST({key_expr} AS VARCHAR)),
+                                {key_expr}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens,
+                   (CASE {cases} ELSE -1 END) AS _budget
+            FROM documents
+            WHERE {strata_expr} IN ({langs}))
+        WHERE cum_tokens - n_tokens < _budget
+    """

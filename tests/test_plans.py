@@ -192,3 +192,24 @@ def test_resume_antijoin_no_shuffle_on_big_side(spark, tmp_path):
         "LeftAnti" in plan and "BroadcastExchange" in plan
     ), plan
     assert "SortMergeJoin" not in plan
+
+
+def test_spread_cpu_widens_narrow_scan(spark, corpus_path):
+    """A one-row-group file scan pins tokenize-heavy work to a single
+    task; spread_cpu must round-robin it to >= defaultParallelism and
+    be a no-op on an already-wide plan (no double Exchange)."""
+    from ocr_spark.plans import spread_cpu
+
+    docs = spark.read.parquet(corpus_path)
+    target = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() < target or target == 1
+
+    wide = spread_cpu(docs)
+    assert wide.rdd.getNumPartitions() >= target
+    assert wide.count() == docs.count()
+    assert "RoundRobinPartitioning" in _plan(wide)
+
+    # composing on a fresh (unexecuted) frame is a no-op, not a
+    # second exchange
+    again = spread_cpu(spread_cpu(spark.read.parquet(corpus_path)))
+    assert _plan(again).count("RoundRobinPartitioning") == 1

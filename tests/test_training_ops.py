@@ -1099,3 +1099,70 @@ def test_ivfpq_probe_all_cells_equals_full_adc_scan(spark, tmp_path):
     assert [(r.vec_id, r.adc_cos) for r in probe] == [
         (r.vec_id, r.adc_cos) for r in full
     ]
+
+
+# ---------------------------------------------------------------------------
+# T54 weighted sampling / T55 mixture construction
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_contract_and_plan(spark):
+    """k rows, deterministic, heavier docs overrepresented vs uniform,
+    and the plan is TakeOrdered (k rows to driver, no global sort)."""
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _docs(spark)
+    out = C.weighted_sample(docs, k=100)
+    rows = out.collect()
+    assert len(rows) == 100
+    again = C.weighted_sample(docs, k=100).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+    # size-biased: the sampled mean weight should exceed the corpus
+    # mean (weights span a wide range in the synthetic corpus)
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mixture_sample_two_stage_equals_plain_window(spark):
+    """The salted prior-sum prune must be lossless: identical rows to
+    the plain single-window version (n_salts=1 disables the prune's
+    effect since every doc shares one salt stream)."""
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _docs(spark)
+    budgets = {"en": 3000, "zh": 900, "fr": 700}
+    fast = sorted(map(tuple, C.mixture_sample(docs, budgets).collect()))
+    plain = sorted(
+        map(tuple, C.mixture_sample(docs, budgets, n_salts=1).collect())
+    )
+    assert fast == plain
+    assert len(fast) > 0
+
+
+def test_mixture_sample_budget_property(spark):
+    """Per stratum: every kept doc starts under the budget, the kept
+    set is a prefix of the md5 order (no doc after the first excluded
+    one), and unbudgeted strata are absent."""
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _docs(spark)
+    budgets = {"en": 3000, "zh": 900}
+    out = C.mixture_sample(docs, budgets).collect()
+    strata = {r.stratum for r in out}
+    assert strata <= set(budgets)
+    per = {}
+    for r in out:
+        per.setdefault(r.stratum, []).append(r)
+    for s, rows in per.items():
+        rows.sort(key=lambda r: r.cum_tokens)
+        run = 0
+        for r in rows:
+            assert run < budgets[s], (s, r.doc_id)
+            assert r.cum_tokens == run + r.n_tokens
+            run = r.cum_tokens
+        # budget actually fills unless the stratum ran out of docs
+        total = docs.filter(F.col("lang") == s).count()
+        assert run >= budgets[s] or len(rows) == total
