@@ -162,26 +162,13 @@ def chunk_dedup_stats(
 # ---------------------------------------------------------------------------
 
 
-def _gram_stats(docs: DataFrame, key_col: str, text_col: str, k: int) -> DataFrame:
-    """Per-doc (top_cnt, total, distinct) over k-word grams via a
-    linear explode→count — never per-row O(n²) array scans. Grams are
-    counted by their 60-bit hash so the shuffle carries 8 bytes per
-    gram instead of the gram text (collisions are 2^-60-level noise on
-    a count statistic)."""
-    grams = docs.select(
-        F.col(key_col).alias("doc_id"),
-        F.explode(
-            F.transform(shingles_col(F.col(text_col), k), _hash60)
-        ).alias("gram"),
-    )
-    per_gram = grams.groupBy("doc_id", F.col("gram")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    return per_gram.groupBy("doc_id").agg(
-        F.max("cnt").alias(f"top{k}_cnt"),
-        F.sum("cnt").alias(f"total{k}"),
-        F.count(F.lit(1)).alias(f"distinct{k}"),
-    )
+def _shingles_from_words(words: Column, k: int) -> Column:
+    """k-word shingles over a pre-tokenized words array — identical
+    construction to ``dedup.shingles_col`` (a doc shorter than k words
+    yields one shingle), factored so one tokenize pass can feed
+    several gram sizes."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(k), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
 
 
 def repetition_stats(
@@ -190,9 +177,42 @@ def repetition_stats(
     """Gopher-style intra-document repetition features + keep flag:
     fraction of 2-grams taken by the single most frequent 2-gram, and
     fraction of 3-gram occurrences that are repeats of an
-    already-seen 3-gram."""
-    g2 = _gram_stats(docs, key_col, text_col, 2)
-    g3 = _gram_stats(docs, key_col, text_col, 3)
+    already-seen 3-gram.
+
+    One tokenize pass feeds both gram sizes: the 2- and 3-gram hashes
+    are built from the same words array, exploded once with a k tag,
+    and the per-doc stats come out of a single conditional aggregation
+    — no second scan, no g2⋈g3 join. Grams are counted by their
+    60-bit md5 hash so the shuffle carries 8 bytes per gram instead
+    of gram text (collisions are 2^-60-level noise on a count
+    statistic); hashes are identical to the two-pass formulation, so
+    outputs are bit-identical."""
+    tokens = docs.select(
+        F.col(key_col).alias("doc_id"),
+        words_col(F.col(text_col)).alias("w"),
+    )
+    def _tagged(k: int) -> Column:
+        # NB: transform's lambda must stay unary — a second parameter
+        # would be bound to the element INDEX by the HOF protocol
+        return F.transform(
+            _shingles_from_words(F.col("w"), k),
+            lambda s: F.struct(F.lit(k).alias("k"), _hash60(s).alias("g")),
+        )
+
+    tagged = tokens.select(
+        "doc_id",
+        F.explode(F.concat(_tagged(2), _tagged(3))).alias("t"),
+    ).select("doc_id", F.col("t.k").alias("k"), F.col("t.g").alias("gram"))
+    per_gram = tagged.groupBy("doc_id", "k", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    is2, is3 = F.col("k") == 2, F.col("k") == 3
+    stats = per_gram.groupBy("doc_id").agg(
+        F.max(F.when(is2, F.col("cnt"))).alias("top2_cnt"),
+        F.sum(F.when(is2, F.col("cnt"))).alias("total2"),
+        F.count(F.when(is3, F.lit(1))).alias("distinct3"),
+        F.sum(F.when(is3, F.col("cnt"))).alias("total3"),
+    )
     top2 = F.round(
         F.col("top2_cnt").cast("double") / F.greatest("total2", F.lit(1)), 6
     )
@@ -201,18 +221,14 @@ def repetition_stats(
         - F.col("distinct3").cast("double") / F.greatest("total3", F.lit(1)),
         6,
     )
-    return (
-        g2.join(g3, "doc_id")
-        .select(
-            "doc_id",
-            top2.alias("top_2gram_frac"),
-            dup3.alias("dup_3gram_frac"),
-        )
-        .withColumn(
-            "keep",
-            (F.col("top_2gram_frac") <= MAX_TOP_2GRAM_FRAC)
-            & (F.col("dup_3gram_frac") <= MAX_DUP_3GRAM_FRAC),
-        )
+    return stats.select(
+        "doc_id",
+        top2.alias("top_2gram_frac"),
+        dup3.alias("dup_3gram_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("top_2gram_frac") <= MAX_TOP_2GRAM_FRAC)
+        & (F.col("dup_3gram_frac") <= MAX_DUP_3GRAM_FRAC),
     )
 
 
