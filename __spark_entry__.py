@@ -549,7 +549,7 @@ def q_ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE corpus scan (numpy-pruned candidates, fold-cosine re-score)."""
     from ocr_spark.operators import ann
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")
     return ann.topk_join(emb, query_ids=[0, 1, 2], k=10)
 
 
@@ -669,7 +669,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH embedding near-dup pairs, cosine-verified."""
     from ocr_spark.operators import ann
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")
     return ann.neardup_pairs(ann.neardup_corpus(emb))
 
 
@@ -934,7 +934,7 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against vec_id=0 (double math)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     cand = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
 
