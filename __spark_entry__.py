@@ -592,6 +592,25 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("content_hash")
 
 
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup suppression: documents + planted mutants
+    drained through per-micro-batch LSH index probes; the emitted
+    survivor set equals the batch rule 'no lower-id candidate
+    partner' (mutants drop, originals survive)."""
+    import tempfile
+
+    from ocr_spark.operators import dedup
+    from ocr_spark.streaming.dedup_stream import run_neardup_stream
+
+    docs = _tw(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="ocr_spark_stream_neardup_")
+    inp, idx = f"{base}/in", f"{base}/index"
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    dedup.neardup_corpus(docs).write.mode("overwrite").parquet(inp)
+    run_neardup_stream(spark, inp, idx, out, ckpt)
+    return spark.read.parquet(out).select("doc_id")
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-word screen over text."""
     docs = _t(spark, sf_dir, "documents")
@@ -1464,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_join": q_ann_topk_join,
         "stream_extract": q_stream_extract,
         "stream_dedup": q_stream_dedup,
+        "stream_neardup": q_stream_neardup,
         "skew_salted_agg": q_skew_salted_agg,
         "chunk_dedup": q_chunk_dedup,
         "substring_dup": q_substring_dup,
@@ -1775,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": """
             SELECT DISTINCT md5(text) AS content_hash FROM documents
         """,
+        "stream_neardup": _dedup_sql.sql_neardup_survivors(),
         "skew_salted_agg": """
             SELECT source,
                    CAST(count(n_chars) AS BIGINT) AS n_docs,

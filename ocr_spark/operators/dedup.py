@@ -499,6 +499,18 @@ def sql_minhash_pairs() -> str:
     """
 
 
+def sql_neardup_survivors() -> str:
+    """Oracle for the streaming near-dup drain: keep docs with no
+    LSH candidate partner of lower id — with id-ordered arrival this
+    is exactly what neardup_batch_step emits across batches."""
+    return f"""
+        WITH pairs AS ({sql_minhash_pairs()}),
+        corpus AS ({sql_neardup_corpus()})
+        SELECT doc_id FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    """
+
+
 def sql_simhash_signatures() -> str:
     return f"""
         SELECT doc_id, {sql_simhash('text')} AS simhash

@@ -68,3 +68,96 @@ def dedup_stream(
             ["content_hash"]
         )
     return hashed.dropDuplicates(["content_hash"])
+
+
+# ---------------------------------------------------------------------------
+# T56 — streaming NEAR-dup suppression (LSH index probe per micro-batch)
+# ---------------------------------------------------------------------------
+
+
+def neardup_batch_step(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    out_path: str,
+    batch_id: int,
+    max_bucket: int | None = None,
+) -> None:
+    """One foreachBatch step of streaming near-dup suppression:
+
+    1. drop batch docs with an LSH candidate partner of LOWER doc_id
+       inside the batch (``minhash_candidate_pairs`` — the greedy
+       keep-first rule batch dedup uses);
+    2. drop batch docs with ANY candidate partner already in the
+       persisted signature index (``incremental_neardup_pairs`` — the
+       per-ingest O(batch) probe, never a corpus recompute);
+    3. append the survivors to ``out_path`` and ALL batch signatures
+       (survivors and dropped alike) to the index — indexing dropped
+       docs too keeps the pair semantics identical to batch LSH, so
+       with id-ordered arrival the drained output equals the batch
+       rule "keep docs with no lower-id candidate partner" (the SQL
+       oracle's statement).
+
+    Both writes overwrite a ``batch=<id>`` subdirectory, so a retried
+    micro-batch is idempotent (exactly-once output without a
+    transactional sink). At 10^12-row scale the index is stored
+    bucketed on the band key (``plans.bucketed.save_bucketed``) so the
+    probe shuffles only the batch side — plan-asserted for the batch
+    analog in test_incremental_probe_is_exchange_free_on_index.
+    """
+    from ocr_spark.operators import dedup
+
+    mb = max_bucket if max_bucket is not None else dedup.MAX_MINHASH_BUCKET
+    batch = batch.select("doc_id", "text")
+    pairs = dedup.minhash_candidate_pairs(batch, mb)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    try:
+        old = spark.read.parquet(index_path).select("doc_id", "band", "key")
+    except Exception:  # first batch: no index yet
+        old = None
+    if old is not None:
+        hits = dedup.incremental_neardup_pairs(batch, old)
+        drops = drops.unionByName(
+            hits.select(F.col("doc_new").alias("doc_id")).distinct()
+        ).distinct()
+    survivors = batch.join(drops, "doc_id", "left_anti")
+    survivors.write.mode("overwrite").parquet(
+        f"{out_path}/batch={batch_id}"
+    )
+    dedup.signature_table(batch, mb).write.mode("overwrite").parquet(
+        f"{index_path}/batch={batch_id}"
+    )
+
+
+def run_neardup_stream(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    schema: str = DOCS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+    max_bucket: int | None = None,
+) -> None:
+    """Drain ``docs_path`` (availableNow) through per-micro-batch
+    near-dup suppression; survivors land under ``out_path/batch=*``,
+    the growing LSH signature index under ``index_path/batch=*``.
+    ``max_files_per_trigger=1`` forces one batch per input file,
+    proving suppression crosses batch boundaries in tests."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(docs_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_batch_step(
+            spark, batch_df, index_path, out_path, batch_id, max_bucket
+        )
+
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

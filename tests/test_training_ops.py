@@ -1166,3 +1166,60 @@ def test_mixture_sample_budget_property(spark):
         # budget actually fills unless the stratum ran out of docs
         total = docs.filter(F.col("lang") == s).count()
         assert run >= budgets[s] or len(rows) == total
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup suppression (stream_neardup)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_neardup_index_probe_crosses_batches(spark, tmp_path):
+    """Mutants arriving in a LATER micro-batch must be suppressed by
+    the signature-index probe (their originals were indexed by batch
+    0), and a replayed batch must be idempotent."""
+    from ocr_spark.operators import dedup
+    from ocr_spark.streaming.dedup_stream import (
+        neardup_batch_step,
+        run_neardup_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = _docs(spark).filter(F.col("doc_id") < 40)
+    orig = docs.select("doc_id", "text")
+    mut = docs.select(
+        (F.col("doc_id") + dedup.NEARDUP_OFFSET).alias("doc_id"),
+        dedup._mutated_text(F.col("text"), F.col("n_chars")).alias("text"),
+    )
+    orig.coalesce(1).write.mode("overwrite").parquet(inp)
+    mut.coalesce(1).write.mode("append").parquet(inp)
+
+    run_neardup_stream(
+        spark, inp, idx, out, ckpt, max_files_per_trigger=1
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    orig_ids = {r.doc_id for r in orig.collect()}
+    # all originals survive; every planted mutant is suppressed by the
+    # cross-batch index probe
+    assert orig_ids <= kept
+    assert not any(d >= dedup.NEARDUP_OFFSET for d in kept)
+    # the index accumulated both batches' signatures
+    sig_docs = {
+        r.doc_id for r in spark.read.parquet(idx).select("doc_id").collect()
+    }
+    assert orig_ids <= sig_docs
+    assert any(d >= dedup.NEARDUP_OFFSET for d in sig_docs)
+
+    # replaying the mutant batch (same batch_id) must not change the
+    # output — the batch=<id> overwrite makes retries idempotent
+    before = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    neardup_batch_step(spark, mut, idx, out, batch_id=1)
+    after = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert before == after
