@@ -656,18 +656,84 @@ def pq_train(
 
     Each subspace training is the kmeans_train shape: zero-shuffle
     literal-broadcast assignment, mapInPandas partial sums, bounded
-    driver merge.  Returns a list of m codebooks."""
+    driver merge — but all m subspaces train in the SAME passes: one
+    init collect and one Arrow scan per Lloyd round emit partials for
+    every subspace at once (schema ``(sub, centroid, n, vsum)``),
+    instead of m independent job chains re-scanning the table.  The
+    per-subspace folds see the same rows in the same batch order on
+    the same sliced float64 values as the sequential formulation, so
+    the codebooks are bit-identical (oracle-verified); wall-clock
+    drops ~m×(1+n_iter) jobs to 1+n_iter.  Returns a list of m
+    codebooks."""
+    import numpy as np
+    import pandas as pd
+
     d = EMB_DIM // m
-    return [
-        kmeans_train(
-            emb.select(
-                "vec_id", F.slice("embedding", s * d + 1, d).alias("embedding")
-            ),
-            k=k,
-            n_iter=n_iter,
-        )
+    init = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    books = [
+        [(i, vec[s * d : (s + 1) * d]) for i, (_, vec) in enumerate(init)]
         for s in range(m)
     ]
+
+    def make_partials_all(current):
+        ids_per_sub = [
+            np.asarray([int(c) for c, _ in book], dtype=np.int64)
+            for book in current
+        ]
+
+        def partials(batches):
+            for b in batches:
+                if not len(b):
+                    continue
+                full = _np_stack(b["embedding"])
+                rows = []
+                for s, book in enumerate(current):
+                    mat = full[:, s * d : (s + 1) * d]
+                    cents = ids_per_sub[s][
+                        _np_rounded_cos(mat, book).argmax(axis=1)
+                    ]
+                    for c in np.unique(cents):
+                        sel = mat[cents == c]
+                        rows.append(
+                            (s, int(c), len(sel), sel.sum(axis=0).tolist())
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["sub", "centroid", "n", "vsum"]
+                )
+
+        return partials
+
+    for _ in range(n_iter):
+        rows = emb.select("embedding").mapInPandas(
+            make_partials_all(books),
+            "sub int, centroid int, n bigint, vsum array<double>",
+        ).collect()
+        new_books = []
+        for s, book in enumerate(books):
+            sums = {cid: (0, np.zeros(d)) for cid, _ in book}
+            for r in sorted(
+                (r for r in rows if r.sub == s), key=lambda r: r.centroid
+            ):
+                n0, v0 = sums[r.centroid]
+                sums[r.centroid] = (n0 + r.n, v0 + np.asarray(r.vsum))
+            new_books.append(
+                [
+                    (
+                        cid,
+                        np.round(v / n, KMEANS_ROUND).tolist() if n else prev,
+                    )
+                    for (cid, prev), (n, v) in (
+                        (entry, sums[entry[0]]) for entry in book
+                    )
+                ]
+            )
+        books = new_books
+    return books
 
 
 def pq_encode(emb: DataFrame, codebooks: List[list]) -> DataFrame:
