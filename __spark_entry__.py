@@ -1274,6 +1274,27 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl delta vs a derived second snapshot (drop doc_id%7==0,
+    mutate %5==0, add %11==0 at +2M ids): one full-outer hash join on
+    (key, md5) — 40 bytes/row shuffled, never text."""
+    from ocr_spark.operators.webcorpus import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("doc_id") % 7 != 0)
+    mutated = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"), "text"
+    )
+    new = mutated.select("doc_id", "text").unionByName(added)
+    return snapshot_diff(docs, new)
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (lowercase scheme/host, www + default-port
     strip, tracker-param filter, fragment drop) — pure column
@@ -1502,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_rerank": q_pq_adc_rerank,
         "tfidf_keywords": q_tfidf_keywords,
         "url_canon": q_url_canon,
+        "snapshot_diff": q_snapshot_diff,
         "host_cap": q_host_cap,
         "contamination": q_contamination,
         "lm_score": q_lm_score,
@@ -1904,6 +1926,18 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _ann_sql.sql_semantic_dedup(),
         "pq_adc_rerank": _ann_sql.sql_pq_adc_rerank_topk(),
         "url_canon": _webcorpus_sql.sql_url_canon(),
+        "snapshot_diff": _webcorpus_sql.sql_snapshot_diff(
+            "SELECT doc_id, text FROM documents",
+            """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, text
+            FROM documents WHERE doc_id % 11 = 0
+            """,
+        ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
         "lm_score": _webcorpus_sql.sql_lm_score(),

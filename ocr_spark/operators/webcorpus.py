@@ -587,3 +587,62 @@ def sql_lm_score(v: int = LM_VOCAB, train_mod: int = LM_TRAIN_MOD) -> str:
         CROSS JOIN oov o
         GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# T57 — cross-snapshot crawl diff
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recrawl delta between two corpus snapshots, keyed by document:
+    (key, change, old_hash, new_hash) with change in
+    added | removed | changed | unchanged.  This is the front gate of
+    incremental processing — only 'added'/'changed' rows re-enter
+    extraction/dedup, which is what makes a weekly 10^12-row recrawl
+    a fraction of a full run.
+
+    Scale shape: ONE full outer hash join on the key, both sides
+    pre-projected to (key, md5) — 40 bytes/row through the shuffle,
+    never text; at production scale both snapshots are bucketed on
+    url-hash so the join is exchange-free (plans.bucketed)."""
+    o = old.select(
+        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    n = new.select(
+        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    change = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "k", "full_outer").select(
+        F.col("k").alias(key_col),
+        change.alias("change"),
+        "old_hash",
+        "new_hash",
+    )
+
+
+def sql_snapshot_diff(
+    old_sql: str, new_sql: str, key: str = "doc_id", text: str = "text"
+) -> str:
+    return f"""
+        SELECT COALESCE(o.k, n.k) AS {key},
+               CASE WHEN o.old_hash IS NULL THEN 'added'
+                    WHEN n.new_hash IS NULL THEN 'removed'
+                    WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                    ELSE 'changed' END AS change,
+               o.old_hash, n.new_hash
+        FROM (SELECT {key} AS k, md5({text}) AS old_hash FROM ({old_sql})) o
+        FULL OUTER JOIN
+             (SELECT {key} AS k, md5({text}) AS new_hash FROM ({new_sql})) n
+          ON o.k = n.k
+    """

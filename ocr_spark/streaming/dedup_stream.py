@@ -161,3 +161,29 @@ def run_neardup_stream(
         .start()
         .awaitTermination()
     )
+
+
+def compact_signature_index(
+    spark: SparkSession,
+    index_path: str,
+    table_name: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Fold the streaming index's ``batch=<id>`` parquet dirs into the
+    bucketed-and-sorted signature table that makes every future probe
+    join exchange-free on the indexed side
+    (``plans.bucketed.save_bucketed`` on the band key — the same
+    layout T31's incremental probe is plan-asserted against).  The
+    periodic maintenance job between streaming ingests: many small
+    per-batch files become one bucket-pruned table, and (doc_id, band,
+    key) rows are deduped across batches (a replayed batch writes
+    identical rows, so compaction is idempotent too)."""
+    from ocr_spark.plans import save_bucketed
+
+    sigs = (
+        spark.read.parquet(index_path)
+        .select("doc_id", "band", "key")
+        .distinct()
+    )
+    save_bucketed(sigs, table_name, n_buckets, key=("band", "key"))
+    return spark.table(table_name)

@@ -1223,3 +1223,50 @@ def test_stream_neardup_index_probe_crosses_batches(spark, tmp_path):
         (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
     )
     assert before == after
+
+
+def test_compact_signature_index_probe_equivalence(spark, tmp_path):
+    """Compacting the streaming batch=<id> index dirs into the
+    bucketed table must preserve probe results exactly, dedupe
+    replayed-batch rows, and leave a Bucketed scan on the probe
+    plan's indexed side."""
+    import shutil
+
+    from ocr_spark.operators import dedup
+    from ocr_spark.streaming.dedup_stream import (
+        compact_signature_index,
+        neardup_batch_step,
+    )
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    docs = _docs(spark).filter(F.col("doc_id") < 30)
+    orig = docs.select("doc_id", "text")
+    neardup_batch_step(spark, orig, idx, out, batch_id=0)
+    neardup_batch_step(spark, orig, idx, out, batch_id=0)  # replay
+
+    spark.sql("DROP TABLE IF EXISTS t_sig_compact")
+    shutil.rmtree("spark-warehouse/t_sig_compact", ignore_errors=True)
+    compact_signature_index(spark, idx, "t_sig_compact")
+    try:
+        flat = spark.read.parquet(idx).select("doc_id", "band", "key")
+        table = spark.table("t_sig_compact")
+        # replayed batch rows dedupe away
+        assert table.count() == flat.distinct().count()
+
+        mut = docs.select(
+            (F.col("doc_id") + dedup.NEARDUP_OFFSET).alias("doc_id"),
+            dedup._mutated_text(F.col("text"), F.col("n_chars")).alias(
+                "text"
+            ),
+        )
+        via_flat = sorted(
+            map(tuple, dedup.incremental_neardup_pairs(mut, flat).collect())
+        )
+        probe = dedup.incremental_neardup_pairs(mut, table)
+        via_table = sorted(map(tuple, probe.collect()))
+        assert via_flat == via_table and len(via_table) >= 29
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sig_compact")
