@@ -121,10 +121,13 @@ def connected_components(
     groupBy shuffles — nothing graph-shaped ever reaches the driver.
     """
     cur = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
-    cur = cur.localCheckpoint(eager=True)
+    # lazy checkpoint: the convergence checksum is the action that
+    # materializes it, so each round costs ONE job, not an eager
+    # materialization plus a checksum over it
+    cur = cur.localCheckpoint(eager=False)
     prev_sig = _checksum(cur)
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(nxt)
         cur = nxt
         if sig == prev_sig:
