@@ -111,20 +111,41 @@ RECORD_SCHEMA = "url string, html binary, status string"
 
 
 def _serialize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # One blob per (partition, shard) pair: after the hash repartition
-    # on shard every shard is wholly inside one partition, so this
-    # emits exactly one blob per shard.
+    # One blob per shard: after the hash repartition on shard every
+    # shard is wholly inside one partition, and sortWithinPartitions
+    # makes it CONTIGUOUS across the partition's Arrow batches — so a
+    # shard larger than one Arrow batch (the 128-512 MB target
+    # guarantees this) is accumulated across batch boundaries and
+    # flushed only when the shard id changes.  Grouping per-batch
+    # instead would emit several same-shard blobs and n_records would
+    # undercount.  Memory high-water mark is one shard, not the
+    # partition.
+    cur_shard: Optional[int] = None
+    parts: List[bytes] = []
+    count = 0
+
+    def _flush() -> pd.DataFrame:
+        return pd.DataFrame(
+            [(cur_shard, b"".join(parts), count)],
+            columns=["shard", "warc", "n_records"],
+        )
+
     for b in batches:
         if not len(b):
             continue
-        rows = []
         for shard, grp in b.groupby("shard", sort=True):
-            payload = b"".join(
+            shard = int(shard)
+            if cur_shard is not None and shard != cur_shard:
+                yield _flush()
+                parts, count = [], 0
+            cur_shard = shard
+            parts.extend(
                 build_record(u, bytes(h))
                 for u, h in zip(grp["url"], grp["html"])
             )
-            rows.append((int(shard), payload, len(grp)))
-        yield pd.DataFrame(rows, columns=["shard", "warc", "n_records"])
+            count += len(grp)
+    if cur_shard is not None:
+        yield _flush()
 
 
 def to_warc_blobs(df, n_shards: int = 16):

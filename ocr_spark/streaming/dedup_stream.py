@@ -98,9 +98,10 @@ def neardup_batch_step(
        rule "keep docs with no lower-id candidate partner" (the SQL
        oracle's statement).
 
-    Both writes overwrite a ``batch=<id>`` subdirectory, so a retried
-    micro-batch is idempotent (exactly-once output without a
-    transactional sink). At 10^12-row scale the index is stored
+    Both writes overwrite a ``batch=<id>`` subdirectory, and the index
+    probe excludes the current batch's own partition (a failed attempt
+    may have written it already), so a retried micro-batch is
+    idempotent (exactly-once output without a transactional sink). At 10^12-row scale the index is stored
     bucketed on the band key (``plans.bucketed.save_bucketed``) so the
     probe shuffles only the batch side — plan-asserted for the batch
     analog in test_incremental_probe_is_exchange_free_on_index.
@@ -112,7 +113,17 @@ def neardup_batch_step(
     pairs = dedup.minhash_candidate_pairs(batch, mb)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     try:
-        old = spark.read.parquet(index_path).select("doc_id", "band", "key")
+        old = spark.read.parquet(index_path)
+        # A retried micro-batch must NOT see its own prior attempt's
+        # signatures: the index includes a batch=<id> dir from the
+        # failed attempt, and probing it would pair batch docs against
+        # their own batch-mates (dropping the pair's survivor as well —
+        # the keep-first rule already handled in-batch pairs above).
+        # Excluding the current batch partition restores idempotence;
+        # partition pruning makes the filter free.
+        if "batch" in old.columns:
+            old = old.filter(F.col("batch") != batch_id)
+        old = old.select("doc_id", "band", "key")
     except Exception:  # first batch: no index yet
         old = None
     if old is not None:

@@ -87,6 +87,31 @@ class TestWarcSpark:
         assert got.count() == orig.count()
         assert got.exceptAll(orig).count() == 0
 
+    def test_shard_spanning_multiple_arrow_batches(self, spark, payloads, tmp_path_factory):
+        """A shard larger than one Arrow batch must still serialize to
+        exactly ONE blob (and the file sink must not overwrite earlier
+        batches of the same shard — the last-batch-wins data-loss bug).
+        """
+        from ocr_spark.sources.warc import to_warc_blobs
+
+        prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        try:
+            n_docs = payloads.count()
+            blobs = to_warc_blobs(payloads, n_shards=2).collect()
+            # one blob row per shard, even though each shard spans
+            # many 16-row Arrow batches
+            assert len(blobs) == 2
+            assert sum(r["n_records"] for r in blobs) == n_docs
+            path = str(tmp_path_factory.mktemp("warc") / "multibatch")
+            write_warc_files(payloads, path, n_shards=2)
+            back = read_warc_dir(spark, path)
+            assert back.filter(F.col("status") == "ok").count() == n_docs
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+            )
+
     def test_blob_serialization_single_exchange(self, payloads):
         from ocr_spark.sources.warc import to_warc_blobs
 

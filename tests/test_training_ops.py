@@ -1225,6 +1225,36 @@ def test_stream_neardup_index_probe_crosses_batches(spark, tmp_path):
     assert before == after
 
 
+def test_stream_neardup_retry_with_in_batch_pairs(spark, tmp_path):
+    """A retried micro-batch containing near-dup pairs WITHIN the batch
+    must keep the same survivors as the first attempt.  The failure
+    mode: the retry's index probe sees the batch's own prior-attempt
+    signatures, pairs each kept original against its in-batch mutant,
+    and drops the survivor too — fixed by excluding the current
+    batch=<id> partition from the probe."""
+    from ocr_spark.operators import dedup
+    from ocr_spark.streaming.dedup_stream import neardup_batch_step
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    docs = _docs(spark).filter(F.col("doc_id") < 30)
+    orig = docs.select("doc_id", "text")
+    mut = docs.select(
+        (F.col("doc_id") + dedup.NEARDUP_OFFSET).alias("doc_id"),
+        dedup._mutated_text(F.col("text"), F.col("n_chars")).alias("text"),
+    )
+    batch = orig.unionByName(mut)  # pairs live inside ONE batch
+
+    neardup_batch_step(spark, batch, idx, out, batch_id=0)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    orig_ids = sorted(r.doc_id for r in orig.collect())
+    assert first == orig_ids  # in-batch keep-first: originals survive
+
+    neardup_batch_step(spark, batch, idx, out, batch_id=0)  # retry
+    second = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert second == first
+
+
 def test_compact_signature_index_probe_equivalence(spark, tmp_path):
     """Compacting the streaming batch=<id> index dirs into the
     bucketed table must preserve probe results exactly, dedupe
