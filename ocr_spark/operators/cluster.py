@@ -46,43 +46,44 @@ MAX_CC_ROUNDS = 25
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
-    """Undirected view: every edge in both orientations, no self loops."""
+    """Undirected view: every edge in both orientations, no self loops.
+
+    Deliberately NOT distinct: every consumer is a
+    ``groupBy(collect_set)``/``groupBy(min)``, which dedups for free —
+    a distinct here would be one extra full shuffle per call for
+    nothing (measured ~2x the per-round cost at toy scale, and pure
+    shuffle-volume waste at crawl scale)."""
     return (
         edges.select("u", "v")
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u}).
+
+    Output is not distinct-ed: it feeds ``_small_star``, whose
+    ``collect_set`` dedups. Per round the only shuffles are the two
+    star groupBys plus the output distinct in ``_small_star``."""
     grouped = _symmetrize(edges).groupBy("u").agg(
         F.collect_set("v").alias("nbrs")
     )
     m = F.least(F.array_min("nbrs"), F.col("u"))
-    return (
-        grouped.select(
-            F.explode(
-                F.filter("nbrs", lambda v: v > F.col("u"))
-            ).alias("node"),
-            m.alias("center"),
-        )
-        .select(F.col("node").alias("u"), F.col("center").alias("v"))
-        .distinct()
+    return grouped.select(
+        F.explode(
+            F.filter("nbrs", lambda v: v > F.col("u"))
+        ).alias("u"),
+        m.alias("v"),
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient edges large->small; connect u and its smaller neighbors
     to the minimum of that neighborhood."""
-    directed = (
-        edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
     grouped = directed.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
     m = F.array_min("nbrs")  # nbrs are all < u, so min includes the center
     members = F.array_union(
@@ -99,15 +100,19 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _checksum(edges: DataFrame) -> tuple:
-    """Cheap convergence probe: (count, sum(u), sum(v)). Star rounds
+    """Convergence probe: (count, sum(xxhash64(u, v))). Star rounds
     only ever re-point edges toward component minima, so a stable
-    checksum across one full L+S round means a stable edge set."""
+    checksum across one full L+S round means a stable edge set. The
+    hash sum is order- and partitioning-independent (integer sum) and
+    collision-resistant in practice — unlike the previous
+    (sum(u), sum(v)) pair, which two different edge sets could alias."""
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("u").alias("su"),
-        F.sum("v").alias("sv"),
+        # decimal(38,0) sum: a bigint sum of 64-bit hashes overflows
+        # under ANSI mode
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
     ).first()
-    return (row["n"], row["su"], row["sv"])
+    return (row["n"], row["h"])
 
 
 def connected_components(
@@ -123,9 +128,13 @@ def connected_components(
     cur = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
     # lazy checkpoint: the convergence checksum is the action that
     # materializes it, so each round costs ONE job, not an eager
-    # materialization plus a checksum over it
+    # materialization plus a checksum over it.  No checksum of the
+    # INPUT: the first comparison happens after round 1, saving one
+    # whole-input job per call (an already-converged input — which a
+    # candidate-pair edge set never is — would cost one extra round,
+    # the cheaper trade everywhere it matters).
     cur = cur.localCheckpoint(eager=False)
-    prev_sig = _checksum(cur)
+    prev_sig = None
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(nxt)

@@ -45,8 +45,13 @@ def spread_cpu(df: DataFrame, min_parts: Optional[int] = None) -> DataFrame:
     # without probing .rdd — under AQE, an identical executed shuffle
     # can be REUSED and coalesced, making getNumPartitions() report
     # the coalesced width and a naive probe re-add the exchange.
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    if "Repartition" in analyzed:
+    # Only the plan ROOT counts: a repartition at the root is "the
+    # caller just width-managed this exact frame"; a repartition
+    # buried upstream (e.g. a narrow 2-way one below a filter) says
+    # nothing about the width reaching the CPU-bound stage, and a
+    # whole-plan string match would wrongly suppress the spread there.
+    root = df._jdf.queryExecution().analyzed().nodeName()
+    if root in ("Repartition", "RepartitionByExpression"):
         return df
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -213,3 +213,26 @@ def test_spread_cpu_widens_narrow_scan(spark, corpus_path):
     # second exchange
     again = spread_cpu(spread_cpu(spark.read.parquet(corpus_path)))
     assert _plan(again).count("RoundRobinPartitioning") == 1
+
+
+def test_spread_cpu_ignores_upstream_narrow_repartition(spark, corpus_path):
+    """The root-repartition check must not be fooled by a NARROW
+    repartition buried below other operators: the frame is still
+    2-wide at the CPU stage, so spread_cpu must still spread it."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans import spread_cpu
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = (
+        spark.read.parquet(corpus_path)
+        .repartition(2)
+        .filter(F.length("text") >= 0)
+        .select("url", "text")
+    )
+    spread = spread_cpu(narrow)
+    assert spread.rdd.getNumPartitions() >= target
+    # while a repartition AT THE ROOT is respected (caller already
+    # width-managed this exact frame): exactly the one exchange
+    rooted = spread_cpu(spark.read.parquet(corpus_path).repartition(2))
+    assert _plan(rooted).count("Exchange") == 1

@@ -570,6 +570,18 @@ def test_connected_components_known_graph(spark):
                    20: 20, 21: 20, 30: 30}
 
 
+def test_cc_checksum_detects_repointed_edge(spark):
+    """The convergence probe must change when an edge is re-pointed —
+    the aliasing case (count, sum(u), sum(v)) could not distinguish:
+    {(1,4),(2,3)} vs {(1,3),(2,4)} share count=2, sum(u)=3, sum(v)=7."""
+    from ocr_spark.operators.cluster import _checksum
+
+    a = spark.createDataFrame([(1, 4), (2, 3)], "u bigint, v bigint")
+    b = spark.createDataFrame([(1, 3), (2, 4)], "u bigint, v bigint")
+    assert _checksum(a) != _checksum(b)
+    assert _checksum(a) == _checksum(a.repartition(7))  # order-independent
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 64-node chain has diameter 63; plain min-label propagation
     would need 63 rounds. Alternating star must finish inside the
