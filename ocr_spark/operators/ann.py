@@ -506,10 +506,14 @@ def sql_neardup_corpus() -> str:
     """
 
 
-def sql_neardup_pairs() -> str:
+def sql_neardup_pairs(max_bucket: int = MAX_LSH_BUCKET) -> str:
     buckets = "[" + ", ".join(
         _sql_bucket("embedding", b) for b in range(N_BANDS)
     ) + "]"
+    # ok_buckets mirrors the Spark side's degenerate-bucket cap
+    # (neardup_pairs' size(ids) <= max_bucket): without it the oracle
+    # would silently diverge by design on any corpus that produces an
+    # oversize bucket.
     return f"""
         WITH corpus AS ({sql_neardup_corpus()}),
         keyed AS (
@@ -517,11 +521,19 @@ def sql_neardup_pairs() -> str:
                    unnest(range(0, {N_BANDS})) AS band,
                    unnest({buckets}) AS bucket
             FROM corpus
+        ),
+        ok_buckets AS (
+            SELECT band, bucket FROM keyed
+            GROUP BY band, bucket
+            HAVING count(*) > 1 AND count(*) <= {max_bucket}
         )
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round({_sql_cosine('a.embedding', 'b.embedding')}, 4) AS cos_sim
-        FROM keyed a JOIN keyed b
+        FROM keyed a
+        JOIN keyed b
           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN ok_buckets ok
+          ON ok.band = a.band AND ok.bucket = a.bucket
         WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 4)
               >= {NEARDUP_THRESHOLD}
     """
@@ -1242,6 +1254,7 @@ def sql_semantic_dedup(
     k: int = IVF_CENTROIDS,
     n_iter: int = 2,
     threshold: float = SEMDEDUP_THRESHOLD,
+    max_cluster: int = MAX_LSH_BUCKET,
 ) -> str:
     """DuckDB replay of semantic_dedup over the planted near-dup
     corpus: the sql_kmeans_centroids Lloyd chain retargeted at the
@@ -1289,11 +1302,23 @@ def sql_semantic_dedup(
         parts.append(f"c{i + 1} AS {update(f'c{i}', f'a{i}')}")
     pair_cos = _sql_cosine("a.embedding", "b.embedding")
     parts.append(f"fin AS {assign(f'c{n_iter}')}")
+    # ok_clusters mirrors the Spark side's degenerate-cluster cap
+    # (semantic_dedup's size(ids) <= max_cluster) so the oracle cannot
+    # silently diverge on an oversize cluster.
+    parts.append(
+        f"""ok_clusters AS (
+            SELECT centroid FROM fin
+            GROUP BY centroid
+            HAVING count(*) > 1 AND count(*) <= {max_cluster}
+        )"""
+    )
     parts.append(
         f"""dups AS (
             SELECT b.vec_id, min(a.vec_id) AS witness
-            FROM fin a JOIN fin b
+            FROM fin a
+            JOIN fin b
               ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+            JOIN ok_clusters ok ON ok.centroid = a.centroid
             WHERE round({pair_cos}, 6) >= {threshold}
             GROUP BY b.vec_id
         )"""
@@ -1386,9 +1411,14 @@ def build_ivfpq_index(
     )
     idx.write.mode("overwrite").partitionBy("centroid").parquet(path)
     meta = {"coarse": coarse, "books": books}
-    sidecar = os.path.join(path, "_codebooks.json")
-    with open(sidecar, "w") as fh:
-        json.dump(meta, fh)
+    # Sidecar goes through the Hadoop FS API (plans.fs): ``path`` is a
+    # Spark output path, so s3a://hdfs:// URIs must work the same as
+    # local ones — a driver-local open() would only handle the latter.
+    from ocr_spark.plans.fs import write_text
+
+    write_text(
+        emb.sparkSession, f"{path.rstrip('/')}/_codebooks.json", json.dumps(meta)
+    )
     return meta
 
 
@@ -1408,8 +1438,9 @@ def ivfpq_probe(
     import json
     import math
 
-    with open(os.path.join(path, "_codebooks.json")) as fh:
-        meta = json.load(fh)
+    from ocr_spark.plans.fs import read_text
+
+    meta = json.loads(read_text(spark, f"{path.rstrip('/')}/_codebooks.json"))
     coarse = meta["coarse"]
     books = meta["books"]
     q = [float(x) for x in query_vec]

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import url_bucket
+from .fs import hadoop_fs
 from ..operators.extract import extract_documents
 
 LINEAGE_SCHEMA = (
@@ -208,6 +209,73 @@ def run_pipeline(
     return {"run_id": run_id, "buckets_processed": n_buckets_done, "docs": n_docs}
 
 
+REPAIR_STAGING = "_repair_staging"
+# No '=' in the trash name: Spark's hidden-path filter skips '_'/'.'
+# prefixed names EXCEPT those containing '=' (partition values may
+# start with an underscore), so '_repair_old_bucket=3' would be
+# partition-inferred and conflict with 'bucket='.
+REPAIR_TRASH_PREFIX = "_repair_old_b"
+
+
+def _swap_repair_buckets(
+    spark: SparkSession, output_path: str, buckets: list
+) -> None:
+    """Swap staged bucket directories into place, bucket-atomically.
+
+    Per bucket: rename live -> trash, rename staged -> live, delete
+    trash. Each rename is a single metadata operation (atomic on
+    local/HDFS; object stores need an Iceberg/table-format commit
+    instead — documented limitation). A kill between the two renames
+    leaves a ``_repair_old_bucket=N`` dir that ``recover_repair`` rolls
+    forward or back; both trash and staging start with '_' so Spark's
+    partition discovery never sees half a swap.
+    """
+    fs, Path = hadoop_fs(spark, output_path)
+    for b in buckets:
+        live = Path(f"{output_path}/bucket={b}")
+        trash = Path(f"{output_path}/{REPAIR_TRASH_PREFIX}{b}")
+        staged = Path(f"{output_path}/{REPAIR_STAGING}/bucket={b}")
+        if not fs.exists(staged):
+            continue
+        if fs.exists(live):
+            fs.rename(live, trash)
+        fs.rename(staged, live)
+        fs.delete(trash, True)
+    fs.delete(Path(f"{output_path}/{REPAIR_STAGING}"), True)
+
+
+def recover_repair(spark: SparkSession, output_path: str) -> int:
+    """Make ``output_path`` consistent after a kill during a repair
+    swap: for every ``_repair_old_bucket=N`` trash dir, roll the bucket
+    forward (staged copy exists) or back (it doesn't); stale staging is
+    discarded. Buckets whose swap never started keep their old data —
+    bucket-granular atomicity, the same unit as resume. Returns the
+    number of buckets recovered. Idempotent; safe to run at every job
+    start."""
+    fs, Path = hadoop_fs(spark, output_path)
+    root = Path(output_path)
+    if not fs.exists(root):
+        return 0
+    fixed = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(REPAIR_TRASH_PREFIX):
+            continue
+        b = name[len(REPAIR_TRASH_PREFIX):]
+        live = Path(f"{output_path}/bucket={b}")
+        staged = Path(f"{output_path}/{REPAIR_STAGING}/bucket={b}")
+        if fs.exists(live):
+            pass  # swap completed; trash is leftover
+        elif fs.exists(staged):
+            fs.rename(staged, live)  # roll forward
+        else:
+            fs.rename(st.getPath(), live)  # roll back
+        fs.delete(st.getPath(), True)
+        fixed += 1
+    fs.delete(Path(f"{output_path}/{REPAIR_STAGING}"), True)
+    return fixed
+
+
 def repair_empty(
     spark: SparkSession,
     input_path: str,
@@ -220,11 +288,17 @@ def repair_empty(
     whose output is completed-but-empty and patch their buckets.
 
     The target set is found by a filter on the *output* table (no scan
-    of the input beyond a broadcast semi-join on the tiny url list),
-    and the patch rewrites only the affected buckets via dynamic
-    partition overwrite — the same idempotent write as the main job.
-    Returns the number of documents re-extracted.
+    of the input beyond a broadcast semi-join on the tiny url list).
+    The patch is written to a ``_repair_staging`` dir under the output
+    (never read by partition discovery — leading underscore), then each
+    affected bucket directory is swapped in atomically
+    (``_swap_repair_buckets``): a reader or a kill at any moment sees
+    each bucket fully old or fully new, never mixed, and no repair data
+    ever sits in executor memory the way the previous
+    localCheckpoint-then-overwrite did. Returns the number of documents
+    re-extracted.
     """
+    recover_repair(spark, output_path)  # heal any interrupted repair
     out = spark.read.parquet(output_path)
     targets = out.filter(
         (F.col("status") == "completed") & (F.col("chars_out") == 0)
@@ -239,30 +313,27 @@ def repair_empty(
     # url_bucket: inferring the bucket count as max(bucket)+1 is wrong
     # whenever the top buckets happen to be empty (near-certain with
     # large --buckets on modest inputs), and a mismatched modulus would
-    # re-assign redone rows to different buckets — the dynamic overwrite
-    # would then replace unrelated bucket directories with only the
-    # redone rows (silent data loss).
+    # re-assign redone rows to different buckets — the swap would then
+    # replace unrelated bucket directories with only the redone rows
+    # (silent data loss).
     redone = extract_documents(todo, n_partitions=n_partitions).join(
         F.broadcast(targets), "url"
     )
     # Patch = union of untouched rows in the affected buckets + the
-    # re-extracted rows, rewritten bucket-atomically. The kept rows are
-    # materialized (localCheckpoint) so the write no longer reads from
-    # the path it overwrites; at production scale this is a staging
-    # path + atomic swap (or an Iceberg MERGE) instead.
+    # re-extracted rows. Writing to staging reads the live output and
+    # writes elsewhere — no read-from-overwritten-path hazard, no
+    # materialization of kept rows.
     affected = [r.bucket for r in targets.select("bucket").distinct().collect()]
-    keep = (
-        out.filter(F.col("bucket").isin(affected))
-        .join(F.broadcast(targets.select("url")), "url", "left_anti")
-        .localCheckpoint(eager=True)
+    keep = out.filter(F.col("bucket").isin(affected)).join(
+        F.broadcast(targets.select("url")), "url", "left_anti"
     )
     patched = keep.unionByName(redone)
     (
         patched.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
-        .parquet(output_path)
+        .parquet(f"{output_path}/{REPAIR_STAGING}")
     )
+    _swap_repair_buckets(spark, output_path, affected)
     return n_targets
 
 

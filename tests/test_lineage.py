@@ -314,6 +314,77 @@ class TestRepairEmpty:
         }
         assert got == golden  # same rows, same buckets, same bytes
 
+    def test_repair_kill_during_swap_recovers(self, spark, tmp_path):
+        """A kill between the two renames of a bucket swap leaves a
+        ``_repair_old_bucket=N`` trash dir and no live bucket dir.
+        The output must stay readable at every intermediate state
+        (the in-flight dirs start with '_', invisible to partition
+        discovery), and recover_repair must roll the bucket forward
+        when the staged copy exists, back when it doesn't — never a
+        mix within a bucket."""
+        import os
+        import shutil
+
+        from ocr_spark.corpus import write_corpus
+        from ocr_spark.plans.lineage import (
+            REPAIR_STAGING,
+            REPAIR_TRASH_PREFIX,
+            output_is_complete,
+            recover_repair,
+            run_pipeline,
+        )
+
+        inp = str(tmp_path / "in.parquet")
+        write_corpus(inp, 80, seed=29)
+        out, lin = str(tmp_path / "out"), str(tmp_path / "lin")
+        run_pipeline(spark, inp, out, lin, n_buckets=8)
+        golden = {
+            r.url: r.content_hash
+            for r in spark.read.parquet(out)
+            .select("url", "content_hash")
+            .collect()
+        }
+        b_fwd, b_back = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(out)
+            if d.startswith("bucket=")
+        )[:2]
+
+        # kill state A (roll-forward): staging written, live renamed to
+        # trash, second rename never happened
+        staged = os.path.join(out, REPAIR_STAGING, f"bucket={b_fwd}")
+        shutil.copytree(os.path.join(out, f"bucket={b_fwd}"), staged)
+        os.rename(
+            os.path.join(out, f"bucket={b_fwd}"),
+            os.path.join(out, f"{REPAIR_TRASH_PREFIX}{b_fwd}"),
+        )
+        # kill state B (roll-back): live renamed to trash, no staged copy
+        os.rename(
+            os.path.join(out, f"bucket={b_back}"),
+            os.path.join(out, f"{REPAIR_TRASH_PREFIX}{b_back}"),
+        )
+
+        # half-swapped output is still readable (in-flight dirs hidden)
+        spark.catalog.refreshByPath(out)
+        readable = spark.read.parquet(out)
+        assert readable.count() > 0
+
+        assert recover_repair(spark, out) == 2
+        assert recover_repair(spark, out) == 0  # idempotent
+        spark.catalog.refreshByPath(out)
+        assert output_is_complete(spark, out, inp)
+        got = {
+            r.url: r.content_hash
+            for r in spark.read.parquet(out)
+            .select("url", "content_hash")
+            .collect()
+        }
+        assert got == golden
+        assert not os.path.exists(os.path.join(out, REPAIR_STAGING))
+        assert not any(
+            d.startswith(REPAIR_TRASH_PREFIX) for d in os.listdir(out)
+        )
+
     def test_repair_noop_when_clean(self, spark, tmp_path):
         from ocr_spark.corpus import write_corpus
         from ocr_spark.plans.lineage import repair_empty, run_pipeline
