@@ -1222,6 +1222,43 @@ def q_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_INDEX_CACHE: dict = {}
+
+
+def q_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T52 end-to-end through the PERSISTED IVF-PQ index: build the
+    centroid-partitioned code table + codebook sidecar on disk, then
+    probe it across all cells.  An all-cell probe must equal the
+    oracle-gated full ADC scan row-for-row (same codebooks, same
+    LUT-sum scores — tests/test_training_ops.py proves the identity),
+    so the oracle is ``sql_pq_adc_topk`` itself and a green row
+    certifies the file-index write/read/score path, not just the
+    in-memory math."""
+    import tempfile
+
+    from ocr_spark.operators.ann import build_ivfpq_index, ivfpq_probe
+
+    if sf_dir not in _IVFPQ_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="ocr_spark_ivfpq_") + "/index"
+        meta = build_ivfpq_index(
+            _t(spark, sf_dir, "embeddings"),
+            path,
+            codebooks=_pq_books(spark, sf_dir),
+        )
+        _IVFPQ_INDEX_CACHE[sf_dir] = (path, meta)
+    path, meta = _IVFPQ_INDEX_CACHE[sf_dir]
+    q = [
+        float(x)
+        for x in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]
+        .embedding
+    ]
+    return ivfpq_probe(
+        spark, path, q, k=10, n_probe=len(meta["coarse"]), exclude_vec_id=0
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the planted near-dup corpus: k-means clusters,
     then within-cluster cosine >= 0.95 marks duplicates (witness = the
@@ -1476,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "semantic_dedup": q_semantic_dedup,
         "pq_adc_rerank": q_pq_adc_rerank,
+        "ivfpq_index_probe": q_ivfpq_index_probe,
         "tfidf_keywords": q_tfidf_keywords,
         "url_canon": q_url_canon,
         "snapshot_diff": q_snapshot_diff,
@@ -1930,6 +1968,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _ann_sql.sql_pq_adc_topk(),
         "semantic_dedup": _ann_sql.sql_semantic_dedup(),
         "pq_adc_rerank": _ann_sql.sql_pq_adc_rerank_topk(),
+        # all-cell probe of the persisted index == the full ADC scan
+        "ivfpq_index_probe": _ann_sql.sql_pq_adc_topk(),
         "url_canon": _webcorpus_sql.sql_url_canon(),
         "snapshot_diff": _webcorpus_sql.sql_snapshot_diff(
             "SELECT doc_id, text FROM documents",

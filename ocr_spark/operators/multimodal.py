@@ -7,11 +7,14 @@ pipeline instead needs the *plumbing*: binary media columns flowing
 through scans/shuffles untouched, with decode / feature-extract /
 resize running as vectorized batch UDFs near the end of the plan.
 
-This container has no image/audio codec libraries, so the decode of
-real formats (JPEG/PNG/WAV magic bytes) is STUBBED with a clearly
-marked ``NotImplementedError`` branch; everything Spark-side — schema,
+Real formats: PNG (8-bit grayscale/RGB, zlib + manual chunk/filter
+parsing — stdlib only) and WAV (PCM 8/16-bit via the stdlib ``wave``
+parser) are genuinely decoded; JPEG and MP4 remain clearly marked
+``NotImplementedError`` seams (no pure-stdlib decoder exists — PIL /
+ffmpeg plug in there in production).  Everything Spark-side — schema,
 Arrow batch shape, mapInPandas signatures, metadata struct, partition
-behavior — is real and tested against a deterministic fake format:
+behavior — is additionally tested against a deterministic fake format
+whose decode output is closed-form SQL-predictable:
 
     FAKE1IMG | u32 width | u32 height | width*height pixel bytes
 
@@ -66,16 +69,103 @@ def fake_image_bytes(doc_id: int) -> bytes:
     )
 
 
+def _png_decode(payload: bytes) -> tuple:
+    """Pure-stdlib PNG decode (RFC 2083): chunk walk, zlib inflate,
+    scanline de-filter (all five filter types), for 8-bit grayscale
+    (color type 0) and truecolor (type 2), non-interlaced.  Returns
+    (width, height, n_pixels, mean_luma); luma for RGB is ITU-R BT.601
+    (0.299 R + 0.587 G + 0.114 B).
+
+    The per-byte de-filter loop is driver-of-last-resort Python — fine
+    for metadata extraction on thumbnails/test assets; a production
+    image pipeline swaps this for PIL/libvips at the same seam."""
+    import zlib
+
+    pos = len(_PNG_MAGIC)
+    width = height = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+                raise NotImplementedError(
+                    "PNG beyond 8-bit gray/RGB non-interlaced needs a real "
+                    "codec library (PIL/libvips) at this seam"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    ch = 1 if color_type == 0 else 3
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    recon = bytearray(height * stride)
+    src = 0
+    for y in range(height):
+        f = raw[src]
+        src += 1
+        line = raw[src : src + stride]
+        src += stride
+        off = y * stride
+        for x in range(stride):
+            a = recon[off + x - ch] if x >= ch else 0
+            b = recon[off - stride + x] if y > 0 else 0
+            c = recon[off - stride + x - ch] if (y > 0 and x >= ch) else 0
+            v = line[x]
+            if f == 0:
+                r = v
+            elif f == 1:
+                r = v + a
+            elif f == 2:
+                r = v + b
+            elif f == 3:
+                r = v + (a + b) // 2
+            elif f == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r = v + pred
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            recon[off + x] = r & 0xFF
+    n = width * height
+    if ch == 1:
+        mean = sum(recon) / n if n else 0.0
+    else:
+        mean = (
+            sum(
+                0.299 * recon[i] + 0.587 * recon[i + 1] + 0.114 * recon[i + 2]
+                for i in range(0, len(recon), 3)
+            )
+            / n
+            if n
+            else 0.0
+        )
+    return width, height, n, mean
+
+
 def decode_image(payload: bytes) -> tuple:
     """(width, height, n_pixels, mean_luma) for one payload.
 
-    Real formats are recognized but unsupported here — the pipeline
-    seam where PIL/libvips would plug in on a production image.
+    PNG decodes for real (``_png_decode``, stdlib-only); JPEG is the
+    remaining seam where PIL/libvips would plug in on a production
+    image.
     """
-    if payload.startswith(_JPEG_MAGIC) or payload.startswith(_PNG_MAGIC):
+    if payload.startswith(_PNG_MAGIC):
+        return _png_decode(payload)
+    if payload.startswith(_JPEG_MAGIC):
         raise NotImplementedError(
-            "real image codecs are not available in this container; "
-            "plug a PIL/libvips decode into this branch in production"
+            "no pure-stdlib JPEG decoder exists; plug a PIL/libvips "
+            "decode into this branch in production"
         )
     if not payload.startswith(FAKE_IMG_MAGIC):
         raise ValueError("unknown media format")
@@ -113,14 +203,49 @@ def fake_audio_bytes(doc_id: int) -> bytes:
     )
 
 
-def decode_audio(payload: bytes) -> tuple:
-    """(sample_rate, n_samples, duration_ms, mean_amp); real WAV is
-    the explicit codec seam (soundfile/librosa in production)."""
-    if payload.startswith(_WAV_MAGIC):
+def _wav_decode(payload: bytes) -> tuple:
+    """Real WAV decode through the stdlib ``wave`` parser: PCM 8-bit
+    (unsigned) and 16-bit (signed LE), any channel count.  mean_amp is
+    normalized to the 8-bit scale (|s-128| for u8, |s|/256 for s16) so
+    the feature is commensurate with the fake format's. Compressed or
+    wider encodings stay a NotImplementedError seam (soundfile /
+    librosa in production)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            sw = w.getsampwidth()
+            frames = w.readframes(n)
+    except wave.Error as exc:
+        raise ValueError(f"malformed WAV: {exc}") from exc
+    if sw == 1:
+        vals = [abs(s - 128) for s in frames]
+    elif sw == 2:
+        vals = [
+            abs(v[0]) / 256.0
+            for v in struct.iter_unpack("<h", frames)
+        ]
+    else:
         raise NotImplementedError(
-            "real audio codecs are not available in this container; "
-            "plug a soundfile/librosa decode into this branch in production"
+            f"{8 * sw}-bit WAV needs a real codec library "
+            "(soundfile/librosa) at this seam"
         )
+    mean_amp = (sum(vals) / len(vals)) if vals else 0.0
+    duration_ms = round(n * 1000.0 / rate, 3) if rate else 0.0
+    return rate, n, duration_ms, mean_amp
+
+
+def decode_audio(payload: bytes) -> tuple:
+    """(sample_rate, n_samples, duration_ms, mean_amp); PCM WAV
+    decodes for real (``_wav_decode``); compressed audio is the
+    remaining codec seam."""
+    if payload.startswith(_WAV_MAGIC) and payload[8:12] == b"WAVE":
+        return _wav_decode(payload)
+    if payload.startswith(_WAV_MAGIC):
+        raise ValueError("RIFF container without WAVE form")
     if not payload.startswith(FAKE_AUD_MAGIC):
         raise ValueError("unknown media format")
     rate, n = struct.unpack_from("<II", payload, len(FAKE_AUD_MAGIC))

@@ -284,7 +284,7 @@ def test_multimodal_real_formats_are_explicit_stubs():
         M.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
     with pytest.raises(ValueError):
         M.decode_image(b"garbage-bytes")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # WAVE form but unparseable
         M.decode_audio(b"RIFF....WAVEfmt ")
     with pytest.raises(ValueError):
         M.decode_audio(b"garbage-bytes")
@@ -292,6 +292,145 @@ def test_multimodal_real_formats_are_explicit_stubs():
         M.sample_frames(b"\x00\x00\x00\x18ftypmp42....")
     with pytest.raises(ValueError):
         M.sample_frames(b"garbage-bytes-long-enough")
+
+
+def _encode_png(width, height, pixels, color_type=0, filters=None):
+    """Minimal test-side PNG encoder (independent forward-filter
+    implementation; the decoder must invert it). ``pixels`` is a flat
+    row-major byte list; ``filters`` gives one filter type per row."""
+    import struct as st
+    import zlib
+
+    ch = 1 if color_type == 0 else 3
+    stride = width * ch
+    filters = filters or [0] * height
+
+    def chunk(ctype, data):
+        c = st.pack(">I", len(data)) + ctype + data
+        return c + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = bytes(pixels[y * stride : (y + 1) * stride])
+        f = filters[y]
+        raw.append(f)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - a
+            elif f == 2:
+                v = row[x] - b
+            elif f == 3:
+                v = row[x] - (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[x] - pred
+            raw.append(v & 0xFF)
+        prev = row
+    ihdr = st.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_png_decodes_for_real():
+    """8-bit grayscale PNG with every filter type in play must decode
+    to the exact constructed pixels; RGB luma is BT.601; unsupported
+    depths stay explicit seams."""
+    from ocr_spark.operators import multimodal as M
+
+    w, h = 7, 5
+    pixels = [(3 * x + 11 * y) % 256 for y in range(h) for x in range(w)]
+    png = _encode_png(w, h, pixels, filters=[0, 1, 2, 3, 4])
+    gw, gh, n, mean = M.decode_image(png)
+    assert (gw, gh, n) == (w, h, w * h)
+    assert mean == pytest.approx(sum(pixels) / len(pixels))
+
+    rgb = [v % 256 for p in range(w * h) for v in (p * 5, p * 7, p * 11)]
+    png_rgb = _encode_png(w, h, rgb, color_type=2, filters=[4, 3, 2, 1, 0])
+    _, _, n_rgb, mean_rgb = M.decode_image(png_rgb)
+    expect = sum(
+        0.299 * rgb[i] + 0.587 * rgb[i + 1] + 0.114 * rgb[i + 2]
+        for i in range(0, len(rgb), 3)
+    ) / (w * h)
+    assert n_rgb == w * h and mean_rgb == pytest.approx(expect)
+
+    import struct as st
+    import zlib as zl
+
+    ihdr16 = st.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    c = st.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + c
+        + st.pack(">I", zl.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_image(png16)
+
+
+def test_multimodal_wav_decodes_for_real():
+    """PCM WAV (8- and 16-bit) through the stdlib writer must decode
+    to exact rate/frames/duration and the 8-bit-scale mean amplitude."""
+    import io
+    import struct as st
+    import wave
+
+    from ocr_spark.operators import multimodal as M
+
+    def make_wav(rate, samples, sampwidth):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(sampwidth)
+            w.setframerate(rate)
+            if sampwidth == 1:
+                w.writeframes(bytes(samples))
+            else:
+                w.writeframes(b"".join(st.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    u8 = [(i * 37) % 256 for i in range(500)]
+    rate, n, dur, amp = M.decode_audio(make_wav(16000, u8, 1))
+    assert (rate, n) == (16000, 500)
+    assert dur == pytest.approx(500 * 1000.0 / 16000, abs=1e-3)
+    assert amp == pytest.approx(sum(abs(s - 128) for s in u8) / 500)
+
+    s16 = [((i * 523) % 4000) - 2000 for i in range(300)]
+    rate, n, dur, amp = M.decode_audio(make_wav(8000, s16, 2))
+    assert (rate, n) == (8000, 300)
+    assert amp == pytest.approx(sum(abs(s) / 256.0 for s in s16) / 300)
+
+
+def test_multimodal_real_payloads_through_spark_stage(spark):
+    """A mixed batch of fake + real-PNG payloads flows through the
+    Arrow decode stage; the real format is decoded by the same UDF."""
+    from ocr_spark.operators import multimodal as M
+
+    w, h = 6, 4
+    pixels = [(x + y) % 256 for y in range(h) for x in range(w)]
+    png = _encode_png(w, h, pixels, filters=[1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(M.fake_image_bytes(1))),
+            (2, "image", bytearray(png)),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r.doc_id: r for r in M.decode_media(media).collect()}
+    assert rows[2].width == w and rows[2].height == h
+    assert rows[2].mean_luma == pytest.approx(sum(pixels) / len(pixels))
+    assert rows[1].width == 16 + 1 % 48
 
 
 def test_multimodal_audio_video_roundtrip():
