@@ -673,6 +673,68 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_neardup_pairs(new, dedup.signature_table(old))
 
 
+_SIG_COMPACT_CACHE: dict = {}
+
+
+def q_signature_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T58 end-to-end: two streaming-style ``batch=<id>`` signature
+    dirs (one written twice — a replayed batch) are folded into the
+    bucketed signature table by ``compact_signature_index``, and the
+    incremental probe then runs against the COMPACTED table.  The
+    result must equal a probe of the flat index, so the oracle is
+    ``sql_incremental_pairs`` — a green row certifies the compaction
+    path (multi-dir fold + replay dedup + bucketed layout), not just
+    the in-memory probe."""
+    import shutil
+    import tempfile
+
+    from ocr_spark.operators import dedup
+    from ocr_spark.streaming.dedup_stream import compact_signature_index
+
+    docs = _tw(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    if sf_dir not in _SIG_COMPACT_CACHE:
+        idx = tempfile.mkdtemp(prefix="ocr_spark_sigidx_") + "/index"
+        sigs = dedup.signature_table(old)
+        sigs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{idx}/batch=0"
+        )
+        for _ in range(2):  # second write = an idempotent batch replay
+            sigs.filter(F.col("doc_id") % 2 == 1).write.mode(
+                "overwrite"
+            ).parquet(f"{idx}/batch=1")
+        name = "t_sig_compact_entry"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
+        compact_signature_index(spark, idx, name)
+        _SIG_COMPACT_CACHE[sf_dir] = name
+    table = spark.table(_SIG_COMPACT_CACHE[sf_dir])
+    new = docs.select(
+        (F.col("doc_id") + F.lit(dedup.NEARDUP_OFFSET)).alias("doc_id"),
+        dedup._mutated_text(F.col("text"), F.col("n_chars")).alias("text"),
+    )
+    return dedup.incremental_neardup_pairs(new, table)
+
+
+def q_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T59: per-language distinct-vocabulary KMV sketch (k smallest
+    md5 hashes -> (k-1)*2^60/h_k), hash-exact cross-engine including
+    the estimate, next to the exact distinct as the audit column."""
+    from ocr_spark.operators.corpus_ops import kmv_vocab_estimate
+
+    return kmv_vocab_estimate(_tw(spark, sf_dir, "documents"))
+
+
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T60: constant-size Bloom-bitset decontamination — the
+    can't-broadcast-the-gram-table shape (Dolma/BFF); deterministic
+    integer probes make the oracle reproduce the filter bit-for-bit,
+    false positives included."""
+    from ocr_spark.operators.webcorpus import bloom_contamination
+
+    return bloom_contamination(_tw(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash-LSH pairs: alternating
     Large-Star/Small-Star connected components; cluster id = component
@@ -1514,6 +1576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pq_adc_rerank": q_pq_adc_rerank,
         "ivfpq_index_probe": q_ivfpq_index_probe,
+        "signature_compaction": q_signature_compaction,
+        "kmv_vocab": q_kmv_vocab,
+        "bloom_contamination": q_bloom_contamination,
         "tfidf_keywords": q_tfidf_keywords,
         "url_canon": q_url_canon,
         "snapshot_diff": q_snapshot_diff,
@@ -1970,6 +2035,10 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_rerank": _ann_sql.sql_pq_adc_rerank_topk(),
         # all-cell probe of the persisted index == the full ADC scan
         "ivfpq_index_probe": _ann_sql.sql_pq_adc_topk(),
+        # probe via the compacted bucketed table == probe of the flat index
+        "signature_compaction": _dedup_sql.sql_incremental_pairs(),
+        "kmv_vocab": _corpus_sql.sql_kmv_vocab_estimate(),
+        "bloom_contamination": _webcorpus_sql.sql_bloom_contamination(),
         "url_canon": _webcorpus_sql.sql_url_canon(),
         "snapshot_diff": _webcorpus_sql.sql_snapshot_diff(
             "SELECT doc_id, text FROM documents",

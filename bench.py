@@ -98,6 +98,8 @@ HEADLINE_QUERIES = [
     "host_cap",
     "pq_adc_topk",
     "semantic_dedup",
+    "kmv_vocab",
+    "bloom_contamination",
 ]
 
 
@@ -139,11 +141,11 @@ def _scale_worker(width: int) -> None:
 
     spark = get_spark(app_name=f"ocr_spark-scale-{width}", cores=width)
     job = _scale_job(spark, _bench_corpus_path(), SCALE_REPEAT)
-    n = extract_documents(job, n_partitions=2 * width).count()  # warm
+    n = extract_documents(job).count()  # warm
     best = float("inf")
     for _ in range(SCALE_TRIALS):
         t0 = time.monotonic()
-        extract_documents(job, n_partitions=2 * width).count()
+        extract_documents(job).count()
         best = min(best, time.monotonic() - t0)
     print(
         json.dumps(
@@ -185,11 +187,16 @@ def _breakdown_worker(width: int) -> None:
         )
 
     def full():
-        return extract_documents(job, n_partitions=2 * width).count()
+        return extract_documents(job).count()
+
+    def shuffled():
+        return extract_documents(
+            job, n_partitions=2 * width, strategy="shuffle"
+        ).count()
 
     out = {"width": width}
     for name, fn in [("scan", scan), ("extract_noshuffle", noshuffle),
-                     ("extract_full", full)]:
+                     ("extract_full", full), ("extract_shuffle", shuffled)]:
         fn()  # warm
         best = float("inf")
         for _ in range(max(1, SCALE_TRIALS)):
@@ -373,7 +380,7 @@ def main() -> None:
     job = _scale_job(spark, corpus_path, SCALE_REPEAT)
     # warm-up: full pass — spawns all python workers, JITs the whole
     # pipeline; this cold cost amortizes to zero at 100 TB scale
-    extract_documents(job, n_partitions=2 * cores).count()
+    extract_documents(job).count()
 
     # best-of-K: this host's noise comes in minutes-long windows (round
     # 1 recorded 98.5 s for a job the pinned scaling children ran in
@@ -383,7 +390,7 @@ def main() -> None:
     n_extracted = 0
     for _ in range(max(1, FLAGSHIP_TRIALS)):
         t0 = time.monotonic()
-        n_extracted = extract_documents(job, n_partitions=2 * cores).count()
+        n_extracted = extract_documents(job).count()
         extract_sec = min(extract_sec, time.monotonic() - t0)
     # Adaptive extension (same rationale as _scaling_section): the
     # scaling section just measured the IDENTICAL job in a pinned
@@ -403,7 +410,7 @@ def main() -> None:
     if flag_ref and n_extracted / extract_sec < FLAGSHIP_RETRY_FRAC * flag_ref:
         for _ in range(FLAGSHIP_EXTRA_TRIALS):
             t0 = time.monotonic()
-            n_extracted = extract_documents(job, n_partitions=2 * cores).count()
+            n_extracted = extract_documents(job).count()
             extract_sec = min(extract_sec, time.monotonic() - t0)
     timings["extract_corpus"] = round(extract_sec, 3)
     docs_per_sec = n_extracted / extract_sec if extract_sec else 0.0
@@ -424,12 +431,12 @@ def main() -> None:
         )
     big = spark.read.parquet(big_path)
     big_bytes = big.selectExpr("sum(length(html)) b").first().b
-    extract_documents(big, n_partitions=2 * cores).count()  # warm
+    extract_documents(big).count()  # warm
     big_sec = float("inf")
     n_big = 0
     for _ in range(max(1, FLAGSHIP_TRIALS)):
         t0 = time.monotonic()
-        n_big = extract_documents(big, n_partitions=2 * cores).count()
+        n_big = extract_documents(big).count()
         big_sec = min(big_sec, time.monotonic() - t0)
     timings["extract_corpus_big"] = round(big_sec, 3)
 

@@ -502,3 +502,131 @@ def sql_mixture_sample(
             WHERE {strata_expr} IN ({langs}))
         WHERE cum_tokens - n_tokens < _budget
     """
+
+
+# ---------------------------------------------------------------------------
+# T59 — KMV distinct-cardinality sketch (vocabulary size per group)
+# ---------------------------------------------------------------------------
+#
+# Counting distinct values exactly at 10^12-row scale means shuffling
+# every distinct value once (count(DISTINCT ...) or a distinct+count);
+# the crawl-stats answer is a bounded sketch.  HLL (Spark's
+# approx_count_distinct) is engine-specific and can't be oracle-gated;
+# a K-Minimum-Values sketch (Bar-Yossef et al. 2002) built on the
+# repo's deterministic 60-bit md5 hash is: both engines keep the k
+# smallest distinct hashes per group and estimate
+# D ≈ (k-1) * 2^60 / h_(k) — every step integer- or
+# identically-double-deterministic, so the sketch estimate itself is
+# hash-exact cross-engine.
+
+KMV_K = 256
+KMV_SALTS = 8
+_H60_SPACE = float(1 << 60)
+
+
+def kmv_vocab_estimate(
+    docs: DataFrame,
+    k: int = KMV_K,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n_salts: int = KMV_SALTS,
+) -> DataFrame:
+    """Per-``group_col`` distinct 3-word-shingle (phrase-vocabulary)
+    estimate via a KMV sketch: (group, n_exact, n_kmv).  Shingles, not
+    words: the unit must be high-cardinality for the sketch to earn
+    its keep (and for the >=k estimator branch to be exercised by the
+    gate corpus at all).
+
+    ``n_exact`` is the audit column (a real run drops it — it is the
+    exact distinct the sketch exists to avoid). The k-smallest
+    selection is the same lossless two-stage rank as ``host_cap``:
+    stage 1 keeps k per (group, hash-salt) slice, pruning a hot group
+    to k*n_salts rows before the global per-group rank — a row's
+    global rank is >= its salt-local rank, so nothing stage 2 would
+    keep is dropped. Shuffled rows are (group, 8-byte hash) pairs,
+    never words.
+    """
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators.dedup import _hash60, shingles_col
+
+    hashed = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.array_distinct(shingles_col(F.col(text_col)))
+            ).alias("w"),
+        )
+        .select(
+            "grp", _hash60(F.concat(F.lit("v:"), F.col("w"))).alias("h")
+        )
+        .distinct()
+    )
+    w1 = W.partitionBy("grp", F.pmod(F.col("h"), F.lit(n_salts))).orderBy("h")
+    pruned = (
+        hashed.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)
+        .drop("rn1")
+    )
+    w2 = W.partitionBy("grp").orderBy("h")
+    ranked = pruned.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k
+    )
+    kth = ranked.groupBy("grp").agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    exact = hashed.groupBy("grp").agg(F.count(F.lit(1)).alias("n_exact"))
+    # fewer than k distinct values: the sketch IS the exact answer
+    est = F.when(F.col("m") < k, F.col("m").cast("double")).otherwise(
+        F.floor(
+            F.lit(float(k - 1))
+            * F.lit(_H60_SPACE)
+            / F.col("h_k").cast("double")
+        )
+    )
+    return (
+        exact.join(kth, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            est.cast("bigint").alias("n_kmv"),
+        )
+    )
+
+
+def sql_kmv_vocab_estimate(
+    k: int = KMV_K, group_expr: str = "lang", text_expr: str = "text"
+) -> str:
+    """DuckDB mirror: same hash, same rank, same estimator arithmetic
+    (double multiply/divide of exactly-representable operands, then
+    floor — identical IEEE results in both engines)."""
+    from ocr_spark.operators.dedup import sql_shingles
+
+    words = sql_shingles(text_expr)
+    return f"""
+        WITH hashed AS (
+            SELECT DISTINCT grp,
+                   CAST('0x' || substr(md5('v:' || w), 1, 15) AS BIGINT) AS h
+            FROM (
+                SELECT {group_expr} AS grp, unnest({words}) AS w
+                FROM documents)
+        ),
+        ranked AS (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM hashed
+        ),
+        kth AS (
+            SELECT grp, max(CASE WHEN rn = {k} THEN h END) AS h_k,
+                   count(*) AS m
+            FROM ranked WHERE rn <= {k} GROUP BY grp
+        ),
+        exact AS (SELECT grp, count(*) AS n_exact FROM hashed GROUP BY grp)
+        SELECT e.grp AS {group_expr},
+               CAST(e.n_exact AS BIGINT) AS n_exact,
+               CAST(CASE WHEN t.m < {k} THEN CAST(t.m AS DOUBLE)
+                    ELSE floor({float(k - 1)} * {_H60_SPACE} /
+                               CAST(t.h_k AS DOUBLE)) END AS BIGINT) AS n_kmv
+        FROM exact e JOIN kth t ON e.grp = t.grp
+    """

@@ -199,6 +199,10 @@ LARGE_PAYLOAD_BYTES = 1 * 1024 * 1024
 # wave scheduling rebalances byte-skewed partitions (a straggler task
 # holds one slice, not 1/n_cores of the input).
 SIZE_AWARE_OVERSUB = 4
+# scan-strategy task oversubscription: ~4 coalesced tasks per core so
+# wave scheduling absorbs residual per-file byte variance without any
+# payload exchange.
+SCAN_OVERSUB = 4
 
 
 def extract_documents(
@@ -207,31 +211,56 @@ def extract_documents(
     salt: int = 0,
     size_aware: bool = False,
     max_pages: int = MAX_PDF_PAGES,
+    strategy: str = "scan",
 ) -> DataFrame:
-    """Admission -> url-hash repartition -> Arrow-batched extraction.
+    """Admission -> partition-balance -> Arrow-batched extraction.
 
-    ``n_partitions`` defaults to Spark's shuffle partition setting.
-    Repartitioning on xxhash64(url, salt) spreads hot hosts uniformly
-    (north rule: salt/repartition on url-hash, not host).
+    Two balance strategies; pick by input shape:
 
-    ``size_aware=True`` handles corpora mixing 2 KB pages with 100 MB
-    PDFs (SURVEY §4, replacing the reference's file-size strategy
-    heuristics, page_processor.py:88-153) with a SINGLE scan and a
-    SINGLE shuffle: per-batch memory is already bounded engine-side
-    (Arrow batches are byte-capped via
+    * ``strategy='scan'`` (default) — NO payload exchange: scan
+      partitions (already byte-balanced by
+      ``spark.sql.files.maxPartitionBytes``) are ``coalesce``d (a
+      narrow, shuffle-free merge) to ``n_partitions`` or
+      SCAN_OVERSUB x defaultParallelism chunky tasks. Extraction runs
+      where the bytes already are. Right whenever the source table's
+      files are size-balanced — which a crawl table written by any
+      sane ingest is. Measured (BASELINE.md round 3): shipping the
+      payload through a url-hash exchange cost 23% of the hi-width
+      run and capped 8->32 scaling at ~0.52; the scan strategy holds
+      ~0.72-0.78 — at 100 TB, shuffling the corpus to fix skew that
+      scan-granular splitting already bounds is pure waste.
+    * ``strategy='shuffle'`` — salted url-hash repartition
+      (xxhash64(url, salt)) before extraction. Right when the INPUT
+      itself is pathologically skewed (one giant file per hot host, a
+      single unsplittable row group) or when the downstream stage
+      needs url-hash co-location in the same job (the lineage
+      pipeline's bucket-partitioned write, plans/lineage.py). This is
+      the north-rule salting path; it trades one full payload shuffle
+      for placement control.
+
+    ``size_aware=True`` (implies shuffle) handles corpora mixing 2 KB
+    pages with 100 MB PDFs (SURVEY §4, replacing the reference's
+    file-size strategy heuristics, page_processor.py:88-153) with a
+    SINGLE scan and a SINGLE shuffle: per-batch memory is already
+    bounded engine-side (Arrow batches are byte-capped via
     spark.sql.execution.arrow.maxBytesPerBatch, session.py), so the
     only remaining hazard is task-duration skew — addressed by
-    over-partitioning SIZE_AWARE_OVERSUB x, which gives the scheduler
-    enough small slices that a byte-heavy slice delays one wave slot,
-    not a whole core's share. (The previous design forked a second
-    branch for large rows and paid an extra count() action plus a
-    second scan of the input — round-1 VERDICT 'What's wrong' #6.)
-    Output is row-identical either way.
+    over-partitioning SIZE_AWARE_OVERSUB x. Output is row-identical
+    under every strategy.
     """
     batch_fn = (
         extract_batch if max_pages == MAX_PDF_PAGES else make_extract_batch(max_pages)
     )
     admitted = admit(df).select("url", "html")
+    if size_aware:
+        strategy = "shuffle"
+    if strategy == "scan":
+        parts = n_partitions or (
+            SCAN_OVERSUB * df.sparkSession.sparkContext.defaultParallelism
+        )
+        return admitted.coalesce(parts).mapInPandas(
+            batch_fn, schema=EXTRACT_SCHEMA
+        )
     parts = n_partitions
     if size_aware:
         base = n_partitions or int(

@@ -646,3 +646,151 @@ def sql_snapshot_diff(
              (SELECT {key} AS k, md5({text}) AS new_hash FROM ({new_sql})) n
           ON o.k = n.k
     """
+
+
+# ---------------------------------------------------------------------------
+# T60 — Bloom-filter decontamination (constant-size membership screen)
+# ---------------------------------------------------------------------------
+#
+# ``contamination`` broadcasts the eval set's distinct gram hashes —
+# right when the eval set is benchmark-sized.  A decontamination pass
+# against a HUGE reference corpus (e.g. "drop anything seen in an
+# earlier training run", the Dolma/BFF shape) cannot broadcast the
+# gram table; the production tool is a Bloom filter: a constant-size
+# bitset every executor holds, at the cost of a deterministic
+# false-positive rate.  This Bloom is engine-exact by construction —
+# j=3 probe positions are integer shifts of the same 60-bit md5 gram
+# hash, the bitset is OR-folded 32-bit words, and the membership test
+# is pure integer ops — so the Spark pass and the DuckDB oracle agree
+# bit-for-bit INCLUDING false positives.
+
+BLOOM_BITS = 1 << 16  # 65,536 bits = 2,048 x 32-bit words
+BLOOM_WORDS = BLOOM_BITS // 32
+_BLOOM_SHIFTS = (0, 16, 32)  # three 16-bit slices of the 60-bit hash
+
+
+def _doc_grams(docs: DataFrame, k: int, key_col: str, text_col: str) -> DataFrame:
+    """(doc_id, g): distinct 60-bit gram hashes per doc."""
+    return (
+        docs.select(
+            F.col(key_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(shingles_col(F.col(text_col), k))
+            ).alias("s"),
+        )
+        .select("doc_id", _hash60(F.col("s")).alias("g"))
+        .distinct()
+    )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    k: int = CONTAM_K,
+    eval_mod: int = EVAL_MOD,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, in_eval, bloom_hits, contaminated): per-doc count of
+    grams whose three Bloom probes all hit the eval-set bitset.
+
+    Build side: the eval grams' probe positions collapse to <=
+    BLOOM_BITS distinct values — collected once (bounded driver
+    traffic, the train-then-broadcast pattern lm_score uses) and
+    OR-folded into BLOOM_WORDS literal 32-bit words shipped in the
+    task closure. Probe side: one explode + three element_at/AND
+    integer tests per gram, one map-side-combined count per doc —
+    the corpus never joins anything.
+    """
+    grams = _doc_grams(docs, k, key_col, text_col)
+    eval_pos = (
+        grams.filter(F.col("doc_id") % eval_mod == 0)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.shiftright("g", s), F.lit(BLOOM_BITS))
+                        for s in _BLOOM_SHIFTS
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+    )
+    words = [0] * BLOOM_WORDS
+    for r in eval_pos.collect():  # bounded: <= BLOOM_BITS rows
+        p = int(r.p)
+        words[p >> 5] |= 1 << (p & 31)
+    wlit = F.lit(words)
+    pow2 = F.lit([1 << b for b in range(32)])
+
+    def _bit_set(pos: Column) -> Column:
+        word = F.element_at(wlit, (pos / 32).cast("int") + 1)
+        mask = F.element_at(pow2, F.pmod(pos, F.lit(32)).cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+
+    allset = None
+    for s in _BLOOM_SHIFTS:
+        t = _bit_set(F.pmod(F.shiftright("g", s), F.lit(BLOOM_BITS)))
+        allset = t if allset is None else (allset & t)
+    hits = (
+        grams.filter(allset)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+    )
+    return (
+        docs.select(F.col(key_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % eval_mod == 0).alias("in_eval"),
+            F.coalesce("bloom_hits", F.lit(0)).cast("bigint").alias(
+                "bloom_hits"
+            ),
+            (F.coalesce("bloom_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sql_bloom_contamination(k: int = CONTAM_K, eval_mod: int = EVAL_MOD) -> str:
+    """DuckDB mirror: rebuilds the bitset from the eval set IN SQL
+    (bit-or-folded words) and replays the same integer probes, so the
+    oracle independently reproduces the filter — false positives and
+    all."""
+    sh = sql_shingles("text", k)
+    shifts = ", ".join(str(s) for s in _BLOOM_SHIFTS)
+    return f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS g
+            FROM (SELECT doc_id, unnest(list_distinct({sh})) AS s
+                  FROM documents)
+        ),
+        eval_pos AS (
+            SELECT DISTINCT ((g >> s) % {BLOOM_BITS}) AS p
+            FROM grams, (SELECT unnest([{shifts}]) AS s)
+            WHERE doc_id % {eval_mod} = 0
+        ),
+        bitset AS (
+            SELECT CAST(p // 32 AS INTEGER) AS wi,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS wrd
+            FROM eval_pos GROUP BY 1
+        ),
+        probes AS (
+            SELECT doc_id, g, ((g >> s) % {BLOOM_BITS}) AS p
+            FROM grams, (SELECT unnest([{shifts}]) AS s)
+        ),
+        allset AS (
+            SELECT doc_id, g
+            FROM probes JOIN bitset b ON b.wi = CAST(p // 32 AS INTEGER)
+            WHERE (b.wrd & (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))) <> 0
+            GROUP BY doc_id, g HAVING count(*) = {len(_BLOOM_SHIFTS)}
+        ),
+        hits AS (
+            SELECT doc_id, count(*) AS bloom_hits FROM allset GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               d.doc_id % {eval_mod} = 0 AS in_eval,
+               CAST(COALESCE(h.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+               COALESCE(h.bloom_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """

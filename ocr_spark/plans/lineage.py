@@ -179,9 +179,12 @@ def run_pipeline(
     if pending.isEmpty():
         return {"run_id": run_id, "buckets_processed": 0, "docs": 0}
 
-    extracted = extract_documents(pending, n_partitions=n_partitions).withColumn(
-        "bucket", url_bucket(n_buckets)
-    )
+    # strategy='shuffle': the bucket-partitioned write below needs
+    # url-hash co-location (scan-strategy tasks would each write up to
+    # n_buckets small files); the one payload exchange buys placement.
+    extracted = extract_documents(
+        pending, n_partitions=n_partitions, strategy="shuffle"
+    ).withColumn("bucket", url_bucket(n_buckets))
     # Single extraction pass straight to the sink — no persist of the
     # full output (a persist here would push a second copy of the
     # corpus, text included, through memory+disk at 100 TB). Lineage is

@@ -71,7 +71,7 @@ class TestExtractDocuments:
         """url-hash repartitioning spreads rows across partitions —
         no partition owns more than ~3x the fair share (Zipf hosts
         must NOT concentrate; we key on full url hash)."""
-        extracted = extract_documents(docs, n_partitions=8)
+        extracted = extract_documents(docs, n_partitions=8, strategy="shuffle")
         counts = [
             r["count"]
             for r in extracted.groupBy("partition_id").count().collect()
@@ -165,8 +165,14 @@ class TestPlanShape:
         assert "Filter" in plan
 
     def test_single_shuffle_in_extract(self, spark, corpus_path):
-        """extract_documents should shuffle exactly once (the explicit
-        url-hash repartition); no hidden extra exchanges."""
+        """The scan strategy must not shuffle AT ALL (narrow coalesce
+        only); the shuffle strategy exactly once (the explicit url-hash
+        repartition) — no hidden extra exchanges either way."""
         df = extract_documents(spark.read.parquet(corpus_path), n_partitions=8)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Exchange") == 1, plan
+        assert plan.count("Exchange") == 0, plan
+        shuffled = extract_documents(
+            spark.read.parquet(corpus_path), n_partitions=8, strategy="shuffle"
+        )
+        splan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert splan.count("Exchange") == 1, splan

@@ -26,8 +26,10 @@ def entry_mod():
 
 
 def test_flagship_plan_shape(spark):
-    """scan(pruned) -> filter -> url-hash exchange -> MapInPandas; no
-    extra shuffles, no Python outside the one mapInPandas."""
+    """Default (scan strategy): scan(pruned) -> filter -> narrow
+    coalesce -> MapInPandas with ZERO payload exchange; the shuffle
+    strategy keeps exactly the one salted url-hash exchange. No Python
+    outside the one mapInPandas either way."""
     from ocr_spark.corpus import write_corpus
     from ocr_spark.operators import extract_documents
     import tempfile
@@ -37,11 +39,19 @@ def test_flagship_plan_shape(spark):
     write_corpus(p, 50, seed=21)
     df = extract_documents(spark.read.parquet(p), n_partitions=4)
     plan = _plan(df)
-    assert plan.count("Exchange") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Coalesce" in plan, plan
     assert plan.count("MapInPandas") == 1, plan
-    assert "xxhash64(url" in plan, plan
     # column pruning: the scan must not read text/warc_ts/lang
     assert "ReadSchema: struct<url:string,html:binary>" in plan, plan
+
+    shuffled = extract_documents(
+        spark.read.parquet(p), n_partitions=4, strategy="shuffle"
+    )
+    splan = _plan(shuffled)
+    assert splan.count("Exchange") == 1, splan
+    assert "xxhash64(url" in splan, splan
+    assert splan.count("MapInPandas") == 1, splan
 
 
 def test_broadcast_join_is_broadcast(spark, entry_mod):

@@ -115,8 +115,10 @@ def test_salt_changes_layout_not_content(spark, tmp_path):
     from ocr_spark.operators import extract_documents
 
     docs = _corpus(spark, tmp_path, n=100, seed=7)
-    a = extract_documents(docs, n_partitions=8, salt=0)
-    b = extract_documents(docs, n_partitions=8, salt=12345)
+    a = extract_documents(docs, n_partitions=8, salt=0, strategy="shuffle")
+    b = extract_documents(
+        docs, n_partitions=8, salt=12345, strategy="shuffle"
+    )
     ra = sorted((r.url, r.content_hash) for r in a.collect())
     rb = sorted((r.url, r.content_hash) for r in b.collect())
     assert ra == rb

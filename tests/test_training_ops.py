@@ -1451,3 +1451,60 @@ def test_compact_signature_index_probe_equivalence(spark, tmp_path):
         assert "Bucketed: true" in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sig_compact")
+
+
+# ---------------------------------------------------------------------------
+# T59 KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
+    """The sketch must be exact below k distinct values, within the
+    KMV error envelope above it (std ~ 1/sqrt(k-2); 4/sqrt(k) is a
+    >6-sigma bound), and the two-stage salted rank must be lossless
+    vs a plain per-group rank. At least one gate-corpus group must
+    actually exercise the >=k estimator branch."""
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators import corpus_ops as C
+    from ocr_spark.operators.dedup import _hash60, shingles_col
+
+    docs = _docs(spark)
+    out = {r.lang: r for r in C.kmv_vocab_estimate(docs).collect()}
+    assert out  # at least one language group
+    assert any(r.n_exact >= C.KMV_K for r in out.values())
+    for lang, r in out.items():
+        if r.n_exact < C.KMV_K:
+            assert r.n_kmv == r.n_exact, lang
+        else:
+            rel = abs(r.n_kmv - r.n_exact) / r.n_exact
+            assert rel < 4.0 / (C.KMV_K ** 0.5), (lang, r.n_exact, r.n_kmv)
+
+    # tiny synthetic group: 5 words -> 3 distinct shingles, exact
+    tiny = spark.createDataFrame(
+        [(1, "zz", "alpha beta gamma delta epsilon")],
+        "doc_id bigint, lang string, text string",
+    )
+    row = C.kmv_vocab_estimate(tiny).collect()[0]
+    assert (row.n_exact, row.n_kmv) == (3, 3)
+
+    # losslessness: two-stage == plain rank kth value per group
+    hashed = (
+        docs.select(
+            F.col("lang").alias("grp"),
+            F.explode(F.array_distinct(shingles_col(F.col("text")))).alias("w"),
+        )
+        .select("grp", _hash60(F.concat(F.lit("v:"), F.col("w"))).alias("h"))
+        .distinct()
+    )
+    w = W.partitionBy("grp").orderBy("h")
+    plain_kth = {
+        r.grp: r.h
+        for r in hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == C.KMV_K)
+        .collect()
+    }
+    for lang, r in out.items():
+        if r.n_exact >= C.KMV_K:
+            est = int((C.KMV_K - 1) * float(1 << 60) // plain_kth[lang])
+            assert r.n_kmv == est, lang

@@ -143,6 +143,55 @@ def test_contamination_eval_side_broadcast(spark):
 
 
 # ---------------------------------------------------------------------------
+# T60 bloom_contamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_contamination_no_false_negatives(spark):
+    """A Bloom filter may over-flag (deterministic false positives)
+    but must NEVER miss: every doc the exact contamination screen
+    flags must be bloom-contaminated, including a planted verbatim
+    copy of an eval doc; the over-flag rate at this corpus size stays
+    small."""
+    docs = _docs(spark)
+    ev = docs.filter(F.col("doc_id") % wc.EVAL_MOD == 0).limit(1)
+    copied = ev.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    full = docs.unionByName(copied)
+    exact = {r.doc_id: r.contaminated for r in wc.contamination(full).collect()}
+    bloom = {
+        r.doc_id: r.contaminated
+        for r in wc.bloom_contamination(full).collect()
+    }
+    assert set(exact) == set(bloom)
+    missed = [d for d, c in exact.items() if c and not bloom[d]]
+    assert missed == []  # no false negatives, ever
+    planted = [d for d in bloom if d >= 1_000_000][0]
+    assert bloom[planted]
+    extra = sum(1 for d, c in bloom.items() if c and not exact[d])
+    assert extra / len(bloom) < 0.05  # fp rate bounded at 2^16 bits
+
+
+def test_bloom_contamination_no_join_on_corpus_side(spark):
+    """The probe side must test against closure literals — the only
+    join in the plan is the final per-doc hit reattach, never a join
+    carrying gram hashes."""
+    plan = (
+        wc.bloom_contamination(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one reattach join; the bitset itself is a literal, not a relation
+    assert plan.count("Join") <= 2, plan
+
+
+# ---------------------------------------------------------------------------
 # T46 lm_score
 # ---------------------------------------------------------------------------
 
