@@ -106,6 +106,27 @@ FROM documents
 """
 
 
+def q_extract_spans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T61: span-level extraction output (the north rule's "extracted
+    text/spans") — reassemble each document from its offset-sliced
+    spans; must equal the normalized source text byte-for-byte. A
+    wrong span start/length/order breaks the hash."""
+    from ocr_spark.operators import extract_spans
+    from ocr_spark.sources import wrap_as_html
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = extract_spans(wrap_as_html(docs, "doc_id"), n_partitions=8)
+    rebuilt = spans.groupBy("url").agg(
+        F.concat_ws(
+            "\n\n",
+            F.array_sort(
+                F.collect_list(F.struct("span_idx", "span_text"))
+            ).getField("span_text"),
+        ).alias("text")
+    )
+    return rebuilt.select(F.col("url").cast("bigint").alias("doc_id"), "text")
+
+
 def q_pdf_fanout_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship fan-out + reduce (X1 + A1 + O4 + F7/F8): multi-page
     PDF wrap -> per-page extraction rows -> built-in ordered '\\n\\n'
@@ -746,6 +767,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster.neardup_clusters(dedup.neardup_corpus(docs))
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T68: keep-best-per-cluster dedup — the near-dup CC output plus
+    one map-side-combinable max(struct) argmax; no cluster member list
+    ever materializes."""
+    from ocr_spark.operators import cluster, dedup
+
+    docs = _tw(spark, sf_dir, "documents")
+    return cluster.cluster_representatives(dedup.neardup_corpus(docs))
+
+
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH embedding near-dup pairs, cosine-verified."""
     from ocr_spark.operators import ann
@@ -1085,6 +1116,25 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.corpus_ops import vocab_topk
 
     return vocab_topk(_tw(spark, sf_dir, "documents"), k=500)
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T66: count-min-sketch frequency estimates for the top-50 words
+    with the exact count as audit — the shuffle carries bounded
+    (row, bucket) counter partials, never the vocabulary."""
+    from ocr_spark.operators.corpus_ops import cms_heavy_hitters
+
+    return cms_heavy_hitters(_tw(spark, sf_dir, "documents"))
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T63: inverted-index build — per term, document/collection
+    frequency and a capped ``rank:doc`` posting list. Hot (stopword)
+    terms go through a salted lossless two-stage top-k so no single
+    reducer ever sees a full posting universe."""
+    from ocr_spark.operators.corpus_ops import inverted_index
+
+    return inverted_index(_tw(spark, sf_dir, "documents"))
 
 
 def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1432,6 +1482,34 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_tw(spark, sf_dir, "documents"))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T67: DSIR importance weights — integer micro-nat
+    ln(p_target/p_source) under two broadcast unigram LMs; the doc
+    side is scanned once and only the per-doc agg shuffles."""
+    from ocr_spark.operators.webcorpus import dsir_weights
+
+    return dsir_weights(_tw(spark, sf_dir, "documents"))
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T65: robots.txt-style longest-prefix URL admission (RFC 9309
+    longest-match, allow wins ties) — broadcast rule table, corpus side
+    never shuffled, best-rule pick is a map-side-combinable
+    max(struct)."""
+    from ocr_spark.operators.webcorpus import robots_filter
+
+    return robots_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T64: CCNet head/middle/tail split — per-language surprisal
+    terciles via an integer centinat-bin histogram (bounded key space,
+    broadcast thresholds; NO per-language global sort)."""
+    from ocr_spark.operators.webcorpus import perplexity_buckets
+
+    return perplexity_buckets(_tw(spark, sf_dir, "documents"))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source/sink fidelity end-to-end: wrap docs as HTML pages,
     serialize into shard-grouped multi-record WARC blobs (the
@@ -1468,6 +1546,24 @@ def q_link_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
     return degree_stats(extract_links(linked_pages(docs, n)))
+
+
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T62: per-target anchor-text aggregation — the web-search signal
+    (anchor text describes the TARGET page). Anchors are built into
+    real html bytes with column expressions, re-extracted with a JVM
+    regex, and rolled up per target with a map-side-combined count +
+    distinct-texts-only top-k window. The oracle states anchors by
+    construction."""
+    from ocr_spark.operators.graph import (
+        anchor_stats,
+        extract_anchors,
+        linked_anchor_pages,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return anchor_stats(extract_anchors(linked_anchor_pages(docs, n)))
 
 
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1549,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green in CORRECTNESS_r02.json follow.  All entries pass the identical
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
+        "extract_spans_roundtrip": q_extract_spans_roundtrip,
         "mixture_sample": q_mixture_sample,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
@@ -1563,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "substring_dup": q_substring_dup,
         "vocab_topk": q_vocab_topk,
+        "inverted_index": q_inverted_index,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "blocklist_filter": q_blocklist_filter,
@@ -1585,9 +1684,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "contamination": q_contamination,
         "lm_score": q_lm_score,
+        "perplexity_buckets": q_perplexity_buckets,
+        "robots_filter": q_robots_filter,
+        "dsir_weights": q_dsir_weights,
+        "cluster_representatives": q_cluster_representatives,
         "warc_roundtrip": q_warc_roundtrip,
         "link_degree": q_link_degree,
         "link_pagerank": q_link_pagerank,
+        "anchor_stats": q_anchor_stats,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "scalar_funcs": q_scalar_funcs,
@@ -1646,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_spans_roundtrip": _ORACLE_ROUNDTRIP,
         "extract_html_roundtrip": _ORACLE_ROUNDTRIP,
         "extract_pdf_roundtrip": _ORACLE_ROUNDTRIP,
         "pdf_fanout_assembly": _ORACLE_PDF_FANOUT,
@@ -1780,6 +1885,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup_sql.sql_simhash_signatures(),
         "dedup_jaccard": _dedup_sql.sql_jaccard_pairs(0.5),
         "dedup_clusters": _cluster_sql.sql_neardup_clusters(),
+        "cluster_representatives": _cluster_sql.sql_cluster_representatives(),
         "dedup_incremental": _dedup_sql.sql_incremental_pairs(),
         "embedding_neardup_lsh": _ann_sql.sql_neardup_pairs(),
         "ann_ivf_topk": _ann_sql.sql_ivf_topk(query_vec_id=0, k=10),
@@ -1940,6 +2046,8 @@ def oracle_sql() -> dict[str, str]:
             _curation_sql.sql_plant_boilerplate()
         ),
         "vocab_topk": _corpus_sql.sql_vocab_topk(k=500),
+        "inverted_index": _corpus_sql.sql_inverted_index(),
+        "cms_heavy_hitters": _corpus_sql.sql_cms_heavy_hitters(),
         "repetition_stats": _curation_sql.sql_repetition_stats(
             _curation_sql.sql_plant_repetition()
         ),
@@ -2055,8 +2163,12 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
         "lm_score": _webcorpus_sql.sql_lm_score(),
+        "perplexity_buckets": _webcorpus_sql.sql_perplexity_buckets(),
+        "robots_filter": _webcorpus_sql.sql_robots_filter(),
+        "dsir_weights": _webcorpus_sql.sql_dsir_weights(),
         "link_degree": _graph_sql.sql_degree_stats(),
         "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
+        "anchor_stats": _graph_sql.sql_anchor_stats(),
         "asof_join": _events_sql.sql_asof_join(
             "event_type = 'purchase'", "event_type = 'view'"
         ),

@@ -100,6 +100,10 @@ HEADLINE_QUERIES = [
     "semantic_dedup",
     "kmv_vocab",
     "bloom_contamination",
+    "inverted_index",
+    "perplexity_buckets",
+    "dsir_weights",
+    "cluster_representatives",
 ]
 
 

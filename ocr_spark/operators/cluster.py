@@ -181,6 +181,89 @@ def neardup_clusters(
     )
 
 
+def cluster_representatives(
+    corpus: DataFrame, max_bucket: int = dedup.MAX_MINHASH_BUCKET
+) -> DataFrame:
+    """(cluster_id, n_docs, rep_doc, rep_len): keep-BEST-per-cluster
+    dedup — instead of the min-id canonical, each near-dup cluster
+    keeps its highest-quality member (longest text, ties to the lower
+    doc_id; the production policy swaps in any scalar quality score).
+
+    Scale shape: one extra map-side-combinable ``max(struct)`` agg on
+    top of the CC output — the argmax never materializes a cluster's
+    member list."""
+    clusters = neardup_clusters(corpus, max_bucket)
+    scored = clusters.join(
+        corpus.select("doc_id", F.length("text").alias("len")), "doc_id"
+    )
+    best = scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(
+            F.struct(
+                F.col("len").alias("len"),
+                (-F.col("doc_id")).alias("negid"),
+            )
+        ).alias("b"),
+    )
+    return best.select(
+        "cluster_id",
+        "n_docs",
+        (-F.col("b.negid")).alias("rep_doc"),
+        F.col("b.len").cast("bigint").alias("rep_len"),
+    )
+
+
+def sql_cluster_representatives() -> str:
+    return f"""
+        WITH RECURSIVE corpus AS ({dedup.sql_neardup_corpus()}),
+        shingled AS (
+            SELECT doc_id, {dedup.sql_shingles('text')} AS sh FROM corpus
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   unnest(range(0, {dedup.MINHASH_BANDS})) AS band,
+                   unnest({dedup.sql_band_keys('sh')}) AS key
+            FROM shingled
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM keyed a JOIN keyed b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        walk(node, label) AS (
+            SELECT doc_id, doc_id FROM corpus
+            UNION
+            SELECT e.src, w.label
+            FROM edges e JOIN walk w ON w.node = e.dst
+        ),
+        clusters AS (
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY node
+        ),
+        scored AS (
+            SELECT cl.cluster_id, cl.doc_id, length(c.text) AS len
+            FROM clusters cl JOIN corpus c ON cl.doc_id = c.doc_id
+        ),
+        ranked AS (
+            SELECT cluster_id, doc_id, len,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY len DESC, doc_id ASC
+                   ) AS rk,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_docs
+            FROM scored
+        )
+        SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+               doc_id AS rep_doc, CAST(len AS BIGINT) AS rep_len
+        FROM ranked WHERE rk = 1
+    """
+
+
 def sql_neardup_clusters() -> str:
     """DuckDB oracle: min-reachable-label via recursive CTE over the
     same minhash candidate pairs (same shingles, same band keys)."""

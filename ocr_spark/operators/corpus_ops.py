@@ -209,6 +209,67 @@ def vocab_topk(
 
 
 # ---------------------------------------------------------------------------
+# T63 — inverted index (capped posting lists)
+# ---------------------------------------------------------------------------
+
+INVIDX_TOPK = 5        # postings kept per term (tf desc, doc asc)
+INVIDX_SALTS = 8       # stage-1 fan-out for hot (stopword) terms
+
+
+def inverted_index(
+    docs: DataFrame,
+    topk: int = INVIDX_TOPK,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, df, cf, postings): the inverted-index build — per term,
+    document frequency, collection frequency, and a capped posting
+    list of the ``topk`` highest-tf documents as ``rank:doc_id``
+    entries.
+
+    Scale shape: explode → groupBy(word, doc) tf with map-side combine
+    (each partition collapses to its distinct (word, doc) pairs before
+    the shuffle), then a SALTED two-stage top-k exactly like
+    ``host_cap``: a stopword present in 10^12 documents puts at most
+    ``topk x INVIDX_SALTS`` rows through the final per-word rank — a
+    single-window build would serialize that term's entire posting
+    universe through one reducer. Stage 1 is lossless because a row's
+    global in-word rank is >= its salt-local rank."""
+    from pyspark.sql import Window as W
+
+    key = F.col(key_col)
+    tf = (
+        docs.select(key.alias("doc"), F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    salt = F.pmod(F.col("doc"), F.lit(INVIDX_SALTS))
+    w1 = W.partitionBy("word", salt).orderBy(F.desc("tf"), F.asc("doc"))
+    pruned = (
+        tf.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= topk)
+        .drop("_rn1")
+    )
+    w2 = W.partitionBy("word").orderBy(F.desc("tf"), F.asc("doc"))
+    top = pruned.withColumn("rk", F.row_number().over(w2)).filter(
+        F.col("rk") <= topk
+    )
+    postings = top.groupBy("word").agg(
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(F.concat_ws(":", "rk", "doc"))
+            ),
+        ).alias("postings")
+    )
+    return dfreq.join(postings, "word").select("word", "df", "cf", "postings")
+
+
+# ---------------------------------------------------------------------------
 # DuckDB SQL mirrors
 # ---------------------------------------------------------------------------
 
@@ -316,6 +377,161 @@ def sql_vocab_topk(k: int = 1000, text_expr: str = "text") -> str:
         GROUP BY word
         ORDER BY n DESC, word ASC
         LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# T66 — count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 3      # independent hash rows
+CMS_W = 1024   # counters per row
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    topk: int = 50,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, n_exact, n_cms): count-min-sketch frequency estimates
+    (Cormode & Muthukrishnan 2005) for the corpus's ``topk`` most
+    frequent words, with the exact count as the audit column (kmv
+    pattern — a real run drops it; the CMS guarantee ``n_cms >=
+    n_exact`` is what the oracle checks value-exactly, since both
+    engines build the identical md5-keyed sketch).
+
+    Scale shape: the sketch update stream maps each token to ``d``
+    (row, bucket) increments and partial-aggregates BEFORE the
+    shuffle, so the exchange carries at most ``partitions x d x w``
+    counter rows regardless of corpus size — this is the op you reach
+    for when the full word groupBy (vocab_topk) is too big. The
+    counter table (d x w rows) broadcasts back to score candidates."""
+    words = docs.select(
+        F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+
+    from .dedup import _hash60
+
+    def bucket(j):
+        return F.pmod(
+            _hash60(F.concat(F.lit(f"cms{j}:"), F.col("word"))), F.lit(w)
+        )
+
+    incr = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), bucket(j).alias("b")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("rb")
+    )
+    counters = incr.groupBy(
+        F.col("rb.j").alias("j"), F.col("rb.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    cands = vocab_topk(docs, k=topk, text_col=text_col).withColumnRenamed(
+        "n", "n_exact"
+    )
+    probes = cands.select(
+        "word",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("word", "n_exact", F.col("rb.j").alias("j"), F.col("rb.b").alias("b"))
+    return (
+        probes.join(F.broadcast(counters), ["j", "b"])
+        .groupBy("word", "n_exact")
+        .agg(F.min("c").alias("n_cms"))
+        .select("word", "n_exact", "n_cms")
+    )
+
+
+def sql_cms_heavy_hitters(
+    topk: int = 50, d: int = CMS_D, w: int = CMS_W, text_expr: str = "text"
+) -> str:
+    js = ", ".join(str(j) for j in range(d))
+    return f"""
+        WITH words AS (
+            SELECT word FROM (
+                SELECT unnest({_sql_words(text_expr)}) AS word FROM documents)
+            WHERE word != ''
+        ),
+        incr AS (
+            SELECT j.j AS j,
+                   CAST('0x' || substr(
+                       md5('cms' || CAST(j.j AS VARCHAR) || ':' || word),
+                       1, 15) AS BIGINT) % {w} AS b
+            FROM words, (SELECT unnest([{js}]) AS j) j
+        ),
+        counters AS (
+            SELECT j, b, CAST(count(*) AS BIGINT) AS c
+            FROM incr GROUP BY j, b
+        ),
+        cands AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS n_exact
+            FROM words GROUP BY word
+            ORDER BY n_exact DESC, word ASC LIMIT {topk}
+        ),
+        probes AS (
+            SELECT word, n_exact, j.j AS j,
+                   CAST('0x' || substr(
+                       md5('cms' || CAST(j.j AS VARCHAR) || ':' || word),
+                       1, 15) AS BIGINT) % {w} AS b
+            FROM cands, (SELECT unnest([{js}]) AS j) j
+        )
+        SELECT p.word, p.n_exact, CAST(min(c.c) AS BIGINT) AS n_cms
+        FROM probes p JOIN counters c ON p.j = c.j AND p.b = c.b
+        GROUP BY p.word, p.n_exact
+    """
+
+
+def sql_inverted_index(
+    topk: int = INVIDX_TOPK, text_expr: str = "text"
+) -> str:
+    # The salt prefilter is a physical optimization only; the oracle
+    # states the plain per-word rank the two-stage build equals.
+    return f"""
+        WITH tf AS (
+            SELECT word, doc, CAST(count(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id AS doc, unnest({_sql_words(text_expr)}) AS word
+                FROM documents
+            )
+            WHERE word != ''
+            GROUP BY word, doc
+        ),
+        dfreq AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS cf
+            FROM tf GROUP BY word
+        ),
+        ranked AS (
+            SELECT word, doc, tf,
+                   row_number() OVER (
+                       PARTITION BY word ORDER BY tf DESC, doc ASC
+                   ) AS rk
+            FROM tf
+        )
+        SELECT d.word, d.df, d.cf,
+               string_agg(
+                   CAST(rk AS VARCHAR) || ':' || CAST(doc AS VARCHAR),
+                   ',' ORDER BY CAST(rk AS VARCHAR) || ':' || CAST(doc AS VARCHAR)
+               ) AS postings
+        FROM dfreq d JOIN ranked r ON d.word = r.word
+        WHERE r.rk <= {topk}
+        GROUP BY d.word, d.df, d.cf
     """
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions import MAX_PDF_PAGES, admission_ok, payload_kind, salted_key
 from ..html_extract import html_extract
-from ..pdf_extract import pdf_extract_pages
+from ..pdf_extract import pdf_extract, pdf_extract_pages
 from ..textops import MODERATION_BLOCKED_MESSAGE, sha256_text, sniff_kind
 
 EXTRACT_SCHEMA = (
@@ -45,6 +45,11 @@ EXTRACT_SCHEMA = (
 PAGES_SCHEMA = (
     "url string, page_number int, status string, error_message string, "
     "content string, content_length bigint, partition_id int"
+)
+
+SPANS_SCHEMA = (
+    "url string, span_idx int, page int, start bigint, length bigint, "
+    "span_kind string, span_text string, partition_id int"
 )
 
 
@@ -178,6 +183,85 @@ def extract_pages_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "partition_id": pd.array([pid] * len(out_url), dtype="int32"),
             }
         )
+
+
+def extract_spans_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas payload: span-level extraction output — one row per
+    content block (HTML) / non-empty page (PDF), carrying byte offsets
+    into the assembled document text (the north rule's "extracted
+    text/spans"; reference result shape core/page_processor.py:1088+
+    returns per-page content the reference UI re-slices client-side —
+    here spans are a first-class table).
+
+    ``span_text`` is sliced FROM the assembled text by
+    ``text[start : start + length]`` — NOT taken from the block object
+    — so the offsets themselves are what any downstream roundtrip
+    (and the DuckDB oracle) exercises: a wrong start/length yields a
+    wrong slice and a hash mismatch. Failed/unsupported docs emit no
+    span rows; their status lives in the document-level output (R2).
+    """
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf_batch in batches:
+        url_o, idx_o, page_o, start_o, len_o, kind_o, text_o = (
+            [], [], [], [], [], [], [],
+        )
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            kind = sniff_kind(payload)
+            try:
+                if kind == "pdf":
+                    out = pdf_extract(payload)
+                elif kind == "html":
+                    out = html_extract(payload)
+                else:
+                    continue
+            except Exception:  # pragma: no cover - defensive, R2
+                continue
+            for i, sp in enumerate(out.spans):
+                url_o.append(url)
+                idx_o.append(i)
+                page_o.append(sp["page"])
+                start_o.append(sp["start"])
+                len_o.append(sp["length"])
+                kind_o.append(sp["kind"])
+                text_o.append(out.text[sp["start"] : sp["start"] + sp["length"]])
+        yield pd.DataFrame(
+            {
+                "url": url_o,
+                "span_idx": pd.array(idx_o, dtype="int32"),
+                "page": pd.array(page_o, dtype="int32"),
+                "start": pd.array(start_o, dtype="int64"),
+                "length": pd.array(len_o, dtype="int64"),
+                "span_kind": kind_o,
+                "span_text": text_o,
+                "partition_id": pd.array([pid] * len(url_o), dtype="int32"),
+            }
+        )
+
+
+def extract_spans(
+    df: DataFrame,
+    n_partitions: Optional[int] = None,
+    salt: int = 0,
+    strategy: str = "scan",
+) -> DataFrame:
+    """Span-level variant of :func:`extract_documents` — same admission
+    and balance strategies, output fan-out is one row per span. Scale
+    shape is identical to the document path (the span fan-out happens
+    inside the Arrow batch, no extra shuffle)."""
+    admitted = admit(df).select("url", "html")
+    if strategy == "scan":
+        parts = n_partitions or (
+            SCAN_OVERSUB * df.sparkSession.sparkContext.defaultParallelism
+        )
+        return admitted.coalesce(parts).mapInPandas(
+            extract_spans_batch, schema=SPANS_SCHEMA
+        )
+    if n_partitions:
+        admitted = admitted.repartition(n_partitions, salted_key(salt))
+    else:
+        admitted = admitted.repartition(salted_key(salt))
+    return admitted.mapInPandas(extract_spans_batch, schema=SPANS_SCHEMA)
 
 
 def admit(df: DataFrame) -> DataFrame:

@@ -83,6 +83,131 @@ def linked_pages(docs: DataFrame, n_docs: int) -> DataFrame:
     return docs.select("doc_id", F.encode(page, "utf-8").alias("html"))
 
 
+ANCHOR_VOCAB = 13  # deterministic anchor-text vocabulary size
+
+
+def linked_anchor_pages(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Like :func:`linked_pages` but each anchor carries deterministic
+    text ``w<(src + j) % ANCHOR_VOCAB>`` — the input shape for
+    anchor-text aggregation (T62). Pure column expressions."""
+    from ..sources.wrap import _HTML_TEMPLATE_HEAD, _HTML_TEMPLATE_TAIL
+
+    anchors = [
+        F.concat(
+            F.lit('<a href="/doc/'),
+            ((F.col("doc_id") * LINK_STRIDE + F.lit(j + 1)) % n_docs).cast(
+                "string"
+            ),
+            F.lit('">w'),
+            ((F.col("doc_id") + F.lit(j)) % ANCHOR_VOCAB).cast("string"),
+            F.lit("</a>"),
+        )
+        for j in range(LINKS_PER_DOC)
+    ]
+    page = F.concat(
+        F.lit(_HTML_TEMPLATE_HEAD),
+        F.lit("<p>"),
+        _escape_col(F.col("text")),
+        F.lit("</p>"),
+        *anchors,
+        F.lit(_HTML_TEMPLATE_TAIL),
+    )
+    return docs.select("doc_id", F.encode(page, "utf-8").alias("html"))
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """(src, dst, anchor) from ``<a href="/doc/<id>">text</a>`` — two
+    JVM ``regexp_extract_all`` passes over the same pattern zipped and
+    exploded; no Python touches the bytes."""
+    body = F.decode(F.col("html"), "utf-8")
+    pat = F.lit('<a href="/doc/(\\d+)">([^<]*)</a>')
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(body, pat, 1).alias("dst"),
+        F.regexp_extract_all(body, pat, 2).alias("anchor"),
+    )
+    return pages.select(
+        F.col("doc_id").alias("src"), F.explode(pairs).alias("p")
+    ).select(
+        "src",
+        F.col("p.dst").cast("bigint").alias("dst"),
+        F.col("p.anchor").alias("anchor"),
+    )
+
+
+def anchor_stats(anchors: DataFrame, topk: int = 3) -> DataFrame:
+    """(page, n_anchors, top_anchors): per-target anchor-text profile —
+    the classic web-search signal (anchor text describes the TARGET
+    page; Brin & Page 1998 §2.2).
+
+    Scale shape: groupBy (dst, anchor) is map-side combined, so a hub
+    page with 10^8 in-links contributes at most ``n_partitions x
+    n_distinct_texts`` rows to the shuffle; the per-target top-k window
+    then ranks only the distinct texts of each page, never the raw
+    in-links. No all-anchor list ever materializes."""
+    from pyspark.sql import Window
+
+    per_text = anchors.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n").desc(), F.col("anchor").asc()
+    )
+    ranked = per_text.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("dst").alias("page"))
+        .agg(
+            F.sum("n").alias("n_anchors"),
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rk") <= topk,
+                            F.concat_ws(":", "rk", "anchor"),
+                        )
+                    )
+                ),
+            ).alias("top_anchors"),
+        )
+        .select("page", "n_anchors", "top_anchors")
+    )
+
+
+def sql_anchor_stats(topk: int = 3) -> str:
+    """The same aggregation with the anchor text stated by
+    construction (``w<(src + j) % ANCHOR_VOCAB>``) — the Spark side
+    re-extracts it from real html bytes; agreement is the check."""
+    return f"""
+        WITH edges AS (
+            SELECT doc_id AS src,
+                   (doc_id * {LINK_STRIDE} + j.j) % (SELECT count(*) FROM documents) AS dst,
+                   'w' || CAST((doc_id + j.j - 1) % {ANCHOR_VOCAB} AS VARCHAR) AS anchor
+            FROM documents,
+                 (SELECT unnest(range(1, {LINKS_PER_DOC + 1})) AS j) j
+        ),
+        per_text AS (
+            SELECT dst, anchor, count(*) AS n
+            FROM edges GROUP BY dst, anchor
+        ),
+        ranked AS (
+            SELECT dst, anchor, n,
+                   row_number() OVER (
+                       PARTITION BY dst ORDER BY n DESC, anchor ASC
+                   ) AS rk
+            FROM per_text
+        )
+        SELECT dst AS page,
+               CAST(sum(n) AS BIGINT) AS n_anchors,
+               string_agg(
+                   CASE WHEN rk <= {topk}
+                        THEN CAST(rk AS VARCHAR) || ':' || anchor END,
+                   ',' ORDER BY CAST(rk AS VARCHAR) || ':' || anchor
+               ) AS top_anchors
+        FROM ranked
+        GROUP BY dst
+    """
+
+
 def extract_links(pages: DataFrame) -> DataFrame:
     """(src, dst) edge list from ``/doc/<id>`` hrefs — JVM regex over
     the decoded page, exploded; no Python touches the bytes."""

@@ -381,6 +381,7 @@ def lm_score(
     train_mod: int = LM_TRAIN_MOD,
     key_col: str = "doc_id",
     text_col: str = "text",
+    with_raw: bool = False,
 ) -> DataFrame:
     """Per-doc mean unigram surprisal in nats under a model trained on
     half the corpus, truncated to the top-``v`` words; out-of-vocab
@@ -427,7 +428,7 @@ def lm_score(
             F.sum(F.coalesce("lp", "oov_lp")).alias("lp_sum"),
         )
     )
-    return scored.select(
+    out = scored.select(
         "doc_id",
         "n_words",
         "n_oov",
@@ -436,7 +437,9 @@ def lm_score(
             / (F.lit(float(_LP_SCALE)) * F.col("n_words").cast("double")),
             6,
         ).alias("score"),
+        "lp_sum",
     )
+    return out if with_raw else out.drop("lp_sum")
 
 
 # ---------------------------------------------------------------------------
@@ -586,6 +589,400 @@ def sql_lm_score(v: int = LM_VOCAB, train_mod: int = LM_TRAIN_MOD) -> str:
         LEFT JOIN model m ON d.word = m.word
         CROSS JOIN oov o
         GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# T67 — DSIR importance weights (target/source unigram log-ratio)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_MOD = 10  # every 10th doc plays the "target domain" sample
+
+
+def _unigram_model(
+    train_words: DataFrame, v: int, tag: str
+) -> tuple[DataFrame, DataFrame]:
+    """(model, oov): top-``v`` unigram table with integer micro-nat
+    surprisals and the 0.5/T OOV floor — the shared trainer for
+    lm_score and the DSIR pair."""
+    tot = train_words.agg(F.count(F.lit(1)).alias("T"))
+    vocab = (
+        train_words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(v)
+    )
+    model = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        _lp_col(F.col("n").cast("double") / F.col("T").cast("double")).alias(
+            f"lp_{tag}"
+        ),
+    )
+    oov = tot.select(
+        _lp_col(F.lit(0.5) / F.col("T").cast("double")).alias(f"oov_{tag}")
+    )
+    return model, oov
+
+
+def dsir_weights(
+    docs: DataFrame,
+    v: int = LM_VOCAB,
+    target_mod: int = DSIR_TARGET_MOD,
+    source_mod: int = LM_TRAIN_MOD,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, logw_micro, logw_per_word): DSIR importance
+    weights (Xie et al. 2023) — per doc, ``ln(p_target/p_source)``
+    under two unigram LMs, one trained on the target-domain sample
+    (``doc_id % target_mod == 0``) and one on the source half. High
+    weight = target-like text; feed into weighted/mixture sampling
+    (T54/T55) for importance resampling.
+
+    ``logw_micro = sum(lp_src - lp_tgt)`` stays in integer micro-nats
+    until the final per-word division, so the cross-engine sum is
+    exact. Both models are bounded (<= v rows) and broadcast; the doc
+    side is scanned once and never shuffled beyond the per-doc agg."""
+    from ocr_spark.operators.corpus_ops import _words
+
+    def words_of(side):
+        return side.select(
+            F.explode(_words(F.col(text_col))).alias("word")
+        ).filter(F.col("word") != "")
+
+    tgt_model, tgt_oov = _unigram_model(
+        words_of(docs.filter(F.col(key_col) % target_mod == 0)), v, "tgt"
+    )
+    src_model, src_oov = _unigram_model(
+        words_of(docs.filter(F.col(key_col) % source_mod == 0)), v, "src"
+    )
+    doc_words = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    scored = (
+        doc_words.join(F.broadcast(tgt_model), "word", "left")
+        .join(F.broadcast(src_model), "word", "left")
+        .crossJoin(F.broadcast(tgt_oov))
+        .crossJoin(F.broadcast(src_oov))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(
+                F.coalesce("lp_src", "oov_src")
+                - F.coalesce("lp_tgt", "oov_tgt")
+            ).alias("logw_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "logw_micro",
+        F.round(
+            F.col("logw_micro").cast("double")
+            / (F.lit(float(_LP_SCALE)) * F.col("n_words").cast("double")),
+            6,
+        ).alias("logw_per_word"),
+    )
+
+
+def sql_dsir_weights(
+    v: int = LM_VOCAB,
+    target_mod: int = DSIR_TARGET_MOD,
+    source_mod: int = LM_TRAIN_MOD,
+) -> str:
+    from ocr_spark.operators.corpus_ops import _sql_words
+
+    w = _sql_words("text")
+
+    def model_cte(tag: str, mod: int) -> str:
+        return f"""
+        {tag}_words AS (
+            SELECT w AS word FROM (
+                SELECT unnest({w}) AS w FROM documents
+                WHERE doc_id % {mod} = 0)
+            WHERE w <> ''
+        ),
+        {tag}_tot AS (SELECT count(*) AS T FROM {tag}_words),
+        {tag}_vocab AS (
+            SELECT word, count(*) AS n FROM {tag}_words
+            GROUP BY word ORDER BY n DESC, word ASC LIMIT {v}
+        ),
+        {tag}_model AS (
+            SELECT word,
+                   CAST(round(-ln(CAST(n AS DOUBLE) / CAST(T AS DOUBLE))
+                              * {_LP_SCALE}) AS BIGINT) AS lp_{tag}
+            FROM {tag}_vocab CROSS JOIN {tag}_tot
+        ),
+        {tag}_oov AS (
+            SELECT CAST(round(-ln(0.5 / CAST(T AS DOUBLE))
+                              * {_LP_SCALE}) AS BIGINT) AS oov_{tag}
+            FROM {tag}_tot
+        )"""
+
+    return f"""
+        WITH {model_cte("tgt", target_mod)},
+        {model_cte("src", source_mod)},
+        doc_words AS (
+            SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE w <> ''
+        )
+        SELECT doc_id,
+               count(*) AS n_words,
+               CAST(sum(COALESCE(s.lp_src, so.oov_src)
+                        - COALESCE(t.lp_tgt, to_.oov_tgt)) AS BIGINT)
+                   AS logw_micro,
+               round(CAST(sum(COALESCE(s.lp_src, so.oov_src)
+                              - COALESCE(t.lp_tgt, to_.oov_tgt)) AS DOUBLE)
+                     / ({_LP_SCALE}.0 * count(*)), 6) AS logw_per_word
+        FROM doc_words d
+        LEFT JOIN tgt_model t ON d.word = t.word
+        LEFT JOIN src_model s ON d.word = s.word
+        CROSS JOIN tgt_oov to_
+        CROSS JOIN src_oov so
+        GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# T65 — robots-style longest-prefix URL filter
+# ---------------------------------------------------------------------------
+
+
+def robots_rules(docs: DataFrame) -> DataFrame:
+    """(host, prefix, allow): deterministic per-host rule set derived
+    from the corpus's hosts — a catch-all allow, a parity-keyed
+    ``/Articles`` deny, and a longer ``/Articles/1`` allow override so
+    the longest-prefix-match branch gets real work. The DuckDB mirror
+    states the identical rules."""
+    hosts = docs.select(
+        F.concat(F.lower(F.col("source")), F.lit(".com")).alias("host"),
+        F.length(F.col("source")).alias("slen"),
+    ).distinct()
+    rules = F.array(
+        F.struct(F.lit("/").alias("prefix"), F.lit(True).alias("allow")),
+        F.when(
+            F.col("slen") % 2 == 0,
+            F.struct(F.lit("/Articles").alias("prefix"), F.lit(False).alias("allow")),
+        ),
+        F.when(
+            F.col("slen") % 2 == 0,
+            F.struct(F.lit("/Articles/1").alias("prefix"), F.lit(True).alias("allow")),
+        ),
+    )
+    return (
+        hosts.select("host", F.explode(rules).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select("host", F.col("r.prefix").alias("prefix"), F.col("r.allow").alias("allow"))
+    )
+
+
+def robots_filter(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """(doc_id, host, path, matched_prefix, allowed): robots.txt-style
+    admission — longest matching prefix wins, allow wins length ties
+    (Google's robots spec, RFC 9309 §2.2.2).
+
+    Scale shape: the rule table is one row per (host, rule) —
+    broadcast; the corpus side joins on host and never shuffles. The
+    per-doc best-rule pick is a ``max(struct(len, allow, prefix))``
+    aggregation, map-side combinable, with fan-out bounded by
+    rules-per-host (here <= 3)."""
+    url = plant_url_col(F.col(key_col), F.col("source"))
+    parts = canonicalize_url(url)
+    paths = docs.select(
+        F.col(key_col).alias("doc_id"),
+        parts["host"].alias("host"),
+        F.regexp_extract(parts["canon_url"], r"^[^:]+://[^/]+(/[^?#]*)", 1).alias(
+            "path"
+        ),
+    )
+    joined = paths.join(F.broadcast(robots_rules(docs)), "host").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    best = joined.groupBy("doc_id", "host", "path").agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("l"),
+                F.col("allow").alias("allow"),
+                F.col("prefix").alias("prefix"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "doc_id",
+        "host",
+        "path",
+        F.col("b.prefix").alias("matched_prefix"),
+        F.col("b.allow").alias("allowed"),
+    )
+
+
+def sql_robots_filter() -> str:
+    url = sql_plant_url()
+    return f"""
+        WITH urls AS (
+            SELECT doc_id, lower(source) || '.com' AS host,
+                   length(source) AS slen,
+                   CASE WHEN doc_id % 7 = 0 THEN '/'
+                        ELSE '/Articles/' || CAST(doc_id AS VARCHAR) END AS path
+            FROM documents
+        ),
+        rules AS (
+            SELECT DISTINCT host, '/' AS prefix, TRUE AS allow FROM urls
+            UNION ALL
+            SELECT DISTINCT host, '/Articles', FALSE FROM urls WHERE slen % 2 = 0
+            UNION ALL
+            SELECT DISTINCT host, '/Articles/1', TRUE FROM urls WHERE slen % 2 = 0
+        ),
+        matched AS (
+            SELECT u.doc_id, u.host, u.path, r.prefix, r.allow,
+                   row_number() OVER (
+                       PARTITION BY u.doc_id
+                       ORDER BY length(r.prefix) DESC, r.allow DESC,
+                                r.prefix DESC
+                   ) AS rk
+            FROM urls u JOIN rules r
+              ON u.host = r.host AND starts_with(u.path, r.prefix)
+        )
+        SELECT doc_id, host, path,
+               prefix AS matched_prefix, allow AS allowed
+        FROM matched WHERE rk = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# T64 — CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+PPL_BIN_SCALE = 100  # centinat bins: bounded range, broadcastable histogram
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    v: int = LM_VOCAB,
+    train_mod: int = LM_TRAIN_MOD,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, lang, bin, bucket): CCNet's language-model filtering
+    split (Wenzek et al. 2020) — per language, docs are bucketed
+    head/middle/tail by unigram surprisal terciles.
+
+    Scale shape: NO per-language global sort (an ntile window would
+    push each language's 10^12 docs through one reducer). Instead the
+    doc score is floored to an integer centinat bin — pure integer
+    arithmetic ``(lp_sum * 100) div (1e6 * n_words)``, hash-exact
+    cross-engine — the per-(lang, bin) histogram is a map-side-combined
+    count over a BOUNDED key space (~2000 bins x languages), tercile
+    thresholds fall out of a window over that tiny table, and labels
+    come back via a broadcast join. Whole-bin assignment at the
+    boundaries (every doc in one bin gets one label) keeps the split
+    deterministic."""
+    from pyspark.sql import Window as W
+
+    scored = lm_score(
+        docs, v=v, train_mod=train_mod, key_col=key_col,
+        text_col=text_col, with_raw=True,
+    )
+    langd = docs.select(F.col(key_col).alias("doc_id"), "lang")
+    binned = scored.join(langd, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"(lp_sum * {PPL_BIN_SCALE}) div ({_LP_SCALE}L * n_words)"
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        W.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("lang")
+    labels = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .select(
+            "lang",
+            "bin",
+            F.when(F.col("cum") * 3 <= F.col("n"), F.lit("head"))
+            .when(F.col("cum") * 3 <= 2 * F.col("n"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+    return binned.join(F.broadcast(labels), ["lang", "bin"]).select(
+        "doc_id", "lang", "bin", "bucket"
+    )
+
+
+def sql_perplexity_buckets(
+    v: int = LM_VOCAB, train_mod: int = LM_TRAIN_MOD
+) -> str:
+    from ocr_spark.operators.corpus_ops import _sql_words
+
+    w = _sql_words("text")
+    return f"""
+        WITH train_words AS (
+            SELECT w AS word FROM (
+                SELECT unnest({w}) AS w FROM documents
+                WHERE doc_id % {train_mod} = 0)
+            WHERE w <> ''
+        ),
+        tot AS (SELECT count(*) AS T FROM train_words),
+        vocab AS (
+            SELECT word, count(*) AS n FROM train_words
+            GROUP BY word ORDER BY n DESC, word ASC LIMIT {v}
+        ),
+        model AS (
+            SELECT word,
+                   CAST(round(-ln(CAST(n AS DOUBLE) / CAST(T AS DOUBLE))
+                              * {_LP_SCALE}) AS BIGINT) AS lp
+            FROM vocab CROSS JOIN tot
+        ),
+        oov AS (
+            SELECT CAST(round(-ln(0.5 / CAST(T AS DOUBLE))
+                              * {_LP_SCALE}) AS BIGINT) AS oov_lp
+            FROM tot
+        ),
+        doc_words AS (
+            SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE w <> ''
+        ),
+        scored AS (
+            SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(COALESCE(m.lp, o.oov_lp)) AS BIGINT) AS lp_sum
+            FROM doc_words d
+            LEFT JOIN model m ON d.word = m.word
+            CROSS JOIN oov o
+            GROUP BY doc_id
+        ),
+        binned AS (
+            SELECT s.doc_id, dd.lang,
+                   CAST((lp_sum * {PPL_BIN_SCALE})
+                        // ({_LP_SCALE} * n_words) AS BIGINT) AS bin
+            FROM scored s JOIN documents dd ON s.doc_id = dd.doc_id
+        ),
+        hist AS (
+            SELECT lang, bin, count(*) AS cnt FROM binned GROUP BY lang, bin
+        ),
+        labels AS (
+            SELECT lang, bin,
+                   CASE WHEN sum(cnt) OVER (
+                            PARTITION BY lang ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) * 3
+                        <= sum(cnt) OVER (PARTITION BY lang) THEN 'head'
+                        WHEN sum(cnt) OVER (
+                            PARTITION BY lang ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) * 3
+                        <= 2 * sum(cnt) OVER (PARTITION BY lang) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM hist
+        )
+        SELECT b.doc_id, b.lang, b.bin, l.bucket
+        FROM binned b JOIN labels l ON b.lang = l.lang AND b.bin = l.bin
     """
 
 

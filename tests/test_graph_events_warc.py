@@ -144,6 +144,33 @@ class TestLinkGraph:
         }
         assert got == want
 
+    def test_anchor_extraction_matches_construction(self, docs):
+        """T62: anchors re-extracted from real html bytes equal the
+        construction formula, and the per-target rollup's counts add
+        up to the total in-link count."""
+        from ocr_spark.operators.graph import (
+            ANCHOR_VOCAB,
+            LINK_STRIDE,
+            LINKS_PER_DOC,
+            anchor_stats,
+            extract_anchors,
+            linked_anchor_pages,
+        )
+
+        n = docs.count()
+        anchors = extract_anchors(linked_anchor_pages(docs, n))
+        got = {(r.src, r.dst, r.anchor) for r in anchors.collect()}
+        want = {
+            (d, (d * LINK_STRIDE + j) % n, f"w{(d + j - 1) % ANCHOR_VOCAB}")
+            for d in range(n)
+            for j in range(1, LINKS_PER_DOC + 1)
+        }
+        assert got == want
+        stats = anchor_stats(anchors)
+        assert stats.agg(F.sum("n_anchors")).first()[0] == n * LINKS_PER_DOC
+        row = stats.orderBy("page").first()
+        assert row.top_anchors.startswith("1:")
+
     def test_pagerank_sums_to_one(self, docs):
         from ocr_spark.operators.graph import extract_links, linked_pages, pagerank
 

@@ -12,6 +12,7 @@ from ocr_spark.operators import (
     assemble_documents,
     extract_documents,
     extract_pages,
+    extract_spans,
 )
 from ocr_spark.functions import payload_kind
 
@@ -42,6 +43,60 @@ class TestExtractDocuments:
         )
         rows = mismatched.limit(5).collect()
         assert not rows, f"mismatches: {[(r.url, r.status) for r in rows]}"
+
+    def test_span_reconstruction_byte_identity(self, spark, docs):
+        """T61: reassembling every document from its offset-sliced
+        spans equals the document-level extracted text byte-for-byte
+        (HTML block spans and PDF page spans both covered)."""
+        spans = extract_spans(docs, n_partitions=8)
+        rebuilt = spans.groupBy("url").agg(
+            F.concat_ws(
+                "\n\n",
+                F.array_sort(
+                    F.collect_list(F.struct("span_idx", "span_text"))
+                ).getField("span_text"),
+            ).alias("got")
+        )
+        expected = (
+            extract_documents(docs, n_partitions=8)
+            .filter(F.col("status") == "completed")
+            .select("url", F.col("text").alias("expected"))
+        )
+        joined = rebuilt.join(expected, "url")
+        assert joined.count() == 300
+        assert joined.filter(F.col("got") != F.col("expected")).count() == 0
+        kinds = {
+            r.span_kind
+            for r in spans.select("span_kind").distinct().collect()
+        }
+        assert "page" in kinds  # PDF spans
+        assert kinds & {"text", "heading"}  # HTML spans
+
+    def test_span_offsets_match_python_extractor(self, docs):
+        """Spark span rows == the pure-Python extractor's spans for a
+        sample of payloads, field by field."""
+        from ocr_spark.html_extract import html_extract
+        from ocr_spark.pdf_extract import pdf_extract
+        from ocr_spark.textops import sniff_kind
+
+        sample = docs.orderBy("url").limit(12).collect()
+        got = {
+            r.url: r
+            for r in extract_spans(
+                docs.orderBy("url").limit(12), n_partitions=2
+            ).collect()
+            if r.span_idx == 0
+        }
+        for row in sample:
+            payload = bytes(row.html)
+            kind = sniff_kind(payload)
+            out = (pdf_extract if kind == "pdf" else html_extract)(payload)
+            first = got[row.url]
+            sp = out.spans[0]
+            assert (first.page, first.start, first.length, first.span_kind) == (
+                sp["page"], sp["start"], sp["length"], sp["kind"]
+            )
+            assert first.span_text == out.text[sp["start"]:sp["start"] + sp["length"]]
 
     def test_content_hash_matches_oracle(self, spark, docs):
         from ocr_spark.textops import sha256_text

@@ -1508,3 +1508,99 @@ def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
         if r.n_exact >= C.KMV_K:
             est = int((C.KMV_K - 1) * float(1 << 60) // plain_kth[lang])
             assert r.n_kmv == est, lang
+
+
+def test_inverted_index_two_stage_equals_plain_window(spark):
+    """T63: the salted stage-1 prune must be lossless — identical
+    (word, df, cf, postings) rows to a plain single-window top-k —
+    and the postings must be rank-prefixed in order."""
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _docs(spark)
+    got = {tuple(r) for r in C.inverted_index(docs).collect()}
+
+    tf = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(C._words(F.col("text"))).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = W.partitionBy("word").orderBy(F.desc("tf"), F.asc("doc"))
+    top = tf.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= C.INVIDX_TOPK
+    )
+    plain = {
+        tuple(r)
+        for r in tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .join(
+            top.groupBy("word").agg(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(F.concat_ws(":", "rk", "doc"))
+                    ),
+                ).alias("postings")
+            ),
+            "word",
+        )
+        .collect()
+    }
+    assert got == plain
+    assert len(got) > 20  # the sf0.001 synthetic vocab is ~31 words
+    sample = next(iter(got))
+    assert sample[3].startswith("1:")
+
+
+def test_cms_overestimates_never_underestimates(spark):
+    """T66: the count-min guarantee — every estimate >= the exact
+    count, exact for words whose buckets happen to be collision-free,
+    and the top-1 word's estimate is within the CMS error bound
+    eps = e/w of the total token count."""
+    import math
+
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _docs(spark)
+    rows = C.cms_heavy_hitters(docs).collect()
+    # top-50 capped by the corpus vocabulary (~31 words at sf0.001)
+    assert 20 <= len(rows) <= 50
+    total = (
+        docs.select(F.explode(C._words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .count()
+    )
+    for r in rows:
+        assert r.n_cms >= r.n_exact, r.word
+        assert r.n_cms <= r.n_exact + math.e / C.CMS_W * total * 3
+
+
+def test_cluster_representatives_keep_best(spark):
+    """T68: every cluster keeps its longest member (ties to lower
+    doc_id), singleton clusters keep themselves, and the rep agrees
+    with a brute-force per-cluster pick."""
+    from ocr_spark.operators import cluster as CL
+    from ocr_spark.operators import dedup as D
+
+    corpus = D.neardup_corpus(_docs(spark))
+    reps = {r.cluster_id: r for r in CL.cluster_representatives(corpus).collect()}
+    assert reps
+
+    members = {}
+    lens = {r.doc_id: r.len for r in corpus.select(
+        "doc_id", F.length("text").alias("len")).collect()}
+    for r in CL.neardup_clusters(corpus).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert set(members) == set(reps)
+    for cid, docs_ in members.items():
+        want = max(docs_, key=lambda d: (lens[d], -d))
+        got = reps[cid]
+        assert got.rep_doc == want, cid
+        assert got.n_docs == len(docs_)
+        assert got.rep_len == lens[want]
+    assert any(r.n_docs > 1 for r in reps.values())

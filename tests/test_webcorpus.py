@@ -297,3 +297,112 @@ def test_session_window_exact_gap_merges(spark, tmp_path):
         session_window_stream(spark, path, gap_minutes=30)
     ).collect()
     assert sorted(r.n_events for r in out) == [1, 2]
+
+
+def test_perplexity_buckets_tercile_split(spark):
+    """T64: per language the head/middle/tail split is within one
+    bin's mass of exact terciles, assignment is whole-bin consistent,
+    and the pipeline stays deterministic across runs."""
+    docs = _docs(spark)
+    out = wc.perplexity_buckets(docs)
+    rows = out.collect()
+    n_docs = docs.count()
+    assert 0.9 * n_docs <= len(rows) <= n_docs
+
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        if n < 30:
+            continue
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r.bucket] += 1
+        # whole-bin assignment: a bucket boundary can shift a full
+        # bin's mass, so allow a generous band around n/3
+        assert counts["head"] <= n // 3 + 1  # head never overshoots
+        assert counts["head"] > 0 and counts["tail"] > 0
+        # monotone: every head bin < every middle bin < every tail bin
+        maxb = {"head": -1, "middle": -1, "tail": -1}
+        minb = {"head": 1 << 40, "middle": 1 << 40, "tail": 1 << 40}
+        for r in rs:
+            maxb[r.bucket] = max(maxb[r.bucket], r.bin)
+            minb[r.bucket] = min(minb[r.bucket], r.bin)
+        if counts["middle"]:
+            assert maxb["head"] < minb["middle"]
+            assert maxb["middle"] < minb["tail"]
+
+    again = {(r.doc_id, r.bucket) for r in wc.perplexity_buckets(docs).collect()}
+    assert again == {(r.doc_id, r.bucket) for r in rows}
+
+
+def test_perplexity_buckets_thresholds_broadcast(spark):
+    """The label table must come back via a broadcast join — the doc
+    side is never shuffled for labeling."""
+    plan = (
+        wc.perplexity_buckets(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_robots_filter_longest_prefix_semantics(spark):
+    """T65: every doc gets exactly one decision; deny hosts lose their
+    /Articles docs except the /Articles/1* allow override; '/' paths
+    are always allowed; the rule table is broadcast."""
+    docs = _docs(spark)
+    out = wc.robots_filter(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        src = r.host[: -len(".com")]
+        if r.path == "/":
+            assert r.allowed and r.matched_prefix == "/"
+        elif len(src) % 2 == 0:
+            if r.path.startswith("/Articles/1"):
+                assert r.allowed and r.matched_prefix == "/Articles/1"
+            else:
+                assert not r.allowed and r.matched_prefix == "/Articles"
+        else:
+            # no deny rule for this host: catch-all or the override
+            assert r.allowed
+    assert any(not r.allowed for r in rows)
+    assert any(r.allowed and r.matched_prefix == "/Articles/1" for r in rows)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_weights_target_marker_scores_higher(spark):
+    """T67: a probe doc made of the target split's distinctive token
+    must weigh higher (more target-like) than a probe of corpus-wide
+    filler — ln(f_tgt/f_src) > 0 for the marker, ~0 for filler. Both
+    probes sit outside both training splits (odd ids). Models stay
+    broadcast."""
+    rows = []
+    for i in range(200):
+        text = "the quick brown fox jumps over the lazy dog"
+        if i % wc.DSIR_TARGET_MOD == 0:
+            text += " targetish" * 20
+        rows.append((i, text, "en", "s", len(text)))
+    rows.append((2_001, "targetish targetish targetish targetish", "en", "s", 40))
+    rows.append((2_003, "the quick brown fox", "en", "s", 19))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {r.doc_id: r for r in wc.dsir_weights(docs).collect()}
+    assert out[2_001].logw_per_word > out[2_003].logw_per_word
+    assert out[2_001].logw_per_word > 0
+
+    plan = (
+        wc.dsir_weights(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
