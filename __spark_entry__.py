@@ -1118,6 +1118,24 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_tw(spark, sf_dir, "documents"), k=500)
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T70: hash-deterministic train/val/test assignment — pure
+    per-row column expressions, zero shuffle, stable across runs and
+    cluster sizes."""
+    from ocr_spark.operators.corpus_ops import dataset_split
+
+    return dataset_split(_t(spark, sf_dir, "documents"))
+
+
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T71: sequence-packing manifest — per doc, its token span inside
+    the shard's concatenated stream (the cross-doc attention-mask
+    structure); one window, no extra shuffle over pack_shards."""
+    from ocr_spark.operators.corpus_ops import pack_manifest
+
+    return pack_manifest(_t(spark, sf_dir, "documents"), budget_tokens=8192)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T66: count-min-sketch frequency estimates for the top-50 words
     with the exact count as audit — the shuffle carries bounded
@@ -1482,6 +1500,15 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_tw(spark, sf_dir, "documents"))
 
 
+def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T69: bigram LM scoring with stupid backoff — bounded broadcast
+    bigram+unigram tables, adjacent-pair explode in column
+    expressions, integer micro-nat sums."""
+    from ocr_spark.operators.webcorpus import bigram_score
+
+    return bigram_score(_tw(spark, sf_dir, "documents"))
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T67: DSIR importance weights — integer micro-nat
     ln(p_target/p_source) under two broadcast unigram LMs; the doc
@@ -1695,6 +1722,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "scalar_funcs": q_scalar_funcs,
+        # -- position 51+: unbanked overflow (the driver window holds 50;
+        #    these rotate into the window next round once the 50 above
+        #    have banked green rows) --
+        "bigram_score": q_bigram_score,
+        "dataset_split": q_dataset_split,
+        "pack_manifest": q_pack_manifest,
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
         "pdf_fanout_assembly": q_pdf_fanout_assembly,
@@ -2166,6 +2199,9 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": _webcorpus_sql.sql_perplexity_buckets(),
         "robots_filter": _webcorpus_sql.sql_robots_filter(),
         "dsir_weights": _webcorpus_sql.sql_dsir_weights(),
+        "bigram_score": _webcorpus_sql.sql_bigram_score(),
+        "dataset_split": _corpus_sql.sql_dataset_split(),
+        "pack_manifest": _corpus_sql.sql_pack_manifest(budget_tokens=8192),
         "link_degree": _graph_sql.sql_degree_stats(),
         "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
         "anchor_stats": _graph_sql.sql_anchor_stats(),

@@ -381,6 +381,119 @@ def sql_vocab_topk(k: int = 1000, text_expr: str = "text") -> str:
 
 
 # ---------------------------------------------------------------------------
+# T70 — deterministic train/val/test splits
+# ---------------------------------------------------------------------------
+
+SPLIT_FRACS = (0.9, 0.05)  # train, val; the rest is test
+
+
+def dataset_split(
+    docs: DataFrame,
+    fracs: tuple = SPLIT_FRACS,
+    key_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """(doc_id, lang, split): hash-deterministic train/val/test
+    assignment — a doc keeps its split across runs, cluster sizes,
+    and corpus growth (the property rand() cannot give), so eval
+    contamination from reshuffled splits is structurally impossible.
+
+    Pure per-row column expressions: no shuffle at all."""
+    f = hash_fraction(F.col(key_col), seed)
+    split = (
+        F.when(f < fracs[0], F.lit("train"))
+        .when(f < fracs[0] + fracs[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(key_col, "lang", split.alias("split"))
+
+
+def sql_dataset_split(
+    fracs: tuple = SPLIT_FRACS, key_expr: str = "doc_id", seed: str = "split"
+) -> str:
+    h = sql_hash_fraction(key_expr, seed)
+    return f"""
+        SELECT {key_expr}, lang,
+               CASE WHEN {h} < {fracs[0]!r} THEN 'train'
+                    WHEN {h} < {fracs[0] + fracs[1]!r} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# T71 — sequence-packing manifest (token offsets per shard)
+# ---------------------------------------------------------------------------
+
+
+def pack_manifest(
+    df: DataFrame,
+    budget_tokens: int,
+    partition_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(partition, shard, doc_id, start_token, end_token): the writer
+    manifest for sample packing — each doc's token span inside its
+    shard's concatenated stream, the structure an LLM trainer needs to
+    mask cross-document attention. Extends ``pack_shards`` with the
+    in-shard offset arithmetic (same single window, no extra
+    shuffle)."""
+    from pyspark.sql import Window as W
+
+    packed = pack_shards(df, budget_tokens, partition_col, key_col, text_col)
+    w = (
+        W.partitionBy(partition_col)
+        .orderBy(key_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")) - (
+        F.col("shard").cast("bigint") * F.lit(budget_tokens)
+    )
+    return packed.select(
+        partition_col,
+        "shard",
+        key_col,
+        start.cast("bigint").alias("start_token"),
+        (start + F.col("n_tokens")).cast("bigint").alias("end_token"),
+    )
+
+
+def sql_pack_manifest(
+    budget_tokens: int,
+    partition_expr: str = "lang",
+    key_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    nt = f"len(string_split_regex(trim({text_expr}), '\\s+'))"
+    return f"""
+        WITH packed AS (
+            SELECT {partition_expr}, {key_expr},
+                   {nt} AS n_tokens,
+                   CAST(sum({nt}) OVER (
+                        PARTITION BY {partition_expr} ORDER BY {key_expr}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS BIGINT) AS cum
+            FROM documents
+        )
+        SELECT {partition_expr},
+               CAST(floor(CAST(cum - n_tokens AS DOUBLE)
+                          / {budget_tokens}) AS INT) AS shard,
+               {key_expr},
+               CAST(cum - n_tokens
+                    - CAST(floor(CAST(cum - n_tokens AS DOUBLE)
+                                 / {budget_tokens}) AS BIGINT)
+                      * {budget_tokens} AS BIGINT) AS start_token,
+               CAST(cum
+                    - CAST(floor(CAST(cum - n_tokens AS DOUBLE)
+                                 / {budget_tokens}) AS BIGINT)
+                      * {budget_tokens} AS BIGINT) AS end_token
+        FROM packed
+    """
+
+
+# ---------------------------------------------------------------------------
 # T66 — count-min sketch heavy hitters
 # ---------------------------------------------------------------------------
 

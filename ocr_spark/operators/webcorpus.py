@@ -593,6 +593,196 @@ def sql_lm_score(v: int = LM_VOCAB, train_mod: int = LM_TRAIN_MOD) -> str:
 
 
 # ---------------------------------------------------------------------------
+# T69 — bigram LM scoring with stupid backoff
+# ---------------------------------------------------------------------------
+
+BIGRAM_VOCAB = 4096          # bigram table rows kept (bounded, broadcast)
+# -ln(0.4) in micro-nats: the stupid-backoff penalty (Brants et al. 2007)
+BACKOFF_MICRO = 916_291
+
+
+def bigram_score(
+    docs: DataFrame,
+    v: int = LM_VOCAB,
+    bv: int = BIGRAM_VOCAB,
+    train_mod: int = LM_TRAIN_MOD,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_pairs, n_backoff, score): per-doc mean bigram
+    surprisal under stupid backoff (Brants et al. 2007) — score(w2|w1)
+    = count(w1 w2)/count(w1) when the bigram is in the top-``bv``
+    table, else 0.4 x unigram(w2). Closes lm_score's unigram-order
+    limitation: repetitive but locally-fluent spam scores differently
+    from real prose.
+
+    Scale shape: both model tables are bounded (<= bv / v rows) and
+    broadcast; the doc side explodes adjacent word pairs in one pass
+    (slice+zip column expressions, no Python) and shuffles only the
+    per-doc aggregation. Integer micro-nat log-probs keep the
+    cross-engine sum exact."""
+    from ocr_spark.operators.corpus_ops import _words
+
+    train = docs.filter(F.col(key_col) % train_mod == 0)
+
+    def pairs_of(side, with_key):
+        w = _words(F.col(text_col))
+        z = F.arrays_zip(
+            F.expr("slice(_w, 1, greatest(size(_w) - 1, 0))").alias("a"),
+            F.expr("slice(_w, 2, greatest(size(_w) - 1, 0))").alias("b"),
+        )
+        cols = [F.col(key_col).alias("doc_id")] if with_key else []
+        return (
+            side.withColumn("_w", w)
+            .select(*cols, F.explode(z).alias("p"))
+            .select(
+                *(["doc_id"] if with_key else []),
+                F.col("p.a").alias("w1"),
+                F.col("p.b").alias("w2"),
+            )
+            .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        )
+
+    train_pairs = pairs_of(train, with_key=False)
+    train_words = train.select(
+        F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+
+    uni_counts = train_words.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
+    big_counts = (
+        train_pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(bv)
+    )
+    bigram_model = big_counts.join(
+        uni_counts.withColumnRenamed("word", "w1"), "w1"
+    ).select(
+        "w1",
+        "w2",
+        _lp_col(F.col("c12").cast("double") / F.col("c1").cast("double")).alias(
+            "lp_bi"
+        ),
+    )
+
+    tot = train_words.agg(F.count(F.lit(1)).alias("T"))
+    uni_model = (
+        uni_counts.orderBy(F.desc("c1"), F.asc("word"))
+        .limit(v)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("word").alias("w2"),
+            _lp_col(
+                F.col("c1").cast("double") / F.col("T").cast("double")
+            ).alias("lp_uni"),
+        )
+    )
+    oov = tot.select(
+        _lp_col(F.lit(0.5) / F.col("T").cast("double")).alias("oov_lp")
+    )
+
+    doc_pairs = pairs_of(docs, with_key=True)
+    scored = (
+        doc_pairs.join(F.broadcast(bigram_model), ["w1", "w2"], "left")
+        .join(F.broadcast(uni_model), "w2", "left")
+        .crossJoin(F.broadcast(oov))
+        .withColumn(
+            "lp",
+            F.coalesce(
+                "lp_bi",
+                F.coalesce("lp_uni", "oov_lp") + F.lit(BACKOFF_MICRO),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("lp_bi").isNull().cast("bigint")).alias("n_backoff"),
+            F.sum("lp").alias("lp_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_pairs",
+        "n_backoff",
+        F.round(
+            F.col("lp_sum").cast("double")
+            / (F.lit(float(_LP_SCALE)) * F.col("n_pairs").cast("double")),
+            6,
+        ).alias("score"),
+    )
+
+
+def sql_bigram_score(
+    v: int = LM_VOCAB, bv: int = BIGRAM_VOCAB, train_mod: int = LM_TRAIN_MOD
+) -> str:
+    from ocr_spark.operators.corpus_ops import _sql_words
+
+    w = _sql_words("text")
+    return f"""
+        WITH train_docs AS (
+            SELECT doc_id, {w} AS words FROM documents
+            WHERE doc_id % {train_mod} = 0
+        ),
+        train_pairs AS (
+            SELECT words[i] AS w1, words[i + 1] AS w2
+            FROM train_docs, unnest(range(1, len(words))) AS r(i)
+            WHERE words[i] <> '' AND words[i + 1] <> ''
+        ),
+        train_words AS (
+            SELECT w AS word FROM (
+                SELECT unnest(words) AS w FROM train_docs)
+            WHERE w <> ''
+        ),
+        uni_counts AS (
+            SELECT word, count(*) AS c1 FROM train_words GROUP BY word
+        ),
+        big_counts AS (
+            SELECT w1, w2, count(*) AS c12 FROM train_pairs
+            GROUP BY w1, w2 ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT {bv}
+        ),
+        bigram_model AS (
+            SELECT b.w1, b.w2,
+                   CAST(round(-ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                              * {_LP_SCALE}) AS BIGINT) AS lp_bi
+            FROM big_counts b JOIN uni_counts u ON b.w1 = u.word
+        ),
+        tot AS (SELECT count(*) AS T FROM train_words),
+        uni_model AS (
+            SELECT word AS w2,
+                   CAST(round(-ln(CAST(c1 AS DOUBLE) / CAST(T AS DOUBLE))
+                              * {_LP_SCALE}) AS BIGINT) AS lp_uni
+            FROM (SELECT word, c1 FROM uni_counts
+                  ORDER BY c1 DESC, word ASC LIMIT {v})
+            CROSS JOIN tot
+        ),
+        oov AS (
+            SELECT CAST(round(-ln(0.5 / CAST(T AS DOUBLE))
+                              * {_LP_SCALE}) AS BIGINT) AS oov_lp
+            FROM tot
+        ),
+        doc_pairs AS (
+            SELECT d.doc_id, words[i] AS w1, words[i + 1] AS w2
+            FROM (SELECT doc_id, {w} AS words FROM documents) d,
+                 unnest(range(1, len(words))) AS r(i)
+            WHERE words[i] <> '' AND words[i + 1] <> ''
+        )
+        SELECT doc_id,
+               count(*) AS n_pairs,
+               CAST(sum(CASE WHEN m.lp_bi IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_backoff,
+               round(CAST(sum(COALESCE(m.lp_bi,
+                              COALESCE(u.lp_uni, o.oov_lp) + {BACKOFF_MICRO}))
+                          AS DOUBLE)
+                     / ({_LP_SCALE}.0 * count(*)), 6) AS score
+        FROM doc_pairs p
+        LEFT JOIN bigram_model m ON p.w1 = m.w1 AND p.w2 = m.w2
+        LEFT JOIN uni_model u ON p.w2 = u.w2
+        CROSS JOIN oov o
+        GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # T67 — DSIR importance weights (target/source unigram log-ratio)
 # ---------------------------------------------------------------------------
 

@@ -1604,3 +1604,55 @@ def test_cluster_representatives_keep_best(spark):
         assert got.n_docs == len(docs_)
         assert got.rep_len == lens[want]
     assert any(r.n_docs > 1 for r in reps.values())
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    """T70: splits are stable across runs, partition-count independent,
+    and roughly proportional; no shuffle appears in the plan."""
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _docs(spark)
+    a = {(r.doc_id, r.split) for r in C.dataset_split(docs).collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in C.dataset_split(docs.repartition(7)).collect()
+    }
+    assert a == b
+    n = len(a)
+    n_train = sum(1 for _, s in a if s == "train")
+    assert 0.8 * n <= n_train <= 0.97 * n
+    assert {s for _, s in a} == {"train", "val", "test"}
+    plan = (
+        C.dataset_split(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pack_manifest_spans_tile_each_shard(spark):
+    """T71: within every (lang, shard) the doc spans are contiguous
+    from the previous end, start at 0 for each shard, and agree with
+    pack_shards' assignment."""
+    from ocr_spark.operators import corpus_ops as C
+
+    docs = _docs(spark)
+    budget = 500
+    man = sorted(
+        C.pack_manifest(docs, budget_tokens=budget).collect(),
+        key=lambda r: (r.lang, r.shard, r.doc_id),
+    )
+    assigned = {
+        (r.lang, r.doc_id): r.shard
+        for r in C.pack_shards(docs, budget_tokens=budget).collect()
+    }
+    prev = {}
+    for r in man:
+        assert assigned[(r.lang, r.doc_id)] == r.shard
+        key = (r.lang, r.shard)
+        if key not in prev:
+            assert r.start_token < budget  # first doc started in-budget
+            if r.shard == 0:
+                assert r.start_token == 0
+        else:
+            assert r.start_token == prev[key]
+        assert r.end_token > r.start_token
+        prev[key] = r.end_token

@@ -406,3 +406,57 @@ def test_dsir_weights_target_marker_scores_higher(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bigram_score_fluency_ordering(spark):
+    """T69: a probe of corpus-frequent BIGRAMS scores lower (more
+    fluent) than a probe of the same words scrambled into never-seen
+    pairs — the signal lm_score (unigram) cannot express. Models stay
+    broadcast."""
+    docs = _docs(spark)
+    # find the corpus's most frequent adjacent pair from the train half
+    from ocr_spark.operators.corpus_ops import _words
+
+    pairs = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("_w", _words(F.col("text")))
+        .selectExpr(
+            "explode(arrays_zip(slice(_w, 1, greatest(size(_w)-1, 0)), "
+            "slice(_w, 2, greatest(size(_w)-1, 0)))) AS p"
+        )
+        .select(F.col("p.*"))
+    )
+    c1, c2 = pairs.columns
+    top = (
+        pairs.groupBy(c1, c2)
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    w1, w2 = top[0], top[1]
+    fluent = " ".join([w1, w2] * 10)
+    scrambled = " ".join([w2, w2, w1, w1] * 5)
+    oov = "qzmwv blorp qzmwv blorp qzmwv"
+    probes = spark.createDataFrame(
+        [
+            (3_000_001, fluent, "en", "s", len(fluent)),
+            (3_000_003, scrambled, "en", "s", len(scrambled)),
+            (3_000_005, oov, "en", "s", len(oov)),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {
+        r.doc_id: r
+        for r in wc.bigram_score(docs.unionByName(probes)).collect()
+        if r.doc_id >= 3_000_000
+    }
+    assert out[3_000_001].score < out[3_000_003].score
+    # unseen-pair probe: every pair backs off and pays the OOV floor
+    assert out[3_000_005].n_backoff == out[3_000_005].n_pairs == 4
+    assert out[3_000_005].score > out[3_000_003].score
+
+    plan = (
+        wc.bigram_score(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
