@@ -8,10 +8,11 @@ through scans/shuffles untouched, with decode / feature-extract /
 resize running as vectorized batch UDFs near the end of the plan.
 
 Real formats: PNG (8-bit grayscale/RGB, zlib + manual chunk/filter
-parsing — stdlib only) and WAV (PCM 8/16-bit via the stdlib ``wave``
-parser) are genuinely decoded; JPEG and MP4 remain clearly marked
-``NotImplementedError`` seams (no pure-stdlib decoder exists — PIL /
-ffmpeg plug in there in production).  Everything Spark-side — schema,
+parsing — stdlib only), WAV (PCM 8/16-bit via the stdlib ``wave``
+parser), and baseline-sequential JPEG (numpy + stdlib Huffman/DCT
+codec, ``ocr_spark/jpeg.py``) are genuinely decoded; progressive
+JPEG and MP4 remain clearly marked ``NotImplementedError`` seams
+(PIL / ffmpeg plug in there in production).  Everything Spark-side — schema,
 Arrow batch shape, mapInPandas signatures, metadata struct, partition
 behavior — is additionally tested against a deterministic fake format
 whose decode output is closed-form SQL-predictable:
@@ -156,17 +157,20 @@ def _png_decode(payload: bytes) -> tuple:
 def decode_image(payload: bytes) -> tuple:
     """(width, height, n_pixels, mean_luma) for one payload.
 
-    PNG decodes for real (``_png_decode``, stdlib-only); JPEG is the
-    remaining seam where PIL/libvips would plug in on a production
-    image.
+    PNG and baseline JPEG decode for real (``_png_decode`` /
+    ``jpeg.decode_luma``); progressive JPEG is the remaining seam
+    where PIL/libvips would plug in on a production image.
     """
     if payload.startswith(_PNG_MAGIC):
         return _png_decode(payload)
     if payload.startswith(_JPEG_MAGIC):
-        raise NotImplementedError(
-            "no pure-stdlib JPEG decoder exists; plug a PIL/libvips "
-            "decode into this branch in production"
-        )
+        # baseline sequential JPEG decodes for real (numpy + stdlib,
+        # ocr_spark/jpeg.py); progressive/arithmetic streams raise
+        # NotImplementedError inside — that is the remaining PIL seam
+        from ocr_spark.jpeg import decode_luma
+
+        w, h, mean = decode_luma(payload)
+        return w, h, w * h, mean
     if not payload.startswith(FAKE_IMG_MAGIC):
         raise ValueError("unknown media format")
     width, height = struct.unpack_from("<II", payload, len(FAKE_IMG_MAGIC))

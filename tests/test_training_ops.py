@@ -1656,3 +1656,36 @@ def test_pack_manifest_spans_tile_each_shard(spark):
             assert r.start_token == prev[key]
         assert r.end_token > r.start_token
         prev[key] = r.end_token
+
+
+def test_multimodal_jpeg_decodes_for_real():
+    """Baseline JPEG (own numpy+stdlib encoder, standard Annex K
+    tables) must decode through the SAME decode_image seam: exact
+    dimensions, mean luma within compression tolerance; progressive
+    streams stay an explicit seam."""
+    import numpy as np
+
+    from ocr_spark.jpeg import encode_gray
+    from ocr_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(11)
+    for (h, w) in [(8, 8), (17, 23), (40, 56)]:
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        gw, gh, n, mean = M.decode_image(encode_gray(px))
+        assert (gw, gh, n) == (w, h, w * h)
+        assert abs(mean - px.mean()) < 3.0
+
+    # gradient (low-frequency) content: tighter tolerance
+    y, x = np.mgrid[0:24, 0:40]
+    px = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    _, _, _, mean = M.decode_image(encode_gray(px))
+    assert abs(mean - px.mean()) < 1.5
+
+    # progressive SOF2 stays a seam
+    blob = bytearray(encode_gray(px))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        M.decode_image(bytes(blob))
