@@ -1044,6 +1044,30 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video sample-table stats (the demux plan a frame-decode stage
+    consumes); the fake format's closed-form fields make the output
+    SQL-predictable, while real MP4 payloads route through the ISO
+    BMFF box parser (ocr_spark/mp4.py)."""
+    from ocr_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.video_demux_stats(docs).select(
+        "doc_id", "n_samples", "n_keyframes",
+        F.round("duration_ms", 6).alias("duration_ms"), "total_bytes",
+    )
+
+
+_ORACLE_VIDEO_DEMUX = """
+SELECT doc_id,
+       CAST(4 + doc_id % 12 AS INTEGER) AS n_samples,
+       CAST(4 + doc_id % 12 AS INTEGER) AS n_keyframes,
+       round((4 + doc_id % 12) * 40.0, 6) AS duration_ms,
+       CAST((4 + doc_id % 12) * 64 AS BIGINT) AS total_bytes
+FROM documents
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against vec_id=0 (double math)."""
     emb = _tw(spark, sf_dir, "embeddings")
@@ -1728,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_score": q_bigram_score,
         "dataset_split": q_dataset_split,
         "pack_manifest": q_pack_manifest,
+        "video_demux": q_video_demux,
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
         "pdf_fanout_assembly": q_pdf_fanout_assembly,
@@ -2202,6 +2227,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_score": _webcorpus_sql.sql_bigram_score(),
         "dataset_split": _corpus_sql.sql_dataset_split(),
         "pack_manifest": _corpus_sql.sql_pack_manifest(budget_tokens=8192),
+        "video_demux": _ORACLE_VIDEO_DEMUX,
         "link_degree": _graph_sql.sql_degree_stats(),
         "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
         "anchor_stats": _graph_sql.sql_anchor_stats(),

@@ -54,6 +54,10 @@ AUDIO_SCHEMA = (
     "mean_amp double"
 )
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, mean_luma double"
+DEMUX_SCHEMA = (
+    "doc_id bigint, n_samples int, n_keyframes int, duration_ms double, "
+    "total_bytes bigint"
+)
 
 
 def fake_image_bytes(doc_id: int) -> bytes:
@@ -273,14 +277,39 @@ def fake_video_bytes(doc_id: int) -> bytes:
     return FAKE_VID_MAGIC + struct.pack("<III", n_frames, w, h) + body
 
 
+def demux_video_info(payload: bytes) -> tuple:
+    """(n_samples, n_keyframes, duration_ms, total_bytes) for one
+    video payload. MP4 demuxes for REAL (``ocr_spark/mp4.py`` walks
+    the ISO BMFF sample tables — stts/stsz/stsc/stco/stss); the fake
+    format reports its closed-form fields (25 fps assumed). Only
+    DECODING sample payloads remains the ffmpeg seam."""
+    if len(payload) > 8 and payload[4:8] == _MP4_FTYP:
+        from ocr_spark.mp4 import demux_video
+
+        t = demux_video(payload)
+        return (
+            t.n_samples,
+            sum(t.keyframes),
+            t.duration_ms(),
+            sum(t.sizes),
+        )
+    if not payload.startswith(FAKE_VID_MAGIC):
+        raise ValueError("unknown media format")
+    n_frames, w, h = struct.unpack_from("<III", payload, len(FAKE_VID_MAGIC))
+    return n_frames, n_frames, n_frames * 40.0, n_frames * w * h
+
+
 def sample_frames(payload: bytes, stride: int = 4) -> list:
     """Frame sampling: decode every ``stride``-th frame, return
-    [(frame_idx, mean_luma)] — the video analog of thumbnailing (real
-    formats would hand ffmpeg/pyav a keyframe list here)."""
+    [(frame_idx, mean_luma)] — the video analog of thumbnailing. For
+    MP4 the demux half is real (``sample_stride_frames`` yields the
+    seek plan); decoding the H.264 sample bytes to luma is the
+    remaining ffmpeg/pyav seam."""
     if len(payload) > 8 and payload[4:8] == _MP4_FTYP:
         raise NotImplementedError(
-            "real video demuxers are not available in this container; "
-            "plug an ffmpeg/pyav frame sampler into this branch in production"
+            "MP4 demux is real (ocr_spark.mp4.sample_stride_frames gives "
+            "the seek plan); decoding the codec payloads needs "
+            "ffmpeg/pyav at this seam"
         )
     if not payload.startswith(FAKE_VID_MAGIC):
         raise ValueError("unknown media format")
@@ -398,6 +427,36 @@ def video_frame_samples(docs: DataFrame, stride: int = 4) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         _frame_batches(stride), FRAME_SCHEMA
     )
+
+
+def _demux_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        ids, ns, nk, dur, tb = [], [], [], [], []
+        for doc_id in b["doc_id"]:
+            payload = fake_video_bytes(int(doc_id))
+            n, k, d, t = demux_video_info(payload)
+            ids.append(doc_id)
+            ns.append(n)
+            nk.append(k)
+            dur.append(d)
+            tb.append(t)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "n_samples": pd.array(ns, dtype="int32"),
+                "n_keyframes": pd.array(nk, dtype="int32"),
+                "duration_ms": pd.array(dur, dtype="float64"),
+                "total_bytes": pd.array(tb, dtype="int64"),
+            }
+        )
+
+
+def video_demux_stats(docs: DataFrame) -> DataFrame:
+    """Per-video sample-table stats via ``demux_video_info`` — the
+    stage a 100 TB video corpus runs to plan frame-decode work
+    (byte-bounded batches, keyframe-aligned seeks) without touching
+    codec payloads."""
+    return docs.select("doc_id").mapInPandas(_demux_batches, DEMUX_SCHEMA)
 
 
 def decode_media(media: DataFrame) -> DataFrame:

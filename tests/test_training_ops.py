@@ -1689,3 +1689,53 @@ def test_multimodal_jpeg_decodes_for_real():
 
     with _pt.raises(NotImplementedError):
         M.decode_image(bytes(blob))
+
+
+def test_mp4_demux_real_box_structure():
+    """T13/MP4: the ISO BMFF demuxer walks real sample tables —
+    offsets land on the right payload bytes, keyframes follow stss,
+    durations follow stts; fragmented files stay an explicit seam."""
+    import pytest as _pt
+
+    from ocr_spark.mp4 import (
+        build_minimal_mp4,
+        demux_video,
+        sample_stride_frames,
+    )
+
+    sizes = [10, 20, 15, 30, 25, 12, 18, 22, 9, 14, 40, 7]
+    blob = build_minimal_mp4(sizes, timescale=600, sample_delta=25,
+                             keyframe_every=4, samples_per_chunk=3)
+    t = demux_video(blob)
+    assert t.sizes == sizes and t.n_samples == len(sizes)
+    for i, off in enumerate(t.offsets):
+        assert blob[off] == i % 256
+    assert t.keyframes == [i % 4 == 0 for i in range(len(sizes))]
+    assert t.duration_ms() == len(sizes) * 25 * 1000.0 / 600
+    plan = sample_stride_frames(blob, stride=5)
+    assert [p[0] for p in plan] == [0, 5, 10]
+    assert all(blob[off] == i % 256 for i, off, _, _ in plan)
+
+    # fragmented MP4 seam
+    from ocr_spark.mp4 import _box
+
+    frag = blob + _box(b"moof", b"")
+    with _pt.raises(NotImplementedError):
+        demux_video(frag)
+
+
+def test_video_demux_stats_through_spark(spark):
+    """demux stats stage: closed-form fake fields AND a real MP4 both
+    route through demux_video_info."""
+    from ocr_spark.mp4 import build_minimal_mp4
+    from ocr_spark.operators import multimodal as M
+
+    out = {r.doc_id: r for r in M.video_demux_stats(
+        _docs(spark).limit(20)).collect()}
+    for d, r in out.items():
+        n = 4 + d % 12
+        assert (r.n_samples, r.n_keyframes, r.total_bytes) == (n, n, n * 64)
+        assert r.duration_ms == n * 40.0
+
+    n, k, dur, tb = M.demux_video_info(build_minimal_mp4([5, 6, 7, 8]))
+    assert (n, k, tb) == (4, 1, 26)
