@@ -280,7 +280,10 @@ def test_multimodal_thumbnail_dimensions(spark):
 def test_multimodal_real_formats_are_explicit_stubs():
     from ocr_spark.operators import multimodal as M
 
-    with pytest.raises(NotImplementedError):
+    # baseline JPEG decodes for real now; malformed bytes are a
+    # ValueError, progressive streams the NotImplementedError seam
+    # (test_multimodal_jpeg_decodes_for_real)
+    with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
     with pytest.raises(ValueError):
         M.decode_image(b"garbage-bytes")
