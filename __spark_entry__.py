@@ -1044,6 +1044,18 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval decontamination (GPT-3 Appendix C-style): every
+    eval 8-gram hit taints a padded word window, windows merge, docs are
+    rewritten as their clean pieces; fully-tainted docs drop out.
+    k=3 here (operator default is 8, Lee et al.) so the synthetic
+    corpus exercises the merge/split/drop paths, not just pass-through:
+    at sf0.01 this contaminates 175 docs, splits 85, drops 10."""
+    from ocr_spark.operators.webcorpus import decontaminate_spans
+
+    return decontaminate_spans(_tw(spark, sf_dir, "documents"), k=3)
+
+
 def q_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video sample-table stats (the demux plan a frame-decode stage
     consumes); the fake format's closed-form fields make the output
@@ -1753,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pack_manifest": q_pack_manifest,
         "video_demux": q_video_demux,
+        "decon_spans": q_decon_spans,
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
         "pdf_fanout_assembly": q_pdf_fanout_assembly,
@@ -2228,6 +2241,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _corpus_sql.sql_dataset_split(),
         "pack_manifest": _corpus_sql.sql_pack_manifest(budget_tokens=8192),
         "video_demux": _ORACLE_VIDEO_DEMUX,
+        "decon_spans": _webcorpus_sql.sql_decontaminate_spans(k=3),
         "link_degree": _graph_sql.sql_degree_stats(),
         "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
         "anchor_stats": _graph_sql.sql_anchor_stats(),

@@ -1381,3 +1381,270 @@ def sql_bloom_contamination(k: int = CONTAM_K, eval_mod: int = EVAL_MOD) -> str:
                COALESCE(h.bloom_hits, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# T72 — span-level eval decontamination (GPT-3 Appendix C-style)
+# ---------------------------------------------------------------------------
+
+# ``contamination`` (T45) and ``bloom_contamination`` (T60) *flag* docs
+# sharing a k-gram with the eval set; this op performs the repair the
+# GPT-3 / Lee et al. decontamination actually ships: every eval-gram hit
+# taints a padded word window around it, overlapping tainted windows
+# merge, and the doc is rewritten as its clean residual pieces (fully
+# tainted docs drop out; split fragments shorter than a floor drop too).
+
+DECON_PAD = 10  # words of padding either side of a hit gram
+DECON_MIN_PIECE = 5  # split fragments shorter than this are discarded
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    k: int = CONTAM_K,
+    eval_mod: int = EVAL_MOD,
+    pad: int = DECON_PAD,
+    min_piece: int = DECON_MIN_PIECE,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite corpus docs as their clean pieces after excising every
+    padded window around an eval-set k-gram hit.
+
+    Emits (doc_id, piece_idx, piece_start, piece_words, piece_text):
+    one row per surviving piece, word-granular offsets into the
+    whitespace-normalized doc.  Eval docs (doc_id % eval_mod == 0) are
+    excluded from the output; clean corpus docs pass through as one
+    whole piece; contaminated docs yield their >= min_piece fragments
+    (possibly none).
+
+    Scale shape: gram hashes (8-byte bigints) are the only thing the
+    corpus-wide stages shuffle — the gram array is built inside the row
+    and posexploded WITHOUT the words array travelling.  The eval side
+    is distinct + broadcast (benchmarks are tiny).  Interval merging /
+    piece windows run only over hit rows (one 16-byte row per hit).
+    Only the contaminated docs — the ones whose bytes must be rewritten
+    anyway — take a join against their piece intervals; clean docs pass
+    through behind a broadcast anti-join on the contaminated-id set
+    (bounded by the eval overlap, ids are 8 bytes each)."""
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators.dedup import words_col
+
+    key = F.col(key_col)
+    base = docs.select(
+        key.alias("doc_id"),
+        words_col(F.col(text_col)).alias("words"),
+    ).withColumn("nwords", F.size("words"))
+
+    # gram-start positions + 60-bit hashes, built in-row (words stay put)
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.col("nwords") - F.lit(k), F.lit(0))
+    )
+    g_arr = F.transform(
+        idx, lambda i: _hash60(F.concat_ws(" ", F.slice(F.col("words"), i + 1, k)))
+    )
+    grams = base.select(
+        "doc_id", "nwords", F.posexplode(g_arr).alias("pos", "gh")
+    )
+
+    eval_g = (
+        grams.filter(F.col("doc_id") % eval_mod == 0).select("gh").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % eval_mod != 0)
+        .join(F.broadcast(eval_g), "gh")
+        .select("doc_id", "nwords", "pos")
+    )
+
+    # padded taint interval per hit, then classic island merge
+    iv = hits.select(
+        "doc_id",
+        "nwords",
+        F.greatest(F.col("pos") - pad, F.lit(0)).alias("t0"),
+        (F.col("pos") + F.lit(k - 1 + pad)).alias("t1"),
+    ).distinct()
+    w_prev = (
+        W.partitionBy("doc_id")
+        .orderBy("t0", "t1")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    iv = iv.withColumn(
+        "brk",
+        F.when(
+            F.max("t1").over(w_prev).isNull()
+            | (F.col("t0") > F.max("t1").over(w_prev)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run = (
+        W.partitionBy("doc_id")
+        .orderBy("t0", "t1")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    merged = (
+        iv.withColumn("island", F.sum("brk").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("t0").alias("t_start"),
+            F.max("t1").alias("t_end"),
+            F.max("nwords").alias("nwords"),
+        )
+        .withColumn("t_end", F.least(F.col("t_end"), F.col("nwords") - 1))
+    )
+
+    # clean gaps between merged taints + the tail piece after the last
+    w_ord = W.partitionBy("doc_id").orderBy("t_start")
+    gaps = merged.select(
+        "doc_id",
+        (F.coalesce(F.lag("t_end").over(w_ord), F.lit(-1)) + 1).alias(
+            "p_start"
+        ),
+        (F.col("t_start") - 1).alias("p_end"),
+    )
+    tails = merged.groupBy("doc_id").agg(
+        (F.max("t_end") + 1).alias("p_start"),
+        (F.max("nwords") - 1).alias("p_end"),
+    )
+    pieces = (
+        gaps.unionByName(tails)
+        .filter(F.col("p_end") - F.col("p_start") + 1 >= min_piece)
+        .select(
+            "doc_id",
+            F.col("p_start").cast("bigint").alias("piece_start"),
+            (F.col("p_end") - F.col("p_start") + 1)
+            .cast("bigint")
+            .alias("piece_words"),
+        )
+    )
+
+    dirty_ids = merged.select("doc_id").distinct()
+    dirty = (
+        base.join(F.broadcast(dirty_ids), "doc_id")
+        .join(pieces, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("piece_start"))
+            .cast("bigint")
+            .alias("piece_idx"),
+            "piece_start",
+            "piece_words",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "words",
+                    (F.col("piece_start") + 1).cast("int"),
+                    F.col("piece_words").cast("int"),
+                ),
+            ).alias("piece_text"),
+        )
+    )
+    clean = (
+        base.filter(F.col("doc_id") % eval_mod != 0)
+        .join(F.broadcast(dirty_ids), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(1).cast("bigint").alias("piece_idx"),
+            F.lit(0).cast("bigint").alias("piece_start"),
+            F.col("nwords").cast("bigint").alias("piece_words"),
+            F.concat_ws(" ", "words").alias("piece_text"),
+        )
+    )
+    return dirty.unionByName(clean)
+
+
+def sql_decontaminate_spans(
+    k: int = CONTAM_K,
+    eval_mod: int = EVAL_MOD,
+    pad: int = DECON_PAD,
+    min_piece: int = DECON_MIN_PIECE,
+) -> str:
+    from ocr_spark.operators.dedup import sql_words
+
+    words = sql_words("text")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {words} AS words, len({words}) AS nwords
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, nwords, i AS pos,
+                   CAST('0x' || substr(md5(
+                       array_to_string(words[i + 1 : i + {k}], ' ')
+                   ), 1, 15) AS BIGINT) AS gh
+            FROM base,
+                 UNNEST(range(0, greatest(nwords - {k}, 0) + 1)) AS t(i)
+        ),
+        eval_g AS (
+            SELECT DISTINCT gh FROM grams WHERE doc_id % {eval_mod} = 0
+        ),
+        hits AS (
+            SELECT DISTINCT g.doc_id, g.nwords,
+                   greatest(g.pos - {pad}, 0) AS t0,
+                   g.pos + {k - 1 + pad} AS t1
+            FROM grams g JOIN eval_g e ON g.gh = e.gh
+            WHERE g.doc_id % {eval_mod} <> 0
+        ),
+        brks AS (
+            SELECT doc_id, nwords, t0, t1,
+                   CASE WHEN max(t1) OVER w IS NULL
+                             OR t0 > max(t1) OVER w
+                        THEN 1 ELSE 0 END AS brk
+            FROM hits
+            WINDOW w AS (PARTITION BY doc_id ORDER BY t0, t1
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        merged AS (
+            SELECT doc_id, island,
+                   min(t0) AS t_start,
+                   least(max(t1), max(nwords) - 1) AS t_end,
+                   max(nwords) AS nwords
+            FROM (
+                SELECT doc_id, nwords, t0, t1,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY t0, t1
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                FROM brks
+            )
+            GROUP BY doc_id, island
+        ),
+        gaps AS (
+            SELECT doc_id,
+                   coalesce(lag(t_end) OVER (PARTITION BY doc_id
+                                             ORDER BY t_start), -1) + 1
+                       AS p_start,
+                   t_start - 1 AS p_end
+            FROM merged
+        ),
+        tails AS (
+            SELECT doc_id, max(t_end) + 1 AS p_start, max(nwords) - 1 AS p_end
+            FROM merged GROUP BY doc_id
+        ),
+        pieces AS (
+            SELECT doc_id, p_start, p_end - p_start + 1 AS p_words
+            FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails)
+            WHERE p_end - p_start + 1 >= {min_piece}
+        ),
+        dirty AS (
+            SELECT p.doc_id,
+                   CAST(row_number() OVER (PARTITION BY p.doc_id
+                                           ORDER BY p.p_start) AS BIGINT)
+                       AS piece_idx,
+                   CAST(p.p_start AS BIGINT) AS piece_start,
+                   CAST(p.p_words AS BIGINT) AS piece_words,
+                   array_to_string(
+                       b.words[p.p_start + 1 : p.p_start + p.p_words], ' '
+                   ) AS piece_text
+            FROM pieces p JOIN base b ON p.doc_id = b.doc_id
+        ),
+        clean AS (
+            SELECT b.doc_id,
+                   CAST(1 AS BIGINT) AS piece_idx,
+                   CAST(0 AS BIGINT) AS piece_start,
+                   CAST(b.nwords AS BIGINT) AS piece_words,
+                   array_to_string(b.words, ' ') AS piece_text
+            FROM base b
+            WHERE b.doc_id % {eval_mod} <> 0
+              AND b.doc_id NOT IN (SELECT doc_id FROM merged)
+        )
+        SELECT * FROM dirty UNION ALL SELECT * FROM clean
+    """

@@ -460,3 +460,56 @@ def test_bigram_score_fluency_ordering(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# T72 decontaminate_spans
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_spans_merge_split_drop(spark):
+    """T72: hand-built corpus hitting every path — split into two
+    pieces, overlapping taints merging, full drop, min_piece drop,
+    clean pass-through, eval exclusion.  k=3, pad=2, min_piece=2;
+    doc 0 (id % 101 == 0) is the eval set contributing gram
+    'alpha beta gamma'."""
+    rows = [
+        (0, "alpha beta gamma"),  # eval doc -> excluded from output
+        # hit at pos 5 taints [3,9]; pieces [0,2] and [10,13]
+        (1, "w1 w2 w3 w4 w5 alpha beta gamma w9 w10 w11 w12 w13 w14"),
+        (2, "c1 c2 c3 c4"),  # clean -> one whole piece
+        (3, "x alpha beta gamma y"),  # taint [0,4] covers all -> dropped
+        # hits at 0 and 4: [0,4]+[2,8] merge to [0,8]; tail [9,13]
+        (4, "alpha beta gamma z1 alpha beta gamma z2 z3 z4 z5 z6 z7 z8"),
+        (5, "alpha beta gamma q1"),  # tail empty after clamp -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = wc.decontaminate_spans(docs, k=3, pad=2, min_piece=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r)
+    assert set(got) == {1, 2, 4}
+    p1 = sorted(got[1], key=lambda r: r.piece_idx)
+    assert [(r.piece_start, r.piece_words, r.piece_text) for r in p1] == [
+        (0, 3, "w1 w2 w3"),
+        (10, 4, "w11 w12 w13 w14"),
+    ]
+    assert [r.piece_idx for r in p1] == [1, 2]
+    (p2,) = got[2]
+    assert (p2.piece_start, p2.piece_words, p2.piece_text) == (0, 4, "c1 c2 c3 c4")
+    (p4,) = got[4]
+    assert (p4.piece_start, p4.piece_words, p4.piece_text) == (
+        9, 5, "z4 z5 z6 z7 z8",
+    )
+
+
+def test_decontaminate_spans_eval_broadcast_plan(spark):
+    """The eval-gram join and the dirty-id joins stay broadcast."""
+    docs = _docs(spark)
+    plan = (
+        wc.decontaminate_spans(docs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
