@@ -1231,6 +1231,15 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(_t(spark, sf_dir, "documents"))
 
 
+def q_blocklist_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phrase substring blocklist: greedy non-overlapping counts
+    of every policy phrase per doc, Aho-Corasick single-pass scan above
+    the pattern-count crossover, str.count below it."""
+    from ocr_spark.operators.curation import phrase_blocklist
+
+    return phrase_blocklist(_tw(spark, sf_dir, "documents"))
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style domain blocklist as a broadcast LEFT ANTI
     join (the shape that holds when the blocklist is a million-row
@@ -1766,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_manifest": q_pack_manifest,
         "video_demux": q_video_demux,
         "decon_spans": q_decon_spans,
+        "blocklist_phrases": q_blocklist_phrases,
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
         "pdf_fanout_assembly": q_pdf_fanout_assembly,
@@ -2242,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_manifest": _corpus_sql.sql_pack_manifest(budget_tokens=8192),
         "video_demux": _ORACLE_VIDEO_DEMUX,
         "decon_spans": _webcorpus_sql.sql_decontaminate_spans(k=3),
+        "blocklist_phrases": _curation_sql.sql_phrase_blocklist(),
         "link_degree": _graph_sql.sql_degree_stats(),
         "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
         "anchor_stats": _graph_sql.sql_anchor_stats(),

@@ -565,3 +565,168 @@ def sql_blocklist_filter(blocked: Iterable[str] = tuple(BLOCKED_SOURCES)) -> str
         SELECT doc_id, source, lang, n_chars FROM documents
         WHERE source NOT IN ({lst})
     """
+
+
+# ---------------------------------------------------------------------------
+# T73 — phrase blocklist (multi-pattern substring matching, Aho-Corasick)
+# ---------------------------------------------------------------------------
+
+# ``blocklist_filter`` drops docs by exact domain key; real takedown /
+# policy lists are *phrases* matched inside the text (titles, slogans,
+# boilerplate snippets), thousands to millions of them.  One Aho-
+# Corasick automaton pass matches all patterns simultaneously — the
+# classic answer when P patterns make P regex passes unaffordable.
+# Counts are greedy non-overlapping (Python ``str.count`` semantics),
+# which is exactly what the DuckDB replace()-length oracle computes, so
+# parity is by construction.
+
+# Stand-in policy list over the synthetic corpus vocabulary: hitting
+# bigrams, a trigram, single words nested inside longer patterns (these
+# exercise the automaton's output links), and never-present controls.
+BLOCK_PHRASES: Tuple[str, ...] = (
+    "table hash",
+    "customer join",
+    "merge group",
+    "big order",
+    "merge",
+    "hash",
+    "slow key vector",
+    "entirely absent phrase",
+)
+
+# below this many patterns a C-level str.count loop beats automaton
+# construction + a per-char Python scan; above it the single-pass
+# automaton wins (and is the only option that scales to 10^5+ patterns)
+AC_MIN_PATTERNS = 64
+
+_WS_JAVA = " \t\n\x0b\f\r"  # Java regex \s set, matching words_col
+
+
+def _normalize_ws(text: str) -> str:
+    """trim + collapse runs of whitespace to single spaces — the same
+    normalization words_col / sql_words apply before tokenizing."""
+    import re
+
+    return re.sub(f"[{_WS_JAVA}]+", " ", text or "").strip()
+
+
+def _ac_build(patterns: List[str]):
+    """Aho-Corasick automaton: trie + BFS failure links + output lists.
+    Nodes are dicts for goto, parallel lists for fail/out."""
+    goto: List[dict] = [{}]
+    out: List[List[int]] = [[]]
+    for pi, pat in enumerate(patterns):
+        node = 0
+        for ch in pat:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[node][ch] = nxt
+            node = nxt
+        out[node].append(pi)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    q = deque(goto[0].values())
+    while q:
+        node = q.popleft()
+        for ch, nxt in goto[node].items():
+            q.append(nxt)
+            f = fail[node]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[nxt] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != nxt else 0
+            out[nxt] = out[nxt] + out[fail[nxt]]
+    return goto, fail, out
+
+
+def _count_phrases_ac(text: str, patterns: List[str], automaton) -> dict:
+    """Single automaton pass; greedy non-overlapping count per pattern
+    (a match is accepted iff it starts after the previous accepted
+    match of the SAME pattern ends — str.count semantics)."""
+    goto, fail, out = automaton
+    counts: dict = {}
+    last_end = [-1] * len(patterns)
+    node = 0
+    for i, ch in enumerate(text):
+        while node and ch not in goto[node]:
+            node = fail[node]
+        node = goto[node].get(ch, 0)
+        for pi in out[node]:
+            start = i - len(patterns[pi]) + 1
+            if start > last_end[pi]:
+                counts[pi] = counts.get(pi, 0) + 1
+                last_end[pi] = i
+    return counts
+
+
+def phrase_blocklist(
+    docs: DataFrame,
+    phrases: Iterable[str] = BLOCK_PHRASES,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "auto",
+) -> DataFrame:
+    """Count occurrences of every blocklist phrase in every doc.
+
+    Emits (doc_id, phrase, n_hits) for phrases with >= 1 hit, counting
+    greedy non-overlapping occurrences in the whitespace-normalized
+    text.  ``engine``: 'auto' picks str.count below AC_MIN_PATTERNS and
+    the Aho-Corasick automaton above it; 'count'/'aho' force a path
+    (the test asserts both produce identical rows).
+
+    Scale shape: the pattern set ships once per executor inside the
+    Arrow-batched UDF closure (a million phrases is ~20 MB — broadcast
+    territory, never a join); the corpus is never shuffled — one
+    projection, then a generator explode of the per-doc hit list.  The
+    automaton makes the scan O(text + hits) regardless of P, the
+    property that keeps a 10^5-phrase policy list viable at 100 TB."""
+    pats = list(phrases)
+    use_ac = engine == "aho" or (engine == "auto" and len(pats) >= AC_MIN_PATTERNS)
+
+    @F.pandas_udf("array<struct<phrase:string,n_hits:bigint>>")
+    def _match(texts: pd.Series) -> pd.Series:
+        automaton = _ac_build(pats) if use_ac else None
+        rows = []
+        for t in texts:
+            norm = _normalize_ws(t)
+            if use_ac:
+                counts = _count_phrases_ac(norm, pats, automaton)
+                hits = [
+                    {"phrase": pats[pi], "n_hits": n}
+                    for pi, n in sorted(counts.items())
+                ]
+            else:
+                hits = []
+                for p in pats:
+                    n = norm.count(p)
+                    if n:
+                        hits.append({"phrase": p, "n_hits": n})
+            rows.append(hits)
+        return pd.Series(rows)
+
+    return (
+        docs.select(F.col(key_col).alias("doc_id"), F.col(text_col))
+        .select("doc_id", F.explode(_match(F.col(text_col))).alias("h"))
+        .select("doc_id", F.col("h.phrase"), F.col("h.n_hits"))
+    )
+
+
+def sql_phrase_blocklist(phrases: Iterable[str] = BLOCK_PHRASES) -> str:
+    vals = ", ".join("('" + p.replace("'", "''") + "')" for p in phrases)
+    return f"""
+        WITH pats AS (SELECT * FROM (VALUES {vals}) AS t(phrase)),
+        norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+            FROM documents
+        )
+        SELECT n.doc_id,
+               p.phrase,
+               CAST((len(n.nt) - len(replace(n.nt, p.phrase, '')))
+                    // len(p.phrase) AS BIGINT) AS n_hits
+        FROM norm n CROSS JOIN pats p
+        WHERE len(n.nt) - len(replace(n.nt, p.phrase, '')) > 0
+    """

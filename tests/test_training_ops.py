@@ -1742,3 +1742,47 @@ def test_video_demux_stats_through_spark(spark):
 
     n, k, dur, tb = M.demux_video_info(build_minimal_mp4([5, 6, 7, 8]))
     assert (n, k, tb) == (4, 1, 26)
+
+
+# ---------------------------------------------------------------------------
+# T73 phrase_blocklist (Aho-Corasick)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_blocklist_overlap_and_nesting(spark):
+    """Greedy non-overlapping counts, nested patterns via output
+    links, and a never-present control — identical on both engines."""
+    from ocr_spark.operators.curation import phrase_blocklist
+
+    docs = spark.createDataFrame(
+        [(1, "aabaa"), (2, "aaaa"), (3, "merge  group merge"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    pats = ["aa", "aab", "b", "merge", "merge group", "zz"]
+    expect = {
+        (1, "aa", 2), (1, "aab", 1), (1, "b", 1),
+        (2, "aa", 2),
+        (3, "merge", 2), (3, "merge group", 1),
+    }
+    for eng in ("aho", "count"):
+        got = {
+            tuple(r)
+            for r in phrase_blocklist(docs, pats, engine=eng).collect()
+        }
+        assert got == expect, eng
+
+
+def test_phrase_blocklist_no_shuffle(spark):
+    """The scan is one projection + generator explode — no Exchange."""
+    from ocr_spark.operators.curation import phrase_blocklist
+
+    docs = spark.createDataFrame(
+        [(1, "table hash")], "doc_id bigint, text string"
+    )
+    plan = (
+        phrase_blocklist(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
