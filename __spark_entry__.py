@@ -1231,6 +1231,30 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(_t(spark, sf_dir, "documents"))
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle manifest: hash-to-shard plus an
+    in-shard md5 draw — the only exchange is the shard hash partition,
+    never a global sort; order reproducible from (seed, epoch)."""
+    from ocr_spark.operators.corpus_ops import epoch_shuffle
+
+    return epoch_shuffle(_t(spark, sf_dir, "documents"))
+
+
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-frequency scrub: chunks in >= 3 distinct docs
+    are boilerplate; docs re-emitted without them. Planted shared
+    prefix (as in chunk_dedup) so the rewrite path is discriminated."""
+    from ocr_spark.operators.curation import (
+        boilerplate_scrub,
+        plant_boilerplate_col,
+    )
+
+    docs = _tw(spark, sf_dir, "documents").withColumn(
+        "text", plant_boilerplate_col(F.col("text"))
+    )
+    return boilerplate_scrub(docs)
+
+
 def q_blocklist_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-phrase substring blocklist: greedy non-overlapping counts
     of every policy phrase per doc, Aho-Corasick single-pass scan above
@@ -1776,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_demux": q_video_demux,
         "decon_spans": q_decon_spans,
         "blocklist_phrases": q_blocklist_phrases,
+        "epoch_shuffle": q_epoch_shuffle,
+        "boilerplate_scrub": q_boilerplate_scrub,
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
         "pdf_fanout_assembly": q_pdf_fanout_assembly,
@@ -2253,6 +2279,10 @@ def oracle_sql() -> dict[str, str]:
         "video_demux": _ORACLE_VIDEO_DEMUX,
         "decon_spans": _webcorpus_sql.sql_decontaminate_spans(k=3),
         "blocklist_phrases": _curation_sql.sql_phrase_blocklist(),
+        "epoch_shuffle": _corpus_sql.sql_epoch_shuffle(),
+        "boilerplate_scrub": _curation_sql.sql_boilerplate_scrub(
+            text_expr=_curation_sql.sql_plant_boilerplate()
+        ),
         "link_degree": _graph_sql.sql_degree_stats(),
         "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
         "anchor_stats": _graph_sql.sql_anchor_stats(),

@@ -959,3 +959,85 @@ def sql_kmv_vocab_estimate(
                                CAST(t.h_k AS DOUBLE)) END AS BIGINT) AS n_kmv
         FROM exact e JOIN kth t ON e.grp = t.grp
     """
+
+
+# ---------------------------------------------------------------------------
+# T74 — epoch-shuffle manifest (deterministic per-epoch permutation)
+# ---------------------------------------------------------------------------
+
+# Training wants a different document order every epoch, reproducible
+# from (seed, epoch) alone.  The scalable shape is hash-to-shard plus
+# an independent in-shard order — NOT a global sort: each shard's
+# permutation is decided by an md5 draw keyed on (epoch, doc_id), so
+# the only exchange is the n_shards-way hash partition and each shard
+# sorts only its own slice (the per-file sort a writer pays anyway).
+
+EPOCH_SHARDS = 8
+EPOCH_COUNT = 2
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_epochs: int = EPOCH_COUNT,
+    n_shards: int = EPOCH_SHARDS,
+    key_col: str = "doc_id",
+    seed: str = "epoch",
+) -> DataFrame:
+    """(doc_id, epoch, shard, pos): for every epoch, the shard each doc
+    lands in and its 1-based position within that shard.  Deterministic
+    in (seed, epoch, doc_id) — rerunning, resizing the cluster, or
+    replaying a failed epoch reproduces the same order exactly."""
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators.dedup import _hash60
+
+    e = docs.select(F.col(key_col).alias("doc_id")).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
+    )
+    draw = _hash60(
+        F.concat_ws(":", F.lit(seed), F.col("epoch"), F.col("doc_id"))
+    )
+    e = e.select(
+        "doc_id",
+        "epoch",
+        F.pmod(draw, F.lit(n_shards)).cast("int").alias("shard"),
+        draw.alias("draw"),
+    )
+    w = W.partitionBy("epoch", "shard").orderBy("draw", "doc_id")
+    return e.select(
+        "doc_id",
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+def sql_epoch_shuffle(
+    n_epochs: int = EPOCH_COUNT,
+    n_shards: int = EPOCH_SHARDS,
+    key_expr: str = "doc_id",
+    seed: str = "epoch",
+) -> str:
+    draw = (
+        f"CAST('0x' || substr(md5('{seed}' || ':' || CAST(epoch AS VARCHAR)"
+        f" || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT {key_expr} AS doc_id, CAST(epoch AS INTEGER) AS epoch
+            FROM documents,
+                 UNNEST(range(0, {n_epochs})) AS t(epoch)
+        ),
+        d AS (
+            SELECT doc_id, epoch,
+                   CAST({draw} % {n_shards} AS INTEGER) AS shard,
+                   {draw} AS draw
+            FROM e
+        )
+        SELECT doc_id, epoch, shard,
+               CAST(row_number() OVER (PARTITION BY epoch, shard
+                                       ORDER BY draw, doc_id) AS BIGINT)
+                   AS pos
+        FROM d
+    """

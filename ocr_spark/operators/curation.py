@@ -730,3 +730,95 @@ def sql_phrase_blocklist(phrases: Iterable[str] = BLOCK_PHRASES) -> str:
         FROM norm n CROSS JOIN pats p
         WHERE len(n.nt) - len(replace(n.nt, p.phrase, '')) > 0
     """
+
+
+# ---------------------------------------------------------------------------
+# T75 — boilerplate chunk scrub (corpus-frequency line rule, C4-style)
+# ---------------------------------------------------------------------------
+
+# C4 removed lines recurring across the corpus (nav bars, footers,
+# cookie banners appear on thousands of pages); chunk_dedup_stats only
+# *measures* duplication keep-first.  This op ships the rewrite: any
+# chunk appearing in >= min_df distinct docs is boilerplate, and every
+# doc is re-emitted without its boilerplate chunks.
+
+BOILER_MIN_DF = 3
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    min_df: int = BOILER_MIN_DF,
+    n: int = CHUNK_WORDS,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_chunks, n_dropped, clean_text): docs rewritten
+    without their corpus-boilerplate chunks (chunks in >= min_df
+    distinct docs), preserving original chunk order.
+
+    Scale shape: the document-frequency count shuffles 8-byte chunk
+    hashes only (chunk arrays are built in-row and posexploded without
+    text); the boilerplate set is broadcast (boilerplate is by
+    definition a tiny set of very frequent chunks); each doc's dropped
+    chunk indexes come back as one broadcast-joined array row, and the
+    rewrite is an in-row higher-order filter — document text never
+    shuffles."""
+    key = F.col(key_col)
+    h_arr = F.transform(chunk_texts_col(F.col(text_col), n), _hash60)
+    ch = docs.select(key.alias("doc_id"), F.posexplode(h_arr).alias("idx", "h"))
+
+    boiler = (
+        ch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    dropped = (
+        ch.join(F.broadcast(boiler), "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("drop_idx"))
+    )
+
+    chunks = chunk_texts_col(F.col(text_col), n)
+    drop = F.coalesce(F.col("drop_idx"), F.array().cast("array<int>"))
+    kept = F.filter(chunks, lambda c, i: ~F.array_contains(drop, i))
+    return (
+        docs.select(key.alias("doc_id"), F.col(text_col))
+        .join(F.broadcast(dropped), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(chunks).cast("bigint").alias("n_chunks"),
+            F.size(drop).cast("bigint").alias("n_dropped"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
+def sql_boilerplate_scrub(
+    min_df: int = BOILER_MIN_DF,
+    n: int = CHUNK_WORDS,
+    text_expr: str = "text",
+) -> str:
+    return f"""
+        WITH ch AS (
+            SELECT doc_id, unnest({sql_chunks(text_expr, n)}) AS c,
+                   unnest(range(len({sql_chunks(text_expr, n)}))) AS idx
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, idx, c,
+                   CAST('0x' || substr(md5(c), 1, 15) AS BIGINT) AS h
+            FROM ch
+        ),
+        boiler AS (
+            SELECT h FROM hashed
+            GROUP BY h HAVING count(DISTINCT doc_id) >= {min_df}
+        )
+        SELECT k.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(b.h) AS BIGINT) AS n_dropped,
+               coalesce(string_agg(CASE WHEN b.h IS NULL THEN k.c END,
+                                   ' ' ORDER BY k.idx), '') AS clean_text
+        FROM hashed k LEFT JOIN boiler b ON k.h = b.h
+        GROUP BY k.doc_id
+    """

@@ -1786,3 +1786,66 @@ def test_phrase_blocklist_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# T74 epoch_shuffle / T75 boilerplate_scrub
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_deterministic_contiguous_and_varying(spark):
+    """Positions are a contiguous 1..n permutation within every
+    (epoch, shard); the whole manifest is identical across reruns; and
+    epochs produce different orders."""
+    from ocr_spark.operators.corpus_ops import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id bigint"
+    )
+    a = epoch_shuffle(docs, n_epochs=2, n_shards=4).collect()
+    b = epoch_shuffle(docs, n_epochs=2, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault((r.epoch, r.shard), []).append(r.pos)
+    for key, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), key
+
+    order = {}
+    for r in a:
+        order.setdefault(r.epoch, {})[r.doc_id] = (r.shard, r.pos)
+    assert order[0] != order[1]  # epochs permute differently
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """The only exchange is the shard hash partition — no range
+    partitioning / global sort."""
+    from ocr_spark.operators.corpus_ops import epoch_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    plan = (
+        epoch_shuffle(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_boilerplate_scrub_rewrite(spark):
+    """Chunks in >= min_df docs are excised preserving order; docs made
+    entirely of boilerplate come back empty; clean docs untouched."""
+    from ocr_spark.operators.curation import boilerplate_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "z z z"),
+            (4, "a b"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in boilerplate_scrub(docs, min_df=2, n=2).collect()}
+    assert (out[1].n_chunks, out[1].n_dropped, out[1].clean_text) == (2, 1, "c d")
+    assert (out[2].n_chunks, out[2].n_dropped, out[2].clean_text) == (2, 1, "x y")
+    assert (out[3].n_chunks, out[3].n_dropped, out[3].clean_text) == (2, 0, "z z z")
+    assert (out[4].n_chunks, out[4].n_dropped, out[4].clean_text) == (1, 1, "")
