@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ocr_spark.functions import moderate as _moderate_sql  # noqa: E402
 from ocr_spark.operators import ann as _ann_sql  # noqa: E402
 from ocr_spark.operators import corpus_ops as _corpus_sql  # noqa: E402
+from ocr_spark.operators import bpe as _bpe_sql  # noqa: E402
 from ocr_spark.operators import curation as _curation_sql  # noqa: E402
 from ocr_spark.operators import cluster as _cluster_sql  # noqa: E402
 from ocr_spark.operators import dedup as _dedup_sql  # noqa: E402
@@ -1231,6 +1232,17 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): the
+    corpus shuffles once (word count); each of the 8 merge rounds is a
+    map-side-combined pair count over the word-type dictionary plus a
+    single collected argmax row. Oracle = the same K rounds as
+    generated CTE layers."""
+    from ocr_spark.operators.bpe import train_bpe
+
+    return train_bpe(_tw(spark, sf_dir, "documents"))
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch shuffle manifest: hash-to-shard plus an
     in-shard md5 draw — the only exchange is the shard hash partition,
@@ -1801,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decon_spans": q_decon_spans,
         "blocklist_phrases": q_blocklist_phrases,
         "epoch_shuffle": q_epoch_shuffle,
+        "bpe_train": q_bpe_train,
         "boilerplate_scrub": q_boilerplate_scrub,
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
@@ -2280,6 +2293,7 @@ def oracle_sql() -> dict[str, str]:
         "decon_spans": _webcorpus_sql.sql_decontaminate_spans(k=3),
         "blocklist_phrases": _curation_sql.sql_phrase_blocklist(),
         "epoch_shuffle": _corpus_sql.sql_epoch_shuffle(),
+        "bpe_train": _bpe_sql.sql_train_bpe(),
         "boilerplate_scrub": _curation_sql.sql_boilerplate_scrub(
             text_expr=_curation_sql.sql_plant_boilerplate()
         ),

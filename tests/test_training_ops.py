@@ -1849,3 +1849,85 @@ def test_boilerplate_scrub_rewrite(spark):
     assert (out[2].n_chunks, out[2].n_dropped, out[2].clean_text) == (2, 1, "x y")
     assert (out[3].n_chunks, out[3].n_dropped, out[3].clean_text) == (2, 0, "z z z")
     assert (out[4].n_chunks, out[4].n_dropped, out[4].clean_text) == (1, 1, "")
+
+
+# ---------------------------------------------------------------------------
+# T76 train_bpe
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Independent single-node BPE trainer (dict-of-tuples state, no
+    shared code with the Spark path) implementing the same variant:
+    self-pairs excluded, ties broken (count desc, lhs, rhs)."""
+    seqs = {
+        tuple(w) + ("</w>",): c for w, c in word_counts.items()
+    }
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for s, c in seqs.items():
+            for x, y in zip(s, s[1:]):
+                if x != y:
+                    counts[(x, y)] = counts.get((x, y), 0) + c
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, cnt))
+        new_seqs = {}
+        for s, c in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_seqs[tuple(out)] = new_seqs.get(tuple(out), 0) + c
+        seqs = new_seqs
+    return merges
+
+
+def test_train_bpe_matches_independent_reference(spark):
+    """The distributed trainer reproduces a from-scratch sequential BPE
+    on a corpus with chained merges (a learned symbol participating in
+    a later merge) and tie-broken ranks."""
+    from ocr_spark.operators.bpe import train_bpe
+
+    texts = [
+        "lower lower lower newest newest newest newest widest",
+        "low low lower newest wider widest widest",
+        "low newest lowest lowest wider",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    expect = _bpe_reference(wc, 10)
+    got = sorted(
+        tuple(r) for r in train_bpe(docs, n_merges=10).collect()
+    )
+    assert got == sorted(expect)
+    # chained merge actually occurred: some lhs or rhs is multi-char
+    assert any(len(m[1]) > 1 or len(m[2]) > 1 for m in got)
+
+
+def test_train_bpe_run_safety(spark):
+    """Runs of identical symbols never produce a self-merge and the
+    zip-apply stays exact around them ('aaab': only (a,b) is a
+    candidate)."""
+    from ocr_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab")], "doc_id bigint, text string"
+    )
+    rows = sorted(tuple(r) for r in train_bpe(docs, n_merges=3).collect())
+    assert all(r[1] != r[2] for r in rows)
+    # first merge is (a,b) with count 3 (two aaab + one ab)
+    assert rows[0][1:] == ("a", "b", "ab", 3)
