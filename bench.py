@@ -104,6 +104,11 @@ HEADLINE_QUERIES = [
     "perplexity_buckets",
     "dsir_weights",
     "cluster_representatives",
+    "decon_spans",
+    "blocklist_phrases",
+    "boilerplate_scrub",
+    "epoch_shuffle",
+    "bpe_train",
 ]
 
 
