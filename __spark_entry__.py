@@ -1243,6 +1243,16 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(_tw(spark, sf_dir, "documents"))
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-BPE token counts: the learned merge table (8 merges,
+    trained on the same corpus) compiled into one zero-shuffle in-row
+    nested transform; oracle re-learns the table in SQL and pushes the
+    corpus through the identical apply layers."""
+    from ocr_spark.operators.bpe import encode_bpe
+
+    return encode_bpe(_tw(spark, sf_dir, "documents"))
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch shuffle manifest: hash-to-shard plus an
     in-shard md5 draw — the only exchange is the shard hash partition,
@@ -1814,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_phrases": q_blocklist_phrases,
         "epoch_shuffle": q_epoch_shuffle,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "boilerplate_scrub": q_boilerplate_scrub,
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
@@ -2294,6 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_phrases": _curation_sql.sql_phrase_blocklist(),
         "epoch_shuffle": _corpus_sql.sql_epoch_shuffle(),
         "bpe_train": _bpe_sql.sql_train_bpe(),
+        "bpe_encode": _bpe_sql.sql_encode_bpe(),
         "boilerplate_scrub": _curation_sql.sql_boilerplate_scrub(
             text_expr=_curation_sql.sql_plant_boilerplate()
         ),

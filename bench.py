@@ -109,6 +109,7 @@ HEADLINE_QUERIES = [
     "boilerplate_scrub",
     "epoch_shuffle",
     "bpe_train",
+    "bpe_encode",
 ]
 
 

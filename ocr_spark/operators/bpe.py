@@ -144,25 +144,43 @@ def train_bpe(
     )
 
 
-def sql_train_bpe(n_merges: int = BPE_MERGES, text_expr: str = "text") -> str:
-    """The whole training loop as one generated query: K pair-count +
-    argmax + apply layers.  Mirrors train_bpe exactly (same candidate
-    exclusion, same tiebreak)."""
+def _sql_char_syms(expr: str) -> str:
+    """chars of ``expr`` + the end-of-word marker, as a list."""
+    return (
+        f"list_append(list_transform(range(1, len({expr}) + 1), "
+        f"i -> ({expr})[CAST(i AS INTEGER)]), '{END_OF_WORD}')"
+    )
+
+
+def _sql_apply_layer(merged_cte: str) -> str:
+    """The merge-apply expression over ``d.syms`` given merge row
+    ``m`` from ``merged_cte`` (identical body for the dictionary and
+    the corpus encode layers)."""
+    return f"""CASE WHEN m.lhs IS NULL THEN d.syms ELSE
+                list_filter(
+                    list_transform(d.syms, (x, i) -> CASE
+                        WHEN x = m.lhs AND i < len(d.syms)
+                             AND d.syms[CAST(i AS INTEGER) + 1] = m.rhs
+                            THEN m.lhs || m.rhs
+                        WHEN x = m.rhs AND i > 1
+                             AND d.syms[CAST(i AS INTEGER) - 1] = m.lhs
+                            THEN NULL
+                        ELSE x END),
+                    x -> x IS NOT NULL)
+                END"""
+
+
+def _sql_bpe_ctes(n_merges: int, text_expr: str) -> List[str]:
+    """The shared training CTE chain d0, (m1, d1) .. (mK, dK)."""
     w = sql_words(text_expr)
-    eow = END_OF_WORD
     ctes = [
         f"""d0 AS (
-            SELECT list_append(
-                       list_transform(range(1, len(w) + 1),
-                                      i -> (w)[CAST(i AS INTEGER)]),
-                       '{eow}') AS syms,
-                   cnt
+            SELECT {_sql_char_syms('w')} AS syms, cnt
             FROM (SELECT w, count(*) AS cnt
                   FROM (SELECT unnest({w}) AS w FROM documents)
                   WHERE len(w) > 0 GROUP BY w)
         )"""
     ]
-    sels = []
     for r in range(1, n_merges + 1):
         p = r - 1
         ctes.append(
@@ -178,25 +196,137 @@ def sql_train_bpe(n_merges: int = BPE_MERGES, text_expr: str = "text") -> str:
         )
         ctes.append(
             f"""d{r} AS (
-            SELECT CASE WHEN m.lhs IS NULL THEN d.syms ELSE
-                list_filter(
-                    list_transform(d.syms, (x, i) -> CASE
-                        WHEN x = m.lhs AND i < len(d.syms)
-                             AND d.syms[CAST(i AS INTEGER) + 1] = m.rhs
-                            THEN m.lhs || m.rhs
-                        WHEN x = m.rhs AND i > 1
-                             AND d.syms[CAST(i AS INTEGER) - 1] = m.lhs
-                            THEN NULL
-                        ELSE x END),
-                    x -> x IS NOT NULL)
-                END AS syms,
-                d.cnt
+            SELECT {_sql_apply_layer(f'm{r}')} AS syms, d.cnt
             FROM d{p} d LEFT JOIN m{r} m ON TRUE
         )"""
         )
-        sels.append(
-            f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, "
-            f"lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count "
-            f"FROM m{r}"
-        )
+    return ctes
+
+
+def sql_train_bpe(n_merges: int = BPE_MERGES, text_expr: str = "text") -> str:
+    """The whole training loop as one generated query: K pair-count +
+    argmax + apply layers.  Mirrors train_bpe exactly (same candidate
+    exclusion, same tiebreak)."""
+    ctes = _sql_bpe_ctes(n_merges, text_expr)
+    sels = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, lhs, rhs, "
+        f"lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count "
+        f"FROM m{r}"
+        for r in range(1, n_merges + 1)
+    ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
+
+
+def _apply_merge_to(seq, lhs: str, rhs: str):
+    """Expression: apply one (lhs, rhs) merge to a symbol-array Column
+    (the in-row form of _apply_merge, usable on nested lambda vars)."""
+    merged = F.lit(lhs + rhs)
+
+    def emit(x, i):
+        starts = (x == lhs) & (F.get(seq, i + 1) == rhs)
+        consumed = (x == rhs) & (F.get(seq, i - 1) == lhs)
+        return (
+            F.when(starts, merged).when(consumed, F.lit(None)).otherwise(x)
+        )
+
+    return F.filter(F.transform(seq, emit), lambda x: x.isNotNull())
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges=None,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every doc with a learned BPE merge table.
+
+    ``merges``: [(lhs, rhs), ...] in rank order; trained on ``docs``
+    itself via train_bpe when omitted.  Emits (doc_id, n_words,
+    n_subwords) — the true-BPE token count (token_count_bpe is the
+    regex approximation).
+
+    Scale shape: the merge table is K rows collected once and compiled
+    into the expression chain (the broadcast-scalar pattern) — encoding
+    explodes words once and applies the K merges as K successive narrow
+    projections (column-level HOF per layer; nesting all K inside a
+    per-word lambda trips the analyzer's resolution limit).  The only
+    shuffle is the final map-side-combined per-doc count agg — no
+    dictionary join, the word rows carry (doc_id, syms) and nothing
+    else."""
+    if merges is None:
+        merges = [
+            (r.lhs, r.rhs)
+            for r in train_bpe(docs, n_merges=n_merges, text_col=text_col)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+    key = F.col(key_col)
+    ex = (
+        docs.select(key.alias("doc_id"), F.explode(words_col(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.filter(F.split(F.col("w"), r"(?!^)"), lambda x: x != ""),
+                F.array(F.lit(END_OF_WORD)),
+            ).alias("syms"),
+        )
+    )
+    for lhs, rhs in merges:
+        ex = ex.select(
+            "doc_id", _apply_merge_to(F.col("syms"), lhs, rhs).alias("syms")
+        )
+    agg = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("syms")).alias("n_subwords"),
+    )
+    return (
+        docs.select(key.alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0))
+            .cast("bigint")
+            .alias("n_subwords"),
+        )
+    )
+
+
+def sql_encode_bpe(n_merges: int = BPE_MERGES, text_expr: str = "text") -> str:
+    """Mirror: the training CTE layers (so the oracle learns the SAME
+    merge table) plus the corpus-side per-word sequences pushed through
+    the identical K apply layers, re-aggregated per doc."""
+    w = sql_words(text_expr)
+    parts = _sql_bpe_ctes(n_merges, text_expr)
+    parts.append(
+        f"""w0 AS (
+            SELECT doc_id, {_sql_char_syms('w')} AS syms
+            FROM (SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE len(w) > 0
+        )"""
+    )
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(
+            f"""w{r} AS (
+            SELECT doc_id, {_sql_apply_layer(f'm{r}')} AS syms
+            FROM w{p} d LEFT JOIN m{r} m ON TRUE
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+        agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(syms)) AS BIGINT) AS n_subwords
+            FROM w{n_merges} GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_words, 0) AS n_words,
+               coalesce(a.n_subwords, 0) AS n_subwords
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+    )

@@ -1931,3 +1931,23 @@ def test_train_bpe_run_safety(spark):
     assert all(r[1] != r[2] for r in rows)
     # first merge is (a,b) with count 3 (two aaab + one ab)
     assert rows[0][1:] == ("a", "b", "ab", 3)
+
+
+def test_encode_bpe_known_merges(spark):
+    """Encoding with an explicit merge table: chained merges compress
+    'low' to one symbol + eow; empty docs survive as (0, 0)."""
+    from ocr_spark.operators.bpe import encode_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, ""), (3, "ow")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n_words, r.n_subwords)
+        for r in encode_bpe(docs, merges=[("l", "o"), ("lo", "w")]).collect()
+    }
+    # low: l,o,w,</w> -> lo,w,</w> -> low,</w> = 2 subwords
+    # lower: l,o,w,e,r,</w> -> low,e,r,</w> = 4 subwords
+    assert out[1] == (2, 6)
+    assert out[2] == (0, 0)
+    assert out[3] == (1, 3)  # o,w,</w> untouched (no 'lo' to start from)
