@@ -1951,3 +1951,55 @@ def test_encode_bpe_known_merges(spark):
     assert out[1] == (2, 6)
     assert out[2] == (0, 0)
     assert out[3] == (1, 3)  # o,w,</w> untouched (no 'lo' to start from)
+
+
+def test_tokenize_job_end_to_end(spark, tmp_path):
+    """jobs/tokenize_corpus.py trains merges, encodes, splits, and writes the
+    packing + epoch manifests; token spans tile each shard without
+    gaps and every train doc appears in every epoch."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "tok")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/jobs/tokenize_corpus.py",
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--output",
+            out,
+            "--merges",
+            "4",
+            "--shard-tokens",
+            "2000",
+            "--epochs",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    merges = spark.read.parquet(f"{out}/merges")
+    assert merges.count() == 4
+    enc = spark.read.parquet(f"{out}/encoded")
+    assert enc.filter(F.col("n_subwords") < F.col("n_words")).count() == 0
+    n_train = enc.filter(F.col("split") == "train").count()
+    man = spark.read.parquet(f"{out}/manifest").collect()
+    assert len(man) == n_train
+    # spans chain without gaps inside each shard; shard 0 starts at 0
+    # (later shards start at the global-offset remainder, since docs
+    # never split across shards)
+    by_shard = {}
+    for r in man:
+        by_shard.setdefault(r.shard, []).append((r.start_token, r.end_token))
+    for shard, spans in by_shard.items():
+        spans.sort()
+        assert spans[0][0] >= 0, shard
+        for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+            assert s1 == e0, (shard, s0, e0, s1, e1)
+    assert min(by_shard)  == 0 and by_shard[0][0][0] == 0
+    ep = spark.read.parquet(f"{out}/epochs")
+    assert ep.count() == 2 * n_train
+    assert ep.select("epoch").distinct().count() == 2
