@@ -43,6 +43,16 @@ from ocr_spark.operators.dedup import sql_words, words_col
 BPE_MERGES = 8
 END_OF_WORD = "</w>"
 
+# Below this many word types the merge loop finishes on the driver
+# over the collected dictionary — the shape production tokenizer
+# trainers use (distributed corpus count, local merge loop on the
+# type dictionary), and the same bounded-driver-merge pattern as the
+# k-means/PQ trainers.  65k types x a few dozen bytes is ~MBs; each
+# distributed round costs 2 jobs + a fresh codegen compile, so a toy
+# dictionary pays seconds per merge for microseconds of work.  Above
+# the threshold the loop runs distributed.
+DICT_LOCAL_TYPES = 65_536
+
 
 def _initial_dict(docs: DataFrame, text_col: str) -> DataFrame:
     """(syms, cnt): per distinct word, its character symbols + the
@@ -86,57 +96,94 @@ def _apply_merge(d: DataFrame, lhs: str, rhs: str) -> DataFrame:
     """Merge every (lhs, rhs) adjacency left-to-right.  lhs != rhs
     guarantees occurrences cannot overlap, so a zip-style mark/skip
     transform is exact."""
-    merged = lhs + rhs
     s = F.col("syms")
-
-    def emit(x, i):
-        # F.get is 0-based and NULL-safe out of bounds (NULL comparisons
-        # make the `when` condition false), unlike 1-based element_at
-        # which raises on index 0.
-        starts = (x == lhs) & (F.get(s, i + 1) == rhs)
-        consumed = (x == rhs) & (F.get(s, i - 1) == lhs)
-        return (
-            F.when(starts, F.lit(merged))
-            .when(consumed, F.lit(None))
-            .otherwise(x)
-        )
-
-    new_syms = F.filter(F.transform(s, emit), lambda x: x.isNotNull())
+    new_syms = _apply_merge_to(s, lhs, rhs)
     return d.select(new_syms.alias("syms"), "cnt")
+
+
+def _local_merge_loop(
+    seqs: dict, n_merges: int
+) -> List[Tuple[int, str, str, str, int]]:
+    """The merge loop over a driver-local {symbol-tuple: count} dict —
+    bit-identical semantics to the distributed loop (self-pairs
+    excluded, greedy non-overlapping apply, (count DESC, lhs, rhs)
+    tie-break)."""
+    out: List[Tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for s, c in seqs.items():
+            for x, y in zip(s, s[1:]):
+                if x != y:
+                    counts[(x, y)] = counts.get((x, y), 0) + c
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rank, lhs, rhs, lhs + rhs, int(cnt)))
+        nxt: dict = {}
+        for s, c in seqs.items():
+            acc, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    acc.append(lhs + rhs)
+                    i += 2
+                else:
+                    acc.append(s[i])
+                    i += 1
+            key = tuple(acc)
+            nxt[key] = nxt.get(key, 0) + c
+        seqs = nxt
+    return out
 
 
 def train_bpe(
     docs: DataFrame,
     n_merges: int = BPE_MERGES,
     text_col: str = "text",
+    local_types: int = DICT_LOCAL_TYPES,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over the corpus.
 
     Returns (merge_rank, lhs, rhs, merged, pair_count) — the merge
     table, in learning order.  Stops early (fewer rows) if the
-    dictionary runs out of non-self pairs."""
+    dictionary runs out of non-self pairs.
+
+    The corpus-scale word count always runs distributed; the merge
+    loop finishes on the driver when the type dictionary is small
+    (<= ``local_types``, the production-trainer shape) and distributed
+    otherwise.  Both loops implement identical semantics; a pytest
+    pins them equal."""
     spark = docs.sparkSession
     d = _initial_dict(docs, text_col).persist()
-    d.count()  # materialize before the loop
-    out: List[Tuple[int, str, str, str, int]] = []
-    try:
-        for r in range(1, n_merges + 1):
-            top = (
-                _pair_counts(d)
-                .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            lhs, rhs, cnt = top[0].lhs, top[0].rhs, top[0].pair_count
-            out.append((r, lhs, rhs, lhs + rhs, int(cnt)))
-            nxt = _apply_merge(d, lhs, rhs).persist()
-            nxt.count()
-            d.unpersist()
-            d = nxt
-    finally:
+    n_types = d.count()  # materialize before the loop
+
+    if n_types <= local_types:
+        seqs = {tuple(r.syms): r.cnt for r in d.collect()}
         d.unpersist()
+        out = _local_merge_loop(seqs, n_merges)
+    else:
+        out = []
+        try:
+            for r in range(1, n_merges + 1):
+                top = (
+                    _pair_counts(d)
+                    .orderBy(
+                        F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+                    )
+                    .limit(1)
+                    .collect()
+                )
+                if not top:
+                    break
+                lhs, rhs, cnt = top[0].lhs, top[0].rhs, top[0].pair_count
+                out.append((r, lhs, rhs, lhs + rhs, int(cnt)))
+                nxt = _apply_merge(d, lhs, rhs).persist()
+                nxt.count()
+                d.unpersist()
+                d = nxt
+        finally:
+            d.unpersist()
     return spark.createDataFrame(
         out,
         "merge_rank bigint, lhs string, rhs string, "

@@ -2003,3 +2003,23 @@ def test_tokenize_job_end_to_end(spark, tmp_path):
     ep = spark.read.parquet(f"{out}/epochs")
     assert ep.count() == 2 * n_train
     assert ep.select("epoch").distinct().count() == 2
+
+
+def test_train_bpe_local_and_distributed_paths_identical(spark):
+    """The driver-local merge loop (small dictionaries) and the
+    distributed loop produce the same merge table."""
+    from ocr_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "lower lower newest newest newest widest low"),
+            (2, "low lowest newest wider widest"),
+        ],
+        "doc_id bigint, text string",
+    )
+    local = sorted(tuple(r) for r in train_bpe(docs, n_merges=6).collect())
+    dist = sorted(
+        tuple(r)
+        for r in train_bpe(docs, n_merges=6, local_types=0).collect()
+    )
+    assert local == dist and len(local) == 6
