@@ -1765,11 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_spans_roundtrip": q_extract_spans_roundtrip,
         "mixture_sample": q_mixture_sample,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
         "fingerprint_winnow": q_fingerprint_winnow,
-        "langid": q_langid,
-        "embedding_topk": q_embedding_topk,
         "ann_topk_join": q_ann_topk_join,
         "stream_extract": q_stream_extract,
         "stream_dedup": q_stream_dedup,
@@ -1812,10 +1808,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": q_anchor_stats,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
-        "scalar_funcs": q_scalar_funcs,
-        # -- position 51+: unbanked overflow (the driver window holds 50;
-        #    these rotate into the window next round once the 50 above
-        #    have banked green rows) --
         "bigram_score": q_bigram_score,
         "dataset_split": q_dataset_split,
         "pack_manifest": q_pack_manifest,
@@ -1826,6 +1818,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "boilerplate_scrub": q_boilerplate_scrub,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "langid": q_langid,
+        "embedding_topk": q_embedding_topk,
+        "scalar_funcs": q_scalar_funcs,
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
         "pdf_fanout_assembly": q_pdf_fanout_assembly,

@@ -103,3 +103,26 @@ def test_entry_smoke(spark):
         "chars_out",
     ]
     assert len(rows) >= 0
+
+
+def test_driver_window_holds_unbanked_queries():
+    """The driver's CORRECTNESS harness verifies a 50-query prefix of
+    queries(); every query with a banked green row in a prior round's
+    CORRECTNESS_r*.json must stay OUT of that window so unverified
+    queries get driver rows first.  Guards against registry reorderings
+    that would waste the window on already-banked queries."""
+    import glob
+    import json
+
+    banked = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                banked.add(name)
+    window = list(entry_mod.queries())[:50]
+    overlap = banked.intersection(window)
+    assert not overlap, f"banked queries inside the driver window: {overlap}"
