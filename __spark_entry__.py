@@ -757,25 +757,42 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_contamination(_tw(spark, sf_dir, "documents"))
 
 
+_CLUSTERS_CACHE: dict = {}
+
+
+def _neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CC table per sf_dir, persisted and shared between the
+    cluster queries (same memo pattern as the PQ codebooks): the
+    minhash + star rounds run once per session, not once per query."""
+    if sf_dir not in _CLUSTERS_CACHE:
+        from ocr_spark.operators import cluster, dedup
+
+        docs = _tw(spark, sf_dir, "documents")
+        cc = cluster.neardup_clusters(dedup.neardup_corpus(docs)).persist()
+        cc.count()
+        _CLUSTERS_CACHE[sf_dir] = cc
+    return _CLUSTERS_CACHE[sf_dir]
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash-LSH pairs: alternating
     Large-Star/Small-Star connected components; cluster id = component
     min, canonical = the kept doc. Oracle = recursive-CTE min-label
     propagation over the identical pair set."""
-    from ocr_spark.operators import cluster, dedup
-
-    docs = _tw(spark, sf_dir, "documents")
-    return cluster.neardup_clusters(dedup.neardup_corpus(docs))
+    return _neardup_cc(spark, sf_dir)
 
 
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T68: keep-best-per-cluster dedup — the near-dup CC output plus
     one map-side-combinable max(struct) argmax; no cluster member list
-    ever materializes."""
+    ever materializes. Shares the session-cached CC table with
+    q_dedup_clusters."""
     from ocr_spark.operators import cluster, dedup
 
     docs = _tw(spark, sf_dir, "documents")
-    return cluster.cluster_representatives(dedup.neardup_corpus(docs))
+    return cluster.cluster_representatives(
+        dedup.neardup_corpus(docs), clusters=_neardup_cc(spark, sf_dir)
+    )
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

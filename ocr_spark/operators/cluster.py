@@ -182,7 +182,9 @@ def neardup_clusters(
 
 
 def cluster_representatives(
-    corpus: DataFrame, max_bucket: int = dedup.MAX_MINHASH_BUCKET
+    corpus: DataFrame,
+    max_bucket: int = dedup.MAX_MINHASH_BUCKET,
+    clusters: DataFrame = None,
 ) -> DataFrame:
     """(cluster_id, n_docs, rep_doc, rep_len): keep-BEST-per-cluster
     dedup — instead of the min-id canonical, each near-dup cluster
@@ -191,8 +193,11 @@ def cluster_representatives(
 
     Scale shape: one extra map-side-combinable ``max(struct)`` agg on
     top of the CC output — the argmax never materializes a cluster's
-    member list."""
-    clusters = neardup_clusters(corpus, max_bucket)
+    member list.  Pass ``clusters`` (a prior neardup_clusters result)
+    to reuse an already-computed CC table instead of re-running the
+    minhash + star rounds."""
+    if clusters is None:
+        clusters = neardup_clusters(corpus, max_bucket)
     scored = clusters.join(
         corpus.select("doc_id", F.length("text").alias("len")), "doc_id"
     )
