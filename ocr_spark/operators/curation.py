@@ -685,10 +685,12 @@ def phrase_blocklist(
     property that keeps a 10^5-phrase policy list viable at 100 TB."""
     pats = list(phrases)
     use_ac = engine == "aho" or (engine == "auto" and len(pats) >= AC_MIN_PATTERNS)
+    # build once at plan time and ship in the closure (per-batch
+    # construction would rebuild it for every Arrow batch)
+    automaton = _ac_build(pats) if use_ac else None
 
     @F.pandas_udf("array<struct<phrase:string,n_hits:bigint>>")
     def _match(texts: pd.Series) -> pd.Series:
-        automaton = _ac_build(pats) if use_ac else None
         rows = []
         for t in texts:
             norm = _normalize_ws(t)
