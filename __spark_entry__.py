@@ -1683,6 +1683,18 @@ def q_link_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_stats(extract_links(linked_pages(docs, n)))
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T78: redirect-chain resolution by pointer doubling — every
+    redirect source mapped to its terminal target with the true hop
+    count.  The hop distance doubles per self-join round, so rounds =
+    ceil(log2(max chain length)) — a constant here (max chain 17 for
+    this edge map at any corpus size) — never O(chain) sequential
+    passes.  Oracle walks the identical edge map with a recursive CTE."""
+    from ocr_spark.operators.graph import redirect_edges, resolve_redirects
+
+    return resolve_redirects(redirect_edges(_t(spark, sf_dir, "documents")))
+
+
 def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T62: per-target anchor-text aggregation — the web-search signal
     (anchor text describes the TARGET page). Anchors are built into
@@ -1835,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "boilerplate_scrub": q_boilerplate_scrub,
+        "redirect_resolve": q_redirect_resolve,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
@@ -2323,6 +2336,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_scrub": _curation_sql.sql_boilerplate_scrub(
             text_expr=_curation_sql.sql_plant_boilerplate()
         ),
+        "redirect_resolve": _graph_sql.sql_redirect_resolve(),
         "link_degree": _graph_sql.sql_degree_stats(),
         "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
         "anchor_stats": _graph_sql.sql_anchor_stats(),

@@ -344,3 +344,97 @@ def sql_pagerank(n_iter: int = 5, damping: float = DAMPING) -> str:
         f"SELECT node, round(rank, 6) AS rank FROM r{n_iter}"
     )
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# T78 — redirect-chain resolution (pointer doubling)
+# ---------------------------------------------------------------------------
+
+# A crawl's URL space is full of redirect chains (http->https, slash
+# canonicalization, moved hosts); fetch dedup and link-graph
+# construction both need every URL mapped to its final target.  A
+# sequential walk is O(max chain length) *dependent* passes over the
+# whole table; pointer doubling squares the resolved hop distance per
+# round, so L-hop chains resolve in ceil(log2 L) self-joins.
+
+REDIRECT_TERM_MOD = 17  # doc_id % this == 0  ->  page is a terminal
+REDIRECT_HOP_MOD = 3  # hop size 1..3, derived from the id
+
+
+def redirect_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic redirect map (src, dst) over the corpus: every
+    non-terminal page redirects ``1 + doc_id % REDIRECT_HOP_MOD`` ids
+    down (clamped at 0).  Strictly decreasing ids -> acyclic; within
+    any window a multiple of REDIRECT_TERM_MOD terminates the chain,
+    so the max chain length is a small constant (17, by exhaustive
+    check to 10^7) *independent of corpus size*."""
+    did = F.col("doc_id")
+    return docs.filter(did % REDIRECT_TERM_MOD != 0).select(
+        did.alias("src"),
+        F.greatest(
+            did - (F.lit(1) + did % REDIRECT_HOP_MOD), F.lit(0)
+        ).alias("dst"),
+    )
+
+
+def resolve_redirects(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """(doc_id, final_id, hops): the terminal target and true hop count
+    of every redirect source, via pointer doubling.
+
+    Scale shape: each round is ONE self-join of the (src, dst, hops)
+    map on dst==src — 24-byte rows, never page bytes — and the mapped
+    hop distance doubles per round, so rounds = ceil(log2(max chain)),
+    NOT log(corpus size).  The per-round convergence probe (count of
+    still-movable rows) is the same single-action pattern as the CC
+    star loop; lazy localCheckpoint truncates the doubling plan.  At
+    10^12 urls each round shuffles the map once — the minimum possible
+    for a chain-following computation without an external index."""
+    m = edges.select(
+        "src", "dst", F.lit(1).cast("bigint").alias("hops")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        a, b = m.alias("a"), m.alias("b")
+        step = a.join(b, F.col("a.dst") == F.col("b.src"), "left").select(
+            F.col("a.src").alias("src"),
+            F.coalesce(F.col("b.dst"), F.col("a.dst")).alias("dst"),
+            (
+                F.col("a.hops") + F.coalesce(F.col("b.hops"), F.lit(0))
+            ).alias("hops"),
+            F.col("b.src").isNotNull().alias("moved"),
+        ).localCheckpoint(eager=False)
+        n_moved = step.agg(
+            F.sum(F.col("moved").cast("bigint")).alias("n")
+        ).collect()[0]["n"]
+        m = step.drop("moved")
+        if not n_moved:
+            break
+    return m.select(
+        F.col("src").alias("doc_id"),
+        F.col("dst").alias("final_id"),
+        "hops",
+    )
+
+
+def sql_redirect_resolve() -> str:
+    """DuckDB mirror: the same edge map walked by a recursive CTE —
+    an independent sequential formulation of the identical semantics."""
+    return f"""
+        WITH RECURSIVE edges AS (
+            SELECT doc_id AS src,
+                   greatest(doc_id - (1 + doc_id % {REDIRECT_HOP_MOD}), 0)
+                       AS dst
+            FROM documents
+            WHERE doc_id % {REDIRECT_TERM_MOD} <> 0
+        ),
+        walk AS (
+            SELECT src, dst, 1 AS hops FROM edges
+            UNION ALL
+            SELECT w.src, e.dst, w.hops + 1
+            FROM walk w JOIN edges e ON w.dst = e.src
+        )
+        SELECT w.src AS doc_id,
+               CAST(w.dst AS BIGINT) AS final_id,
+               CAST(w.hops AS BIGINT) AS hops
+        FROM walk w
+        WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.dst)
+    """

@@ -244,3 +244,49 @@ class TestAsof:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRedirectResolve:
+    """T78 pointer doubling — semantics the SQL gate already checks
+    value-wise; here: hand-chain correctness, round count, and the
+    acyclic/terminal invariants of the synthetic edge map."""
+
+    def test_hand_chain(self, spark):
+        # 9 -> 8 -> 5 -> 2 -> 0 (terminals: multiples of 17, and 0)
+        from ocr_spark.operators.graph import (
+            redirect_edges,
+            resolve_redirects,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(10)], "doc_id bigint"
+        )
+        out = {
+            r.doc_id: (r.final_id, r.hops)
+            for r in resolve_redirects(redirect_edges(docs)).collect()
+        }
+        assert 0 not in out  # terminal, not a source
+        assert out[9] == (0, 4)
+        assert out[8] == (0, 3)
+        assert out[1] == (0, 1)
+
+    def test_log_rounds_suffice(self, spark):
+        # max chain length for this edge map is 17 at ANY corpus size
+        # (exhaustively checked to 10^7), so 5 doubling rounds resolve
+        # everything: resolving with max_rounds=5 must equal unlimited.
+        from ocr_spark.operators.graph import (
+            redirect_edges,
+            resolve_redirects,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(400)], "doc_id bigint"
+        )
+        edges = redirect_edges(docs)
+        capped = sorted(
+            map(tuple, resolve_redirects(edges, max_rounds=5).collect())
+        )
+        free = sorted(map(tuple, resolve_redirects(edges).collect()))
+        assert capped == free
+        srcs = {s for s, _, _ in capped}
+        assert all(f not in srcs for _, f, _ in capped)  # all terminal
