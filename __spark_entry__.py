@@ -1074,6 +1074,16 @@ def q_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_spans(_tw(spark, sf_dir, "documents"), k=3)
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T79: supervised quality classifier — naive-Bayes log-odds for
+    the reference class (lang='en'), trained on the doc_id%2 slice.
+    fastText's unigram linear model in two map-side-combined aggs +
+    one broadcast scoring join; integer micro-nats end to end."""
+    from ocr_spark.operators.webcorpus import nb_quality
+
+    return nb_quality(_tw(spark, sf_dir, "documents"))
+
+
 def q_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video sample-table stats (the demux plan a frame-decode stage
     consumes); the fake format's closed-form fields make the output
@@ -1848,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "boilerplate_scrub": q_boilerplate_scrub,
         "redirect_resolve": q_redirect_resolve,
+        "nb_quality": q_nb_quality,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
@@ -2337,6 +2348,7 @@ def oracle_sql() -> dict[str, str]:
             text_expr=_curation_sql.sql_plant_boilerplate()
         ),
         "redirect_resolve": _graph_sql.sql_redirect_resolve(),
+        "nb_quality": _webcorpus_sql.sql_nb_quality(),
         "link_degree": _graph_sql.sql_degree_stats(),
         "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
         "anchor_stats": _graph_sql.sql_anchor_stats(),

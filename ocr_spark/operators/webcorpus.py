@@ -1648,3 +1648,200 @@ def sql_decontaminate_spans(
         )
         SELECT * FROM dirty UNION ALL SELECT * FROM clean
     """
+
+
+# ---------------------------------------------------------------------------
+# T79 — hashed-vocabulary naive-Bayes quality classifier
+# ---------------------------------------------------------------------------
+
+# The GPT-3 / CCNet curation step lm_score (T46) and perplexity_buckets
+# (T64) approximate with an LM: a *supervised* classifier trained to
+# separate a curated reference slice from the raw crawl, scoring every
+# document by log-odds.  fastText's linear bag-of-words model reduces,
+# for unigram features, to exactly naive Bayes log-odds — which trains
+# in two map-side-combined aggregations and scores with one broadcast
+# join, no gradient loop.  Positive class here: lang='en' (the corpus's
+# stand-in for "reference distribution"); train slice: doc_id % 2 == 0.
+
+NB_VOCAB = 2048
+
+
+def nb_quality(
+    docs: DataFrame,
+    v: int = NB_VOCAB,
+    train_mod: int = LM_TRAIN_MOD,
+    pos_lang: str = "en",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc naive-Bayes log-odds for the reference class.
+
+    Emits (doc_id, n_words, logodds, pred): logodds in nats (rounded
+    to 6dp from integer micro-nats, so both engines agree bit-for-bit),
+    pred = logodds > 0.
+
+    Scale shape: training is one vocabulary groupBy (map-side combined,
+    top-v bounded) + one 1-row conditional agg for the class totals —
+    the model is <= v+2 rows and broadcasts; scoring shuffles nothing
+    but the per-doc agg.  Laplace (+1) smoothing keeps every log
+    finite; all counts stay integers until the final division.  If the
+    train slice contains only one class the prior log is undefined and
+    logodds/pred come back NULL — the caller's signal to fix the
+    labeling, not a silent default."""
+    from ocr_spark.operators.corpus_ops import _words
+
+    is_pos = (F.col("lang") == pos_lang).cast("bigint")
+    train = docs.filter(F.col(key_col) % train_mod == 0).select(
+        F.col(key_col).alias("doc_id"),
+        is_pos.alias("pos"),
+        _words(F.col(text_col)).alias("words"),
+    )
+    # class priors (docs) + class word totals, one row each
+    priors = train.agg(
+        F.sum("pos").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("n_neg"),
+    )
+    tw = train.select("pos", F.explode("words").alias("word")).filter(
+        F.col("word") != ""
+    )
+    totals = tw.agg(
+        F.sum("pos").alias("t_pos"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("t_neg"),
+    )
+    vocab = (
+        tw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("c_pos"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(v)
+    )
+
+    def _w(c_pos, c_neg):
+        # micro-nat log-odds weight: ln p(w|pos) - ln p(w|neg),
+        # Laplace-smoothed over v vocab slots + 1 OOV slot; evaluated
+        # against the t_pos/t_neg columns of the joined totals row
+        lpos = _lp_col(
+            (c_pos + F.lit(1)).cast("double")
+            / (F.col("t_pos") + F.lit(v + 1)).cast("double")
+        )
+        lneg = _lp_col(
+            (c_neg + F.lit(1)).cast("double")
+            / (F.col("t_neg") + F.lit(v + 1)).cast("double")
+        )
+        return lneg - lpos
+
+    model = vocab.crossJoin(F.broadcast(totals)).select(
+        "word",
+        _w(F.col("c_pos"), F.col("n") - F.col("c_pos")).alias("w"),
+    )
+    scal = (
+        totals.crossJoin(priors)
+        .select(
+            _w(F.lit(0), F.lit(0)).alias("oov_w"),
+            (
+                _lp_col(
+                    F.col("n_neg").cast("double")
+                    / (F.col("n_pos") + F.col("n_neg")).cast("double")
+                )
+                - _lp_col(
+                    F.col("n_pos").cast("double")
+                    / (F.col("n_pos") + F.col("n_neg")).cast("double")
+                )
+            ).alias("prior_w"),
+        )
+    )
+
+    doc_words = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        doc_words.join(F.broadcast(model), "word", "left")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            (
+                F.sum(F.coalesce("w", "oov_w")) + F.first("prior_w")
+            ).alias("lo_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                F.col("lo_micro").cast("double") / F.lit(float(_LP_SCALE)), 6
+            ).alias("logodds"),
+            (F.col("lo_micro") > 0).alias("pred"),
+        )
+    )
+
+
+def sql_nb_quality(
+    v: int = NB_VOCAB,
+    train_mod: int = LM_TRAIN_MOD,
+    pos_lang: str = "en",
+) -> str:
+    from ocr_spark.operators.corpus_ops import _sql_words
+
+    w = _sql_words("text")
+    s = _LP_SCALE
+    return f"""
+        WITH train AS (
+            SELECT doc_id,
+                   CASE WHEN lang = '{pos_lang}' THEN 1 ELSE 0 END AS pos,
+                   {w} AS words
+            FROM documents WHERE doc_id % {train_mod} = 0
+        ),
+        priors AS (
+            SELECT sum(pos) AS n_pos, count(*) - sum(pos) AS n_neg
+            FROM train
+        ),
+        tw AS (
+            SELECT pos, w AS word FROM (
+                SELECT pos, unnest(words) AS w FROM train)
+            WHERE w <> ''
+        ),
+        totals AS (
+            SELECT sum(pos) AS t_pos, count(*) - sum(pos) AS t_neg FROM tw
+        ),
+        vocab AS (
+            SELECT word, count(*) AS n, sum(pos) AS c_pos FROM tw
+            GROUP BY word ORDER BY n DESC, word ASC LIMIT {v}
+        ),
+        model AS (
+            SELECT word,
+                   CAST(round(-ln(CAST(n - c_pos + 1 AS DOUBLE)
+                                  / CAST(t_neg + {v + 1} AS DOUBLE))
+                              * {s}) AS BIGINT)
+                   - CAST(round(-ln(CAST(c_pos + 1 AS DOUBLE)
+                                    / CAST(t_pos + {v + 1} AS DOUBLE))
+                                * {s}) AS BIGINT) AS w
+            FROM vocab CROSS JOIN totals
+        ),
+        scal AS (
+            SELECT CAST(round(-ln(1.0 / CAST(t_neg + {v + 1} AS DOUBLE))
+                              * {s}) AS BIGINT)
+                   - CAST(round(-ln(1.0 / CAST(t_pos + {v + 1} AS DOUBLE))
+                                * {s}) AS BIGINT) AS oov_w,
+                   CAST(round(-ln(CAST(n_neg AS DOUBLE)
+                                  / CAST(n_pos + n_neg AS DOUBLE))
+                              * {s}) AS BIGINT)
+                   - CAST(round(-ln(CAST(n_pos AS DOUBLE)
+                                    / CAST(n_pos + n_neg AS DOUBLE))
+                                * {s}) AS BIGINT) AS prior_w
+            FROM totals CROSS JOIN priors
+        ),
+        doc_words AS (
+            SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE w <> ''
+        )
+        SELECT d.doc_id,
+               count(*) AS n_words,
+               round(CAST(sum(COALESCE(m.w, s.oov_w)) + any_value(s.prior_w)
+                          AS DOUBLE) / {s}.0, 6) AS logodds,
+               sum(COALESCE(m.w, s.oov_w)) + any_value(s.prior_w) > 0 AS pred
+        FROM doc_words d
+        LEFT JOIN model m ON d.word = m.word
+        CROSS JOIN scal s
+        GROUP BY d.doc_id
+    """

@@ -513,3 +513,58 @@ def test_decontaminate_spans_eval_broadcast_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# T79 nb_quality
+# ---------------------------------------------------------------------------
+
+
+def test_nb_quality_separates_classes(spark):
+    """Hand-built separable corpus: en docs use one vocabulary, others
+    another — the classifier must put every doc on its side of the
+    boundary (both pred branches exercised; the SQL gate checks the
+    micro-nat arithmetic, this checks the decision)."""
+    rows = []
+    for i in range(40):
+        # label decorrelated from the doc_id%2 train split: both
+        # classes appear in the train slice
+        if i % 4 < 2:
+            rows.append((i, "good clean prose sentence", "en"))
+        else:
+            rows.append((i, "ruido basura spam spam", "es"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r.doc_id: r for r in wc.nb_quality(docs, v=64).collect()}
+    assert len(out) == 40
+    for i in range(40):
+        assert out[i].pred == (i % 4 < 2), (i, out[i].logodds)
+    # scores are symmetric-ish and nonzero on both sides
+    assert out[0].logodds > 0 > out[2].logodds
+
+
+def test_nb_quality_en_ranks_highest(spark):
+    """On the synthetic corpus the positive class must rank top by
+    mean log-odds — the discrimination property the quality filter is
+    for (absolute threshold crossing depends on corpus separability)."""
+    docs = _docs(spark)
+    out = wc.nb_quality(docs)
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.lang: r.m
+        for r in joined.groupBy("lang")
+        .agg(F.avg("logodds").alias("m"))
+        .collect()
+    }
+    assert max(means, key=means.get) == "en"
+
+
+def test_nb_quality_broadcast_plan(spark):
+    """Model and scalar joins stay broadcast; no sort-merge join."""
+    plan = (
+        wc.nb_quality(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
