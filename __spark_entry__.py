@@ -1084,6 +1084,20 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_quality(_tw(spark, sf_dir, "documents"))
 
 
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T80: fuzzy benchmark decontamination — LSH-bucket the corpus
+    against the eval slice, verify candidates with exact Jaccard, flag
+    above threshold.  Runs over the near-dup corpus (originals +
+    ~90%-prefix mutants) so eval-doc mutants land corpus-side as true
+    fuzzy hits and both flag branches are driver-exercised."""
+    from ocr_spark.operators.dedup import neardup_corpus
+    from ocr_spark.operators.webcorpus import fuzzy_contamination
+
+    return fuzzy_contamination(
+        neardup_corpus(_tw(spark, sf_dir, "documents"))
+    )
+
+
 def q_video_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video sample-table stats (the demux plan a frame-decode stage
     consumes); the fake format's closed-form fields make the output
@@ -1859,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_scrub": q_boilerplate_scrub,
         "redirect_resolve": q_redirect_resolve,
         "nb_quality": q_nb_quality,
+        "fuzzy_contamination": q_fuzzy_contamination,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
@@ -2349,6 +2364,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "redirect_resolve": _graph_sql.sql_redirect_resolve(),
         "nb_quality": _webcorpus_sql.sql_nb_quality(),
+        "fuzzy_contamination": _webcorpus_sql.sql_fuzzy_contamination(
+            source_sql=_dedup_sql.sql_neardup_corpus()
+        ),
         "link_degree": _graph_sql.sql_degree_stats(),
         "link_pagerank": _graph_sql.sql_pagerank(n_iter=5),
         "anchor_stats": _graph_sql.sql_anchor_stats(),

@@ -1845,3 +1845,153 @@ def sql_nb_quality(
         CROSS JOIN scal s
         GROUP BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# T80 — fuzzy (MinHash) eval decontamination screen
+# ---------------------------------------------------------------------------
+
+# ``contamination`` (T45) and ``decon_spans`` (T72) catch *verbatim*
+# k-gram overlap; paraphrased or lightly-edited benchmark leakage slips
+# both.  The standard complement is a near-dup screen of the corpus
+# against the eval set: LSH-bucket corpus docs with eval docs, verify
+# candidates with exact Jaccard, flag above a threshold.
+
+FUZZY_CONTAM_THRESHOLD = 0.5
+
+
+def fuzzy_contamination(
+    docs: DataFrame,
+    threshold: float = FUZZY_CONTAM_THRESHOLD,
+    eval_mod: int = EVAL_MOD,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, eval_id, jaccard, contaminated) for every corpus doc:
+    the best-matching eval doc by exact shingle Jaccard among LSH
+    candidates (eval_id=-1 / jaccard=0.0 when no bucket collision —
+    explicit sentinels, not NULLs, so nullable-numeric rendering can't
+    differ between engines), and the threshold flag.  Ties break to
+    the smaller eval_id, deterministically.
+
+    Scale shape: corpus docs shuffle 16 minhash bigints once (the
+    shared ``_band_keyed`` pipeline); the eval side is tiny by
+    definition, so its band keys AND its shingle sets broadcast —
+    candidate generation and Jaccard verification are both map-side
+    against broadcast tables, and only corpus docs with a candidate
+    ever re-read their text.  No corpus-corpus pairs exist anywhere."""
+    from ocr_spark.operators.dedup import (
+        _band_keyed,
+        jaccard_col,
+        shingles_col,
+    )
+
+    key = F.col(key_col)
+    base = docs.select(
+        key.alias("doc_id"), F.col(text_col).alias("text")
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    keyed = _band_keyed(base)
+    cand = (
+        keyed.filter(~is_eval)
+        .join(
+            F.broadcast(
+                keyed.filter(is_eval).select(
+                    F.col("doc_id").alias("eval_id"), "band", "key"
+                )
+            ),
+            ["band", "key"],
+        )
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+
+    sh = F.array_distinct(shingles_col(F.col("text"))).alias("sh")
+    eval_sh = base.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), sh
+    )
+    ver = (
+        cand.join(base, "doc_id")
+        .join(F.broadcast(eval_sh.withColumnRenamed("sh", "esh")), "eval_id")
+        .select(
+            "doc_id",
+            "eval_id",
+            jaccard_col(shingles_col(F.col("text")), F.col("esh")).alias(
+                "jaccard"
+            ),
+        )
+    )
+    best = ver.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("jaccard"), (-F.col("eval_id")).alias("neg")))
+        .alias("m")
+    )
+    return (
+        base.filter(~is_eval)
+        .select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(-F.col("m.neg"), F.lit(-1)).alias("eval_id"),
+            F.coalesce(F.col("m.jaccard"), F.lit(0.0)).alias("jaccard"),
+            F.coalesce(
+                F.col("m.jaccard") >= threshold, F.lit(False)
+            ).alias("contaminated"),
+        )
+    )
+
+
+def sql_fuzzy_contamination(
+    threshold: float = FUZZY_CONTAM_THRESHOLD,
+    eval_mod: int = EVAL_MOD,
+    source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    from ocr_spark.operators.dedup import (
+        MINHASH_BANDS,
+        sql_band_keys,
+        sql_shingles,
+    )
+
+    return f"""
+        WITH src AS ({source_sql}),
+        base AS (
+            SELECT doc_id, list_distinct({sql_shingles("text")}) AS sh
+            FROM src
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   unnest(range(0, {MINHASH_BANDS})) AS band,
+                   unnest({sql_band_keys("sh")}) AS key
+            FROM base
+        ),
+        cand AS (
+            SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
+            FROM keyed c JOIN keyed e USING (band, key)
+            WHERE c.doc_id % {eval_mod} <> 0
+              AND e.doc_id % {eval_mod} = 0
+        ),
+        ver AS (
+            SELECT v.doc_id, v.eval_id,
+                   round(CAST(len(list_intersect(b.sh, e.sh)) AS DOUBLE)
+                         / (len(b.sh) + len(e.sh)
+                            - len(list_intersect(b.sh, e.sh))),
+                         6) AS jaccard
+            FROM cand v
+            JOIN base b ON v.doc_id = b.doc_id
+            JOIN base e ON v.eval_id = e.doc_id
+        ),
+        best AS (
+            SELECT doc_id, jaccard, eval_id FROM (
+                SELECT doc_id, jaccard, eval_id,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY jaccard DESC,
+                                                   eval_id ASC) AS rk
+                FROM ver) WHERE rk = 1
+        )
+        SELECT d.doc_id,
+               COALESCE(b.eval_id, -1) AS eval_id,
+               COALESCE(b.jaccard, 0.0) AS jaccard,
+               COALESCE(b.jaccard >= {threshold}, FALSE) AS contaminated
+        FROM src d
+        LEFT JOIN best b ON d.doc_id = b.doc_id
+        WHERE d.doc_id % {eval_mod} <> 0
+    """

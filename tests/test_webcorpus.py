@@ -568,3 +568,40 @@ def test_nb_quality_broadcast_plan(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# T80 fuzzy_contamination
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_contamination_flags_neardup_of_eval(spark):
+    """A corpus doc that is a light edit of an eval doc must flag with
+    a high Jaccard against that eval doc; an unrelated doc must come
+    back with the no-candidate sentinels."""
+    evaltext = " ".join(f"tok{i}" for i in range(40))
+    neartext = " ".join(f"tok{i}" for i in range(36))  # 90% prefix
+    rows = [
+        (0, evaltext),  # doc_id % 101 == 0 -> eval
+        (7, neartext),  # near-dup of the eval doc
+        (8, "completely different words entirely unrelated content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in wc.fuzzy_contamination(docs).collect()}
+    assert set(out) == {7, 8}  # eval doc excluded
+    assert out[7].contaminated and out[7].eval_id == 0
+    assert out[7].jaccard > 0.8
+    assert not out[8].contaminated
+    assert out[8].eval_id == -1 and out[8].jaccard == 0.0
+
+
+def test_fuzzy_contamination_broadcast_plan(spark):
+    """The eval band-key and eval shingle-set joins stay broadcast;
+    the corpus is never self-joined."""
+    plan = (
+        wc.fuzzy_contamination(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
