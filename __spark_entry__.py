@@ -1294,6 +1294,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_bpe(_tw(spark, sf_dir, "documents"))
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T81: per-language tokenizer fertility (BPE tokens per word) —
+    the multilingual-tokenizer audit; a vocabulary trained on a skewed
+    mix over-segments minority languages and this is the signal."""
+    from ocr_spark.operators.bpe import bpe_fertility
+
+    return bpe_fertility(_tw(spark, sf_dir, "documents"))
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch shuffle manifest: hash-to-shard plus an
     in-shard md5 draw — the only exchange is the shard hash partition,
@@ -1874,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "nb_quality": q_nb_quality,
         "fuzzy_contamination": q_fuzzy_contamination,
+        "bpe_fertility": q_bpe_fertility,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
@@ -2359,6 +2369,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _corpus_sql.sql_epoch_shuffle(),
         "bpe_train": _bpe_sql.sql_train_bpe(),
         "bpe_encode": _bpe_sql.sql_encode_bpe(),
+        "bpe_fertility": _bpe_sql.sql_bpe_fertility(),
         "boilerplate_scrub": _curation_sql.sql_boilerplate_scrub(
             text_expr=_curation_sql.sql_plant_boilerplate()
         ),

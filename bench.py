@@ -110,6 +110,9 @@ HEADLINE_QUERIES = [
     "epoch_shuffle",
     "bpe_train",
     "bpe_encode",
+    "redirect_resolve",
+    "nb_quality",
+    "fuzzy_contamination",
 ]
 
 

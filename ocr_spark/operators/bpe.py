@@ -377,3 +377,97 @@ def sql_encode_bpe(n_merges: int = BPE_MERGES, text_expr: str = "text") -> str:
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# T81 — per-language tokenizer fertility audit
+# ---------------------------------------------------------------------------
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges=None,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """(lang, n_docs, n_words, n_subwords, fertility): mean BPE tokens
+    per word by language — the standard multilingual-tokenizer audit
+    (a vocabulary trained on a skewed mix over-segments the minority
+    languages; fertility disparity is the signal).
+
+    Scale shape: everything is encode_bpe's plan (merge table compiled
+    into narrow projections, one per-doc count agg) plus a per-language
+    re-agg of the per-doc counts — the second agg runs over n_docs
+    rows, map-side combined down to n_languages."""
+    enc = encode_bpe(
+        docs,
+        merges=merges,
+        n_merges=n_merges,
+        text_col=text_col,
+        key_col=key_col,
+    )
+    return (
+        docs.select(F.col(key_col).alias("doc_id"), group_col)
+        .join(enc, "doc_id")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_subwords").alias("n_subwords"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )
+
+
+def sql_bpe_fertility(
+    n_merges: int = BPE_MERGES, text_expr: str = "text"
+) -> str:
+    """Mirror: the encode_bpe CTE stack re-aggregated by language."""
+    w = sql_words(text_expr)
+    parts = _sql_bpe_ctes(n_merges, text_expr)
+    parts.append(
+        f"""w0 AS (
+            SELECT doc_id, {_sql_char_syms('w')} AS syms
+            FROM (SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE len(w) > 0
+        )"""
+    )
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(
+            f"""w{r} AS (
+            SELECT doc_id, {_sql_apply_layer(f'm{r}')} AS syms
+            FROM w{p} d LEFT JOIN m{r} m ON TRUE
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+        agg AS (
+            SELECT doc_id, count(*) AS n_words, sum(len(syms)) AS n_subwords
+            FROM w{n_merges} GROUP BY doc_id
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(a.n_words, 0)) AS BIGINT) AS n_words,
+               CAST(sum(coalesce(a.n_subwords, 0)) AS BIGINT) AS n_subwords,
+               round(CAST(sum(coalesce(a.n_subwords, 0)) AS DOUBLE)
+                     / CAST(sum(coalesce(a.n_words, 0)) AS DOUBLE), 6)
+                   AS fertility
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        GROUP BY d.lang
+    """
+    )

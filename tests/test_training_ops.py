@@ -2023,3 +2023,49 @@ def test_train_bpe_local_and_distributed_paths_identical(spark):
         for r in train_bpe(docs, n_merges=6, local_types=0).collect()
     )
     assert local == dist and len(local) == 6
+
+
+# ---------------------------------------------------------------------------
+# T81 bpe_fertility
+# ---------------------------------------------------------------------------
+
+
+class TestBpeFertility:
+    def test_no_merges_counts_chars_plus_eow(self, spark):
+        """With an empty merge table every word costs len(word)+1
+        symbols (chars + end-of-word), so fertility is exactly
+        mean(len+1) per language — closed-form check."""
+        from ocr_spark.operators.bpe import bpe_fertility
+
+        rows = [
+            (1, "ab cd", "aa"),    # words of len 2 -> 3 syms each
+            (2, "abcd", "bb"),     # one word of len 4 -> 5 syms
+            (3, "ab abcd", "aa"),  # 3 + 5
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string"
+        )
+        out = {r.lang: r for r in bpe_fertility(docs, merges=[]).collect()}
+        assert out["aa"].n_words == 4 and out["aa"].n_subwords == 14
+        assert out["aa"].fertility == 3.5
+        assert out["bb"].n_words == 1 and out["bb"].n_subwords == 5
+        assert out["bb"].fertility == 5.0
+
+    def test_merges_reduce_fertility(self, spark):
+        """A merge table learned on the corpus can only lower (never
+        raise) the per-language token counts vs the char baseline."""
+        from ocr_spark.operators.bpe import bpe_fertility
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        base = {
+            r.lang: r.fertility
+            for r in bpe_fertility(docs, merges=[]).collect()
+        }
+        learned = {
+            r.lang: r.fertility for r in bpe_fertility(docs).collect()
+        }
+        assert set(base) == set(learned)
+        for lang in base:
+            assert learned[lang] <= base[lang]
