@@ -3,7 +3,14 @@
 post-extraction cleaning stack over an extracted-documents table:
 
     blocklist filter → Gopher quality rules → repetition rules →
-    chunk-level global dedup → stratified sampling → shard packing
+    chunk-level global dedup → [naive-Bayes quality floor] →
+    [exact-gram + fuzzy eval decontamination] → stratified sampling →
+    shard packing
+
+Bracketed stages are opt-in: ``--min-logodds`` turns on the trained
+classifier floor (T79), ``--decontaminate`` turns on the benchmark
+screens (T45 exact-gram + T80 MinHash-fuzzy, both against the
+``--eval-mod`` slice).
 
 Usage (cluster):
 
@@ -72,6 +79,27 @@ def main() -> None:
         help="JSON lang→keep-rate for the mixing stage",
     )
     ap.add_argument(
+        "--min-logodds",
+        type=float,
+        default=None,
+        help="naive-Bayes quality floor (T79): drop docs whose "
+        "reference-class log-odds falls below this (off by default; "
+        "needs a lang column for the training labels)",
+    )
+    ap.add_argument(
+        "--decontaminate",
+        action="store_true",
+        help="benchmark screens (T45 exact 8-gram + T80 MinHash "
+        "fuzzy): drop corpus docs overlapping the eval slice",
+    )
+    ap.add_argument(
+        "--eval-mod",
+        type=int,
+        default=101,
+        help="doc_id %% this == 0 marks the eval slice for "
+        "--decontaminate",
+    )
+    ap.add_argument(
         "--audit",
         action="store_true",
         help="count survivors after every stage (recomputes the chain "
@@ -124,7 +152,41 @@ def main() -> None:
     docs = docs.join(cd, key, "left_semi")
     audit("chunk_dedup", docs)
 
-    # 5. language id + stratified mixing rates
+    # 5. trained quality floor (T79, opt-in): broadcast-model scoring,
+    # shuffles only the per-doc agg
+    if args.min_logodds is not None and "lang" in docs.columns:
+        from ocr_spark.operators.webcorpus import nb_quality
+
+        nb = nb_quality(docs, key_col=key, text_col=text).filter(
+            F.col("logodds") >= args.min_logodds
+        ).select(F.col("doc_id").alias(key))
+        docs = docs.join(nb, key, "left_semi")
+        audit("nb_quality", docs)
+
+    # 6. benchmark decontamination (opt-in): exact 8-gram hits plus
+    # the MinHash fuzzy screen; both treat doc_id % eval_mod == 0 as
+    # the eval slice and drop flagged corpus docs (eval docs pass —
+    # they are not training rows downstream of the split stage)
+    if args.decontaminate:
+        from ocr_spark.operators.webcorpus import (
+            contamination,
+            fuzzy_contamination,
+        )
+
+        exact_bad = contamination(
+            docs, eval_mod=args.eval_mod, key_col=key, text_col=text
+        ).filter(F.col("contaminated") & ~F.col("in_eval")).select(
+            F.col("doc_id").alias(key)
+        )
+        fuzzy_bad = fuzzy_contamination(
+            docs, eval_mod=args.eval_mod, key_col=key, text_col=text
+        ).filter(F.col("contaminated")).select(F.col("doc_id").alias(key))
+        docs = docs.join(
+            exact_bad.unionByName(fuzzy_bad).distinct(), key, "left_anti"
+        )
+        audit("decontaminate", docs)
+
+    # 7. language id + stratified mixing rates
     docs = docs.withColumn("lang_guess", langid_script(F.col(text)))
     rates = json.loads(args.sample_rates)
     docs = sample_stratified(
@@ -132,7 +194,7 @@ def main() -> None:
     )
     audit("sampling", docs)
 
-    # 6. shard packing
+    # 8. shard packing
     shards = pack_shards(
         docs,
         args.shard_tokens,

@@ -648,8 +648,9 @@ def test_blocklist_filter_is_broadcast_anti_join(spark):
 
 def test_curate_job_end_to_end(spark, tmp_path):
     """jobs/curate.py chains blocklist → quality → repetition →
-    chunk-dedup → sampling → packing and writes output + audit
-    report; every surviving doc carries a shard id."""
+    chunk-dedup → nb-quality floor → decontamination → sampling →
+    packing and writes output + audit report; every surviving doc
+    carries a shard id."""
     import subprocess
     import sys
 
@@ -668,6 +669,10 @@ def test_curate_job_end_to_end(spark, tmp_path):
             "--audit",
             "--shard-tokens",
             "2000",
+            # a floor below the sf0.01 score range: stage runs, drops 0
+            "--min-logodds",
+            "-20",
+            "--decontaminate",
         ],
         capture_output=True,
         text=True,
@@ -679,12 +684,21 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert report["input"] == 500
     # monotone shrinkage through the funnel
     order = ["input", "blocklist", "quality", "repetition", "chunk_dedup",
-             "sampling", "output"]
+             "nb_quality", "decontaminate", "sampling", "output"]
     present = [report[s] for s in order if s in report]
     assert all(a >= b for a, b in zip(present, present[1:])), report
+    assert "nb_quality" in report and "decontaminate" in report
     assert report["output"] == curated.count() > 0
     assert curated.filter(F.col("shard").isNull()).count() == 0
     assert curated.filter(F.col("source").isin("src2", "src7", "src13")).count() == 0
+    # the exact screen flags every surviving eval-gram overlap away:
+    # no remaining non-eval doc shares an 8-gram with the eval slice
+    from ocr_spark.operators.webcorpus import contamination
+
+    still = contamination(curated.select("doc_id", "text"))
+    assert (
+        still.filter(F.col("contaminated") & ~F.col("in_eval")).count() == 0
+    )
 
 
 # ---------------------------------------------------------------------------
