@@ -113,6 +113,7 @@ HEADLINE_QUERIES = [
     "redirect_resolve",
     "nb_quality",
     "fuzzy_contamination",
+    "bpe_fertility",
 ]
 
 
