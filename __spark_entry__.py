@@ -1187,6 +1187,24 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_stats(docs)
 
 
+def q_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 rewrite stage over the same planted-boilerplate corpus as
+    `chunk_dedup`: every doc is reassembled from only its
+    corpus-wide-first chunks, so exactly one doc keeps the boilerplate
+    prefix and exact-duplicate docs vanish. Keep-set derived from the
+    packed winner keys alone (8-16 bytes/chunk through the dedup
+    shuffles); text moves once in the final rewrite join."""
+    from ocr_spark.operators.curation import (
+        chunk_dedup_rewrite,
+        plant_boilerplate_col,
+    )
+
+    docs = _tw(spark, sf_dir, "documents").withColumn(
+        "text", plant_boilerplate_col(F.col("text"))
+    )
+    return chunk_dedup_rewrite(docs)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-500 whitespace tokens by frequency
     (map-side-combined count, TakeOrdered top-k — never a global
@@ -1884,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality": q_nb_quality,
         "fuzzy_contamination": q_fuzzy_contamination,
         "bpe_fertility": q_bpe_fertility,
+        "chunk_rewrite": q_chunk_rewrite,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
@@ -2234,6 +2253,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "chunk_dedup": _curation_sql.sql_chunk_dedup_stats(
+            _curation_sql.sql_plant_boilerplate()
+        ),
+        "chunk_rewrite": _curation_sql.sql_chunk_dedup_rewrite(
             _curation_sql.sql_plant_boilerplate()
         ),
         "substring_dup": _curation_sql.sql_substring_dup_stats(

@@ -157,6 +157,86 @@ def chunk_dedup_stats(
     )
 
 
+def chunk_dedup_rewrite(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = CHUNK_WORDS,
+) -> DataFrame:
+    """The C4 REWRITE stage on top of ``chunk_dedup_stats``'s keep-first
+    rule: reassemble each document from only its corpus-wide-first
+    chunks -> (doc_id, n_kept, clean_text). A doc whose every chunk
+    already occurred in a lower-keyed doc disappears entirely.
+
+    Scale shape: the packed winner key alone encodes (doc, idx) —
+    ``floor(wpk / stride)`` / ``wpk % stride`` recover the keep-set —
+    so the global-dedup shuffles carry 8-16 bytes per chunk exactly
+    like the stats op, and document text moves once, in the final
+    rewrite join against the per-doc keep-index arrays.
+    """
+    chunks = docs.select(
+        F.col(key_col).cast("bigint").alias("doc_id"),
+        F.posexplode(chunk_texts_col(F.col(text_col), n)).alias(
+            "idx", "chunk"
+        ),
+    ).select(
+        (F.col("doc_id") * _PK_STRIDE + F.col("idx")).alias("pk"),
+        _hash60(F.col("chunk")).alias("h"),
+    )
+    winners = chunks.groupBy("h").agg(F.min("pk").alias("wpk"))
+    keep = (
+        winners.select(
+            F.floor(F.col("wpk") / _PK_STRIDE).cast("bigint").alias("doc_id"),
+            (F.col("wpk") % _PK_STRIDE).cast("int").alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("keep_idx"))
+    )
+    return (
+        docs.select(
+            F.col(key_col).cast("bigint").alias("doc_id"),
+            chunk_texts_col(F.col(text_col), n).alias("chs"),
+        )
+        .join(keep, "doc_id")
+        .select(
+            "doc_id",
+            F.size("keep_idx").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    "keep_idx", lambda i: F.element_at("chs", i + 1)
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
+def sql_chunk_dedup_rewrite(
+    text_expr: str = "text", n: int = CHUNK_WORDS
+) -> str:
+    return f"""
+        WITH ch AS (
+            -- two unnests in one SELECT zip positionally in DuckDB,
+            -- matching Spark's posexplode (chunk, idx) pairing
+            SELECT doc_id, unnest({sql_chunks(text_expr, n)}) AS chunk,
+                   unnest(range(len({sql_chunks(text_expr, n)}))) AS idx
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, idx, chunk,
+                   doc_id * {_PK_STRIDE} + idx AS pk,
+                   CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS h
+            FROM ch
+        ),
+        win AS (SELECT h, min(pk) AS wpk FROM k GROUP BY h)
+        SELECT k.doc_id,
+               CAST(count(*) AS INTEGER) AS n_kept,
+               string_agg(k.chunk, ' ' ORDER BY k.idx) AS clean_text
+        FROM k JOIN win ON k.pk = win.wpk
+        GROUP BY k.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Gopher repetition rules
 # ---------------------------------------------------------------------------

@@ -579,6 +579,42 @@ def test_chunk_dedup_keep_first_semantics(spark):
         assert out[d].dup_frac == pytest.approx(0.6)
 
 
+def test_chunk_rewrite_reassembles_first_occurrences(spark):
+    """Rewrite keeps exactly the corpus-wide-first chunks in document
+    order; a doc made entirely of already-seen chunks vanishes."""
+    from ocr_spark.operators.curation import CHUNK_WORDS, chunk_dedup_rewrite
+
+    def chunk(tag):
+        return " ".join(f"{tag}{i}" for i in range(CHUNK_WORDS))
+
+    a, b, c = chunk("a"), chunk("b"), chunk("c")
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} {b}"),   # first occurrence of A and B
+            (2, f"{a} {c}"),   # A is a dup; C is new
+            (3, f"{b} {c}"),   # everything already seen -> doc vanishes
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in chunk_dedup_rewrite(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_kept == 2 and out[1].clean_text == f"{a} {b}"
+    assert out[2].n_kept == 1 and out[2].clean_text == c
+
+
+def test_chunk_rewrite_keepset_shuffles_no_text(spark):
+    """The keep-set is recovered from the packed winner keys alone:
+    both dedup exchanges (hash winner, per-doc keep array) carry only
+    bigints; chunk text appears first in the final rewrite join."""
+    from ocr_spark.operators.curation import chunk_dedup_rewrite
+
+    out = chunk_dedup_rewrite(_docs(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning(h#" in final, final
+    assert "SortAggregate" not in final, final
+
+
 def test_chunk_dedup_shuffle_carries_no_text(spark):
     """The aggregation input projects only (doc_id, pk, h) — the
     chunk text must not survive into the exchange."""
