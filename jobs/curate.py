@@ -10,7 +10,9 @@ post-extraction cleaning stack over an extracted-documents table:
 Bracketed stages are opt-in: ``--min-logodds`` turns on the trained
 classifier floor (T79), ``--decontaminate`` turns on the benchmark
 screens (T45 exact-gram + T80 MinHash-fuzzy, both against the
-``--eval-mod`` slice).
+``--eval-mod`` slice). ``--rewrite-chunks`` swaps the chunk-dedup
+stage's whole-doc filter for the C4-authentic rewrite (T82): each doc
+keeps only its corpus-wide-first chunks.
 
 Usage (cluster):
 
@@ -87,6 +89,13 @@ def main() -> None:
         "needs a lang column for the training labels)",
     )
     ap.add_argument(
+        "--rewrite-chunks",
+        action="store_true",
+        help="C4-authentic chunk stage (T82): rewrite each doc to only "
+        "its corpus-wide-first chunks instead of dropping mostly-dup "
+        "docs (whole-doc filter is the default)",
+    )
+    ap.add_argument(
         "--decontaminate",
         action="store_true",
         help="benchmark screens (T45 exact 8-gram + T80 MinHash "
@@ -145,12 +154,29 @@ def main() -> None:
     docs = docs.join(rep, key, "left_semi")
     audit("repetition", docs)
 
-    # 4. chunk-level global dedup: drop docs that are mostly dupes
-    cd = chunk_dedup_stats(docs, key_col=key, text_col=text).filter(
-        F.col("dup_frac") <= args.max_chunk_dup_frac
-    ).select(F.col("doc_id").alias(key))
-    docs = docs.join(cd, key, "left_semi")
-    audit("chunk_dedup", docs)
+    # 4. chunk-level global dedup. Default: drop docs that are mostly
+    # dupes (stats + threshold). --rewrite-chunks instead runs the C4
+    # rewrite — every doc keeps only its corpus-wide-first chunks and
+    # all-dup docs vanish (keep-set decoded from packed winner keys;
+    # text shuffles once, in the rewrite join).
+    if args.rewrite_chunks:
+        from ocr_spark.operators.curation import chunk_dedup_rewrite
+
+        rw = chunk_dedup_rewrite(docs, key_col=key, text_col=text).select(
+            F.col("doc_id").alias(key), F.col("clean_text")
+        )
+        docs = (
+            docs.drop(text)
+            .join(rw, key)
+            .withColumnRenamed("clean_text", text)
+        )
+        audit("chunk_dedup", docs)
+    else:
+        cd = chunk_dedup_stats(docs, key_col=key, text_col=text).filter(
+            F.col("dup_frac") <= args.max_chunk_dup_frac
+        ).select(F.col("doc_id").alias(key))
+        docs = docs.join(cd, key, "left_semi")
+        audit("chunk_dedup", docs)
 
     # 5. trained quality floor (T79, opt-in): broadcast-model scoring,
     # shuffles only the per-doc agg

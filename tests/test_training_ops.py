@@ -615,6 +615,42 @@ def test_chunk_rewrite_keepset_shuffles_no_text(spark):
     assert "SortAggregate" not in final, final
 
 
+def test_curate_job_rewrite_chunks(spark, tmp_path):
+    """--rewrite-chunks swaps the whole-doc chunk filter for the C4
+    rewrite; afterwards NO chunk occurs twice corpus-wide (kept chunks
+    are 20-word-aligned, so re-chunking the rewritten text reproduces
+    the kept windows exactly)."""
+    import subprocess
+    import sys
+
+    from ocr_spark.operators.curation import chunk_dedup_stats
+
+    out = str(tmp_path / "curated")
+    rep = str(tmp_path / "report")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/jobs/curate.py",
+            "--input", "/root/testdata/sf0.01/documents.parquet",
+            "--output", out,
+            "--report", rep,
+            "--audit",
+            "--shard-tokens", "2000",
+            "--rewrite-chunks",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    curated = spark.read.parquet(out)
+    assert curated.count() > 0
+    dup = chunk_dedup_stats(curated.select("doc_id", "text")).filter(
+        F.col("dup_frac") > 0
+    )
+    assert dup.count() == 0
+
+
 def test_chunk_dedup_shuffle_carries_no_text(spark):
     """The aggregation input projects only (doc_id, pk, h) — the
     chunk text must not survive into the exchange."""
