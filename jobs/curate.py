@@ -183,7 +183,17 @@ def main() -> None:
     if args.min_logodds is not None and "lang" in docs.columns:
         from ocr_spark.operators.webcorpus import nb_quality
 
-        nb = nb_quality(docs, key_col=key, text_col=text).filter(
+        scored = nb_quality(docs, key_col=key, text_col=text)
+        # Degenerate training (one-class slice) yields NULL logodds for
+        # EVERY doc; the >= filter would then silently empty the corpus.
+        # Fail fast instead — this is a labeling bug, not a quality floor.
+        if scored.filter(F.col("logodds").isNull()).limit(1).count() > 0:
+            raise SystemExit(
+                "nb_quality: NULL logodds — the training slice contains a "
+                "single class (check the lang labels / train_mod); refusing "
+                "to apply --min-logodds, which would drop every document"
+            )
+        nb = scored.filter(
             F.col("logodds") >= args.min_logodds
         ).select(F.col("doc_id").alias(key))
         docs = docs.join(nb, key, "left_semi")

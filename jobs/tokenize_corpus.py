@@ -23,8 +23,14 @@ Usage (sandbox smoke):
 
 Scale notes: BPE training touches the corpus once (the word count);
 every merge round runs over the word-type dictionary with a single
-collected argmax row (ocr_spark/operators/bpe.py).  Encoding is K
-narrow projections + one map-side-combined per-doc agg.  Splits are
+collected argmax row (ocr_spark/operators/bpe.py) — below
+DICT_LOCAL_TYPES word types the loop finishes driver-local (the
+production-trainer shape), so --merges 4096 costs no extra Spark jobs;
+above it each merge is 2 distributed jobs, so keep large-K training to
+the local-dictionary regime or budget ~2K jobs.  Encoding compiles
+small merge tables (<= ENCODE_COMPILE_MAX = 64) into K narrow codegen'd
+projections and switches to one Arrow-batched rank-table-lookup UDF
+above that — constant plan size at production vocabulary scale.  Splits are
 pure per-row hash expressions; manifests are one window each.  The job
 writes:
 

@@ -27,14 +27,23 @@ the oracle can express the whole K-round training loop as K generated
 CTE layers.  Self-merges ("e e") are pathological for natural text;
 real tokenizers rarely learn them early.
 
-Ties break on (count DESC, lhs ASC, rhs ASC) — binary string order in
-both engines — so the learned table is deterministic.
+Ties break on (count DESC, lhs ASC, rhs ASC) so the learned table is
+deterministic.  Caveat (BMP-only guarantee): Spark compares strings by
+UTF-16 code unit while the driver-local loop (Python) and DuckDB
+compare by code point / UTF-8 byte — the three orders agree for all
+Basic-Multilingual-Plane symbols but diverge when a tie pits a
+supplementary-plane symbol (>= U+10000) against a BMP symbol >= U+E000.
+Natural-language corpora never exercise this (early merges are
+letter pairs); for corpora dense in emoji/rare-CJK-extension symbols,
+pre-filter such codepoints or switch the tie-break to a byte-hash of
+the pair in all three paths.
 """
 
 from __future__ import annotations
 
 from typing import List, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -279,12 +288,51 @@ def _apply_merge_to(seq, lhs: str, rhs: str):
     return F.filter(F.transform(seq, emit), lambda x: x.isNotNull())
 
 
+def _encode_word_local(syms: list, ranks: dict, pairs: list) -> list:
+    """Apply a rank-ordered merge table to one word's symbol list —
+    greedy lowest-rank-first, merging all non-overlapping occurrences
+    left-to-right per step.  Provably identical to the one-pass-per-rank
+    projection chain: a merged symbol lhs+rhs is a new string, so a pair
+    of rank r can never reappear after rank r's pass — greedy order IS
+    rank order (pytest pins the two paths equal)."""
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best is None or rk < best):
+                best = rk
+        if best is None:
+            break
+        lhs, rhs = pairs[best]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+# Above this many merges the layered-projection encoder is replaced by
+# the Arrow-batched table-lookup encoder: K stacked HOF projections
+# mean K plan nodes — analysis/codegen cost grows with K and a
+# production-size table (--merges 4096) would blow up plan compilation
+# long before execution.  Both paths implement identical semantics
+# (pytest-pinned equal); the projection path stays the default at
+# small K because it is whole-stage-codegen'd and oracle-mirrored.
+ENCODE_COMPILE_MAX = 64
+
+
 def encode_bpe(
     docs: DataFrame,
     merges=None,
     n_merges: int = BPE_MERGES,
     text_col: str = "text",
     key_col: str = "doc_id",
+    compile_max: int = ENCODE_COMPILE_MAX,
 ) -> DataFrame:
     """Tokenize every doc with a learned BPE merge table.
 
@@ -293,14 +341,17 @@ def encode_bpe(
     n_subwords) — the true-BPE token count (token_count_bpe is the
     regex approximation).
 
-    Scale shape: the merge table is K rows collected once and compiled
-    into the expression chain (the broadcast-scalar pattern) — encoding
-    explodes words once and applies the K merges as K successive narrow
-    projections (column-level HOF per layer; nesting all K inside a
-    per-word lambda trips the analyzer's resolution limit).  The only
-    shuffle is the final map-side-combined per-doc count agg — no
-    dictionary join, the word rows carry (doc_id, syms) and nothing
-    else."""
+    Scale shape: the merge table is K rows collected once and shipped
+    in the task closure (the broadcast-scalar pattern) — encoding
+    explodes words once and applies the merges either as K successive
+    narrow projections (column-level HOF per layer, whole-stage
+    codegen'd; nesting all K inside a per-word lambda trips the
+    analyzer's resolution limit) or, above ``compile_max`` merges, as
+    ONE Arrow-batched pandas UDF doing rank-table lookup per word —
+    identical semantics, constant plan size at production vocabulary
+    scale.  The only shuffle is the final map-side-combined per-doc
+    count agg — no dictionary join, the word rows carry (doc_id, syms)
+    and nothing else."""
     if merges is None:
         merges = [
             (r.lhs, r.rhs)
@@ -320,10 +371,25 @@ def encode_bpe(
             ).alias("syms"),
         )
     )
-    for lhs, rhs in merges:
-        ex = ex.select(
-            "doc_id", _apply_merge_to(F.col("syms"), lhs, rhs).alias("syms")
-        )
+    if len(merges) <= compile_max:
+        for lhs, rhs in merges:
+            ex = ex.select(
+                "doc_id",
+                _apply_merge_to(F.col("syms"), lhs, rhs).alias("syms"),
+            )
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+        pairs = list(merges)
+
+        @pandas_udf("array<string>")
+        def _encode_batch(col: pd.Series) -> pd.Series:
+            return col.map(
+                lambda syms: _encode_word_local(list(syms), ranks, pairs)
+            )
+
+        ex = ex.select("doc_id", _encode_batch("syms").alias("syms"))
     agg = ex.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.size("syms")).alias("n_subwords"),

@@ -1822,10 +1822,14 @@ def sql_nb_quality(
                               * {s}) AS BIGINT)
                    - CAST(round(-ln(1.0 / CAST(t_pos + {v + 1} AS DOUBLE))
                                 * {s}) AS BIGINT) AS oov_w,
-                   CAST(round(-ln(CAST(n_neg AS DOUBLE)
+                   -- nullif guards the one-class train slice: Spark's
+                   -- log(0) is NULL while DuckDB's ln(0) throws, so the
+                   -- degenerate case must be NULL in BOTH engines (the
+                   -- caller's signal to fix the labeling)
+                   CAST(round(-ln(CAST(nullif(n_neg, 0) AS DOUBLE)
                                   / CAST(n_pos + n_neg AS DOUBLE))
                               * {s}) AS BIGINT)
-                   - CAST(round(-ln(CAST(n_pos AS DOUBLE)
+                   - CAST(round(-ln(CAST(nullif(n_pos, 0) AS DOUBLE)
                                     / CAST(n_pos + n_neg AS DOUBLE))
                                 * {s}) AS BIGINT) AS prior_w
             FROM totals CROSS JOIN priors

@@ -2039,6 +2039,38 @@ def test_encode_bpe_known_merges(spark):
     assert out[3] == (1, 3)  # o,w,</w> untouched (no 'lo' to start from)
 
 
+def test_encode_bpe_pandas_path_matches_projection_path(spark):
+    """Above ENCODE_COMPILE_MAX merges, encode_bpe switches from K
+    stacked HOF projections to one Arrow-batched rank-lookup UDF; the
+    two paths must agree doc-for-doc on a corpus with chained merges
+    (compile_max=0 forces the UDF path on the same table)."""
+    from ocr_spark.operators.bpe import encode_bpe, train_bpe
+
+    texts = [
+        "lower lower lower newest newest newest newest widest",
+        "low low lower newest wider widest widest",
+        "low newest lowest lowest wider",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    merges = [
+        (r.lhs, r.rhs)
+        for r in train_bpe(docs, n_merges=12).orderBy("merge_rank").collect()
+    ]
+    assert len(merges) >= 8  # chained-merge table, not a trivial one
+    proj = sorted(
+        tuple(r)
+        for r in encode_bpe(docs, merges=merges, compile_max=10_000).collect()
+    )
+    arrow = sorted(
+        tuple(r)
+        for r in encode_bpe(docs, merges=merges, compile_max=0).collect()
+    )
+    assert proj == arrow
+
+
 def test_tokenize_job_end_to_end(spark, tmp_path):
     """jobs/tokenize_corpus.py trains merges, encodes, splits, and writes the
     packing + epoch manifests; token spans tile each shard without

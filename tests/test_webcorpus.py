@@ -570,6 +570,34 @@ def test_nb_quality_broadcast_plan(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_nb_quality_one_class_is_null_in_both_engines(spark):
+    """Degenerate training (a single class in the train slice) must
+    yield NULL logodds/pred in BOTH engines — Spark's log(0) is NULL
+    while DuckDB's ln(0) throws, so the oracle guards the prior with
+    nullif.  A silent default (or an engine-side exception) would break
+    parity-by-construction AND let a labeling bug empty a curated
+    corpus downstream."""
+    import duckdb
+
+    rows = [(i, "all docs share one label word", "en") for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    )
+    out = wc.nb_quality(docs, v=16).collect()
+    assert len(out) == 12
+    assert all(r.logodds is None and r.pred is None for r in out)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, 'all docs share one label word', 'en')" for i in range(12))
+        + ") t(doc_id, text, lang)"
+    )
+    oracle = con.execute(wc.sql_nb_quality(v=16)).df()
+    assert len(oracle) == 12
+    assert oracle["logodds"].isna().all()
+
+
 # ---------------------------------------------------------------------------
 # T80 fuzzy_contamination
 # ---------------------------------------------------------------------------
