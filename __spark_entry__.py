@@ -1629,6 +1629,67 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T83: pre-fetch URL admission — blocked media/binary extensions,
+    path-depth and query-param caps, digit-spam hosts; pure codegen'd
+    column arithmetic over a deterministically-planted messy URL (the
+    cheapest filter in the pipeline, applied before any payload read)."""
+    from ocr_spark.operators.webcorpus import url_filter
+
+    return url_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T84: registered-domain (eTLD+1) rollup with public-suffix-list
+    multi-label handling — the per-domain ledger that host caps,
+    blocklists, and audits key on; one map-side-combined agg."""
+    from ocr_spark.operators.webcorpus import domain_stats
+
+    return domain_stats(_t(spark, sf_dir, "documents"))
+
+
+def _snapshot_pair(spark: SparkSession, sf_dir: str):
+    """The synthesized recrawl pair shared by snapshot_diff and
+    recrawl_priority: drop doc_id%7==0, mutate %5==0, add %11==0 at
+    +2M ids (sources preserved so per-host rollups work)."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text", "source")
+    kept = old.filter(F.col("doc_id") % 7 != 0)
+    mutated = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = old.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"), "text", "source"
+    )
+    return old, mutated.unionByName(added)
+
+
+_SQL_SNAP_OLD = "SELECT doc_id, text, source FROM documents"
+_SQL_SNAP_NEW = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+           source
+    FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text, source
+    FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T85: change-rate crawl scheduling — per-host changed/added/
+    removed fractions from the snapshot delta, tiered hot/warm/cold
+    (the snapshot_diff consumer that allocates the next crawl's fetch
+    budget)."""
+    from ocr_spark.operators.webcorpus import recrawl_priority
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return recrawl_priority(old, new)
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (lowercase scheme/host, www + default-port
     strip, tracker-param filter, fragment drop) — pure column
@@ -1851,6 +1912,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r01/r02/r03.json follow.  All entries pass the identical
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
+        # --- unbanked (round-4 additions, no driver row yet) ---
+        "url_filter": q_url_filter,
+        "domain_stats": q_domain_stats,
+        "recrawl_priority": q_recrawl_priority,
         # --- unbanked (round-3 additions, no driver row yet) ---
         "blocklist_phrases": q_blocklist_phrases,
         "epoch_shuffle": q_epoch_shuffle,
@@ -2389,6 +2454,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "url_filter": _webcorpus_sql.sql_url_filter(),
+        "domain_stats": _webcorpus_sql.sql_domain_stats(),
+        "recrawl_priority": _webcorpus_sql.sql_recrawl_priority(
+            _SQL_SNAP_OLD, _SQL_SNAP_NEW
+        ),
         "lm_score": _webcorpus_sql.sql_lm_score(),
         "perplexity_buckets": _webcorpus_sql.sql_perplexity_buckets(),
         "robots_filter": _webcorpus_sql.sql_robots_filter(),

@@ -1999,3 +1999,383 @@ def sql_fuzzy_contamination(
         LEFT JOIN best b ON d.doc_id = b.doc_id
         WHERE d.doc_id % {eval_mod} <> 0
     """
+
+
+# ---------------------------------------------------------------------------
+# T83 — URL-rule admission filter (FineWeb/CCNet-style URL screening)
+# ---------------------------------------------------------------------------
+#
+# The cheapest filter in a crawl pipeline runs BEFORE fetch/extraction:
+# admit or reject a document on its URL alone.  Standard rules (FineWeb,
+# CCNet, RefinedWeb preprocessing): binary/media file extensions, absurd
+# path depth (calendar/faceted-navigation traps), query-parameter
+# explosions (session ids, infinite facet crawls), and digit-heavy hosts
+# (spam farms).  Pure per-row column expressions — free at any scale,
+# and at 10^12 rows it prunes the corpus before any byte of payload is
+# read (predicate-pushdown territory when url is a scan column).
+
+URLF_BLOCKED_EXT = (
+    "jpg|jpeg|png|gif|webp|svg|ico|css|js|mjs|woff|woff2|ttf|eot|"
+    "mp3|mp4|avi|mov|webm|zip|gz|tar|rar|7z|exe|dmg|iso|bin"
+)
+URLF_MAX_DEPTH = 6
+URLF_MAX_PARAMS = 4
+URLF_MAX_HOST_DIGIT_FRAC = 0.4
+
+
+def plant_messy_url_col(doc_id: Column, source: Column) -> Column:
+    """Deterministic URL exercising every admission rule: media
+    extensions (%13), deep calendar paths (%17), parameter explosions
+    (%19), digit-spam hosts (%23).  Mirrored by sql_plant_messy_url."""
+    # digit-spam host: always exactly 3+3 digits so the digit fraction
+    # is a constant 6/12 = 0.5, strictly above the 0.4 admission bound
+    host = F.when(
+        doc_id % 23 == 0,
+        F.concat(F.lit("h"), (doc_id % 900 + 100).cast("string"),
+                 F.lit("x"), (doc_id % 899 + 100).cast("string")),
+    ).otherwise(source)
+    ext = F.when(doc_id % 13 == 0, F.lit("/img.jpg")).otherwise(
+        F.concat(F.lit("/page-"), doc_id.cast("string"))
+    )
+    depth = F.when(
+        doc_id % 17 == 0, F.lit("/a/b/c/d/e/f/g")
+    ).otherwise(F.lit("/sec"))
+    params = F.when(
+        doc_id % 19 == 0,
+        F.lit("?a=1&b=2&c=3&d=4&e=5&sid=x"),
+    ).when(doc_id % 3 == 0, F.lit("?id=7")).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("https://"), host, F.lit(".com"), depth, ext, params
+    )
+
+
+def sql_plant_messy_url(doc_id: str = "doc_id", source: str = "source") -> str:
+    return f"""(
+        'https://'
+        || CASE WHEN {doc_id} % 23 = 0
+                THEN 'h' || CAST({doc_id} % 900 + 100 AS VARCHAR)
+                     || 'x' || CAST({doc_id} % 899 + 100 AS VARCHAR)
+                ELSE {source} END
+        || '.com'
+        || CASE WHEN {doc_id} % 17 = 0 THEN '/a/b/c/d/e/f/g' ELSE '/sec' END
+        || CASE WHEN {doc_id} % 13 = 0
+                THEN '/img.jpg' ELSE '/page-' || CAST({doc_id} AS VARCHAR) END
+        || CASE WHEN {doc_id} % 19 = 0 THEN '?a=1&b=2&c=3&d=4&e=5&sid=x'
+                WHEN {doc_id} % 3 = 0 THEN '?id=7' ELSE '' END
+    )"""
+
+
+def url_filter(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    max_depth: int = URLF_MAX_DEPTH,
+    max_params: int = URLF_MAX_PARAMS,
+    max_digit_frac: float = URLF_MAX_HOST_DIGIT_FRAC,
+) -> DataFrame:
+    """(doc_id, url, path_depth, n_params, blocked_ext, host_digit_frac,
+    admitted) — the pre-fetch URL admission decision with its reasons
+    kept as audit columns.  Everything is codegen'd column arithmetic;
+    no shuffle, no Python."""
+    key = F.col(key_col)
+    url = plant_messy_url_col(key, F.col("source"))
+    parts = canonicalize_url(url)
+    host, canon = parts["host"], parts["canon_url"]
+    path = F.regexp_extract(canon, _URL_RE, 3)
+    qs = F.regexp_extract(canon, _URL_RE, 4)
+    path_depth = (
+        F.length(path) - F.length(F.regexp_replace(path, r"/", ""))
+    ).cast("bigint")
+    n_params = F.when(qs == "", F.lit(0)).otherwise(
+        F.size(F.split(F.substring(qs, 2, 1 << 20), "&"))
+    ).cast("bigint")
+    blocked_ext = F.lower(path).rlike(r"\.(" + URLF_BLOCKED_EXT + r")$")
+    digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    host_digit_frac = F.round(
+        digits.cast("double") / F.length(host).cast("double"), 6
+    )
+    admitted = (
+        ~blocked_ext
+        & (path_depth <= max_depth)
+        & (n_params <= max_params)
+        & (host_digit_frac <= max_digit_frac)
+    )
+    return docs.select(
+        key.alias("doc_id"),
+        url.alias("url"),
+        path_depth.alias("path_depth"),
+        n_params.alias("n_params"),
+        blocked_ext.alias("blocked_ext"),
+        host_digit_frac.alias("host_digit_frac"),
+        admitted.alias("admitted"),
+    )
+
+
+def sql_url_filter(
+    max_depth: int = URLF_MAX_DEPTH,
+    max_params: int = URLF_MAX_PARAMS,
+    max_digit_frac: float = URLF_MAX_HOST_DIGIT_FRAC,
+) -> str:
+    url = sql_plant_messy_url()
+    re = _URL_RE.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+        WITH u AS (SELECT doc_id, {url} AS url FROM documents),
+        parts AS (
+            SELECT doc_id, url,
+                   regexp_replace(
+                       regexp_extract(lower(regexp_extract(url, '{re}', 2)),
+                                      '^([^:]+)', 1),
+                       '^www\\.', '') AS host,
+                   regexp_extract(url, '{re}', 3) AS path,
+                   regexp_extract(url, '{re}', 4) AS qs
+            FROM u
+        ),
+        m AS (
+            SELECT doc_id, url, host,
+                   CAST(len(path) - len(replace(path, '/', '')) AS BIGINT)
+                       AS path_depth,
+                   CAST(CASE WHEN qs = '' THEN 0
+                        ELSE len(string_split(substr(qs, 2), '&')) END
+                        AS BIGINT) AS n_params,
+                   regexp_matches(lower(path),
+                                  '\\.({URLF_BLOCKED_EXT})$') AS blocked_ext,
+                   round(CAST(len(regexp_replace(host, '[^0-9]', '', 'g'))
+                              AS DOUBLE) / len(host), 6) AS host_digit_frac
+            FROM parts
+        )
+        SELECT doc_id, url, path_depth, n_params, blocked_ext,
+               host_digit_frac,
+               (NOT blocked_ext AND path_depth <= {max_depth}
+                AND n_params <= {max_params}
+                AND host_digit_frac <= {max_digit_frac}) AS admitted
+        FROM m
+    """
+
+
+# ---------------------------------------------------------------------------
+# T84 — registered-domain rollup (the domain-level curation ledger)
+# ---------------------------------------------------------------------------
+#
+# Curation decisions at crawl scale are made per REGISTERED DOMAIN
+# (eTLD+1), not per raw host: host caps, domain blocklists, and manual
+# audits all key on it.  Real pipelines resolve eTLD+1 against the
+# public-suffix list; the shape is identical at any list size — the
+# suffix set is bounded (~10^4 rows) and broadcasts, the match is
+# longest-suffix (same max(struct) pattern as robots_filter), and the
+# rollup is one map-side-combined agg producing a table with one row
+# per domain (~10^7 at crawl scale, trivially storable).
+
+# A representative slice of the public-suffix list: multi-label
+# suffixes that break the naive "last two labels" rule.
+PSL_SUFFIXES = ("co.uk", "ac.uk", "com.au", "co.jp", "com.br")
+
+
+def registered_domain_col(host: Column) -> Column:
+    """eTLD+1 of ``host``: the last two labels, or the last THREE when
+    the last two are a public-suffix entry (co.uk-style)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    is_psl = F.element_at(labels, -2).isNotNull() & last2.isin(
+        *PSL_SUFFIXES
+    )
+    return (
+        F.when(n <= 2, host)
+        .when(is_psl & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def sql_registered_domain(host: str) -> str:
+    suffixes = ", ".join(f"'{s}'" for s in PSL_SUFFIXES)
+    return f"""(
+        CASE WHEN len(string_split({host}, '.')) <= 2 THEN {host}
+             WHEN array_to_string(string_split({host}, '.')[-2:], '.')
+                  IN ({suffixes})
+                  AND len(string_split({host}, '.')) >= 3
+             THEN array_to_string(string_split({host}, '.')[-3:], '.')
+             ELSE array_to_string(string_split({host}, '.')[-2:], '.')
+        END
+    )"""
+
+
+def plant_host_col(doc_id: Column, source: Column) -> Column:
+    """Deterministic host with PSL-suffix cases planted (%4 picks the
+    TLD family) and a subdomain depth that varies (%3)."""
+    tld = (
+        F.when(doc_id % 4 == 0, F.lit("co.uk"))
+        .when(doc_id % 4 == 1, F.lit("com.au"))
+        .when(doc_id % 4 == 2, F.lit("com"))
+        .otherwise(F.lit("org"))
+    )
+    sub = F.when(doc_id % 3 == 0, F.lit("news.")).when(
+        doc_id % 3 == 1, F.lit("a.b.")
+    ).otherwise(F.lit(""))
+    return F.concat(sub, source, F.lit("."), tld)
+
+
+def sql_plant_host(doc_id: str = "doc_id", source: str = "source") -> str:
+    return f"""(
+        CASE {doc_id} % 3 WHEN 0 THEN 'news.' WHEN 1 THEN 'a.b.' ELSE '' END
+        || {source} || '.'
+        || CASE {doc_id} % 4 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com.au'
+                             WHEN 2 THEN 'com' ELSE 'org' END
+    )"""
+
+
+def domain_stats(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """(domain, n_docs, n_hosts, total_chars, n_langs) — the per-
+    registered-domain ledger every domain-level curation rule reads.
+    One map-side-combined agg; the planted host column exercises the
+    PSL multi-label branch."""
+    key = F.col(key_col)
+    host = plant_host_col(key, F.col("source"))
+    return (
+        docs.select(
+            registered_domain_col(host).alias("domain"),
+            host.alias("host"),
+            "n_chars",
+            "lang",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def sql_domain_stats() -> str:
+    host = sql_plant_host()
+    dom = sql_registered_domain("host")
+    return f"""
+        WITH h AS (
+            SELECT doc_id, {host} AS host, n_chars, lang FROM documents
+        ),
+        d AS (SELECT {dom} AS domain, host, n_chars, lang FROM h)
+        SELECT domain,
+               count(*) AS n_docs,
+               count(DISTINCT host) AS n_hosts,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM d GROUP BY domain
+    """
+
+
+# ---------------------------------------------------------------------------
+# T85 — recrawl prioritization (change-rate scheduling)
+# ---------------------------------------------------------------------------
+#
+# The consumer of snapshot_diff (T57): crawl schedulers allocate fetch
+# budget by how often a site actually changes (Cho & Garcia-Molina's
+# freshness model).  Per host: the observed change fraction between two
+# snapshots -> a priority tier (hot/warm/cold) that the next crawl's
+# frontier reads.  Scale shape: snapshot_diff's one hash join, then one
+# map-side-combined agg to ~n_hosts rows; the tier thresholds are
+# constants so the output is pure arithmetic on the agg row.
+
+RECRAWL_HOT = 0.5  # > 50% of docs changed -> crawl hourly
+RECRAWL_WARM = 0.1  # > 10% -> daily; else weekly
+
+
+def recrawl_priority(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    host_col: str = "source",
+) -> DataFrame:
+    """(host, n_docs, n_changed, n_added, n_removed, change_frac, tier)
+    per host, from the full snapshot delta.  Hosts arriving only in the
+    new snapshot count their docs as added (change by definition)."""
+    diff = snapshot_diff(old, new, key_col=key_col, text_col=text_col)
+    hosts = (
+        old.select(F.col(key_col).alias(key_col), F.col(host_col).alias("host"))
+        .unionByName(
+            new.select(
+                F.col(key_col).alias(key_col), F.col(host_col).alias("host")
+            )
+        )
+        .groupBy(key_col)
+        .agg(F.min("host").alias("host"))
+    )
+    per = (
+        diff.join(hosts, key_col)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("change") == "changed").cast("bigint")).alias(
+                "n_changed"
+            ),
+            F.sum((F.col("change") == "added").cast("bigint")).alias(
+                "n_added"
+            ),
+            F.sum((F.col("change") == "removed").cast("bigint")).alias(
+                "n_removed"
+            ),
+        )
+    )
+    frac = F.round(
+        (F.col("n_changed") + F.col("n_added") + F.col("n_removed")).cast(
+            "double"
+        )
+        / F.col("n_docs").cast("double"),
+        6,
+    )
+    tier = (
+        F.when(frac > RECRAWL_HOT, F.lit("hot"))
+        .when(frac > RECRAWL_WARM, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+    )
+    return per.select(
+        "host", "n_docs", "n_changed", "n_added", "n_removed",
+        frac.alias("change_frac"), tier.alias("tier"),
+    )
+
+
+def sql_recrawl_priority(
+    old_sql: str,
+    new_sql: str,
+    key: str = "doc_id",
+    text: str = "text",
+    host: str = "source",
+) -> str:
+    diff = sql_snapshot_diff(old_sql, new_sql, key=key, text=text)
+    return f"""
+        WITH diff AS ({diff}),
+        hosts AS (
+            SELECT {key}, min(host) AS host FROM (
+                SELECT {key}, {host} AS host FROM ({old_sql})
+                UNION ALL
+                SELECT {key}, {host} AS host FROM ({new_sql})
+            ) GROUP BY {key}
+        ),
+        per AS (
+            SELECT h.host,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN change = 'changed' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed
+            FROM diff d JOIN hosts h ON d.{key} = h.{key}
+            GROUP BY h.host
+        )
+        SELECT host, n_docs, n_changed, n_added, n_removed,
+               round(CAST(n_changed + n_added + n_removed AS DOUBLE)
+                     / n_docs, 6) AS change_frac,
+               CASE WHEN round(CAST(n_changed + n_added + n_removed AS DOUBLE)
+                               / n_docs, 6) > {RECRAWL_HOT} THEN 'hot'
+                    WHEN round(CAST(n_changed + n_added + n_removed AS DOUBLE)
+                               / n_docs, 6) > {RECRAWL_WARM} THEN 'warm'
+                    ELSE 'cold' END AS tier
+        FROM per
+    """

@@ -633,3 +633,130 @@ def test_fuzzy_contamination_broadcast_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# T83 url_filter
+# ---------------------------------------------------------------------------
+
+
+def test_url_filter_branch_cases(spark):
+    """Every admission rule rejects (and only its planted rows):
+    %13 blocked extension, %17 path depth, %19 param explosion,
+    %23 digit-spam host; plain rows pass."""
+    from ocr_spark.operators import webcorpus as wcops
+
+    docs = _docs(spark).limit(300)
+    out = {r.doc_id: r for r in wcops.url_filter(docs).collect()}
+    for i, r in out.items():
+        if i % 13 == 0:
+            assert r.blocked_ext and not r.admitted, r
+        if i % 17 == 0:
+            assert r.path_depth > wcops.URLF_MAX_DEPTH and not r.admitted, r
+        if i % 19 == 0:
+            assert r.n_params > wcops.URLF_MAX_PARAMS and not r.admitted, r
+        if i % 23 == 0 and i > 0:
+            assert (
+                r.host_digit_frac > wcops.URLF_MAX_HOST_DIGIT_FRAC
+                and not r.admitted
+            ), r
+        if i > 0 and all(i % m != 0 for m in (13, 17, 19, 23)):
+            assert r.admitted, r
+    # both outcomes occur
+    vals = {r.admitted for r in out.values()}
+    assert vals == {True, False}
+
+
+def test_url_filter_no_shuffle_no_python(spark):
+    """Pure per-row column arithmetic: no Exchange, no Python in the
+    plan — the op must stay free at 10^12 rows."""
+    from ocr_spark.operators import webcorpus as wcops
+
+    plan = (
+        wcops.url_filter(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# T84 domain_stats
+# ---------------------------------------------------------------------------
+
+
+def test_registered_domain_psl_branches(spark):
+    """eTLD+1 resolution: bare domains pass through, co.uk-style
+    public suffixes keep three labels, plain TLDs keep two."""
+    from ocr_spark.operators.webcorpus import registered_domain_col
+
+    rows = [
+        ("ex.com", "ex.com"),
+        ("news.ex.com", "ex.com"),
+        ("a.b.ex.org", "ex.org"),
+        ("ex.co.uk", "ex.co.uk"),
+        ("news.ex.co.uk", "ex.co.uk"),
+        ("a.b.ex.com.au", "ex.com.au"),
+        ("co.uk", "co.uk"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    got = [
+        r.d
+        for r in df.select(
+            registered_domain_col(F.col("host")).alias("d")
+        ).collect()
+    ]
+    assert got == [e for _, e in rows]
+
+
+def test_domain_stats_groups_hosts_under_domain(spark):
+    """Subdomain variants of one registered domain roll up to a single
+    row whose n_hosts counts the distinct planted hosts."""
+    from ocr_spark.operators.webcorpus import domain_stats
+
+    docs = _docs(spark)
+    out = domain_stats(docs)
+    rows = out.collect()
+    assert len(rows) > 0
+    # every source yields up to 4 domains (one per TLD family), each
+    # aggregating up to 3 subdomain variants
+    assert all(1 <= r.n_hosts <= 3 for r in rows)
+    total = sum(r.n_docs for r in rows)
+    assert total == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# T85 recrawl_priority
+# ---------------------------------------------------------------------------
+
+
+def test_recrawl_priority_tiers(spark):
+    """Hand-built snapshots: hostA fully changed -> hot, hostB one of
+    ten changed -> warm, hostC untouched -> cold; adds and removes
+    count as change."""
+    from ocr_spark.operators.webcorpus import recrawl_priority
+
+    old_rows = (
+        [(i, f"a{i}", "hostA") for i in range(4)]
+        + [(100 + i, f"b{i}", "hostB") for i in range(10)]
+        + [(200 + i, f"c{i}", "hostC") for i in range(5)]
+    )
+    new_rows = (
+        [(i, f"a{i} v2", "hostA") for i in range(4)]  # all changed
+        + [(100 + i, f"b{i} v2", "hostB") for i in range(2)]  # 2/10 changed
+        + [(100 + i, f"b{i}", "hostB") for i in range(2, 10)]
+        + [(200 + i, f"c{i}", "hostC") for i in range(5)]
+    )
+    schema = "doc_id bigint, text string, source string"
+    out = {
+        r.host: r
+        for r in recrawl_priority(
+            spark.createDataFrame(old_rows, schema),
+            spark.createDataFrame(new_rows, schema),
+        ).collect()
+    }
+    assert out["hostA"].tier == "hot" and out["hostA"].n_changed == 4
+    assert out["hostB"].tier == "warm" and out["hostB"].n_changed == 2
+    assert out["hostC"].tier == "cold" and out["hostC"].change_frac == 0.0
