@@ -1629,6 +1629,45 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T86: C4's local line filters — short lines, policy mentions
+    (javascript/cookie/lorem-ipsum), list markup — applied as one
+    in-row transform+filter, doc re-emitted from the survivors.  Zero
+    shuffle, zero Python: the filter that runs first at crawl scale."""
+    from ocr_spark.operators.curation import line_rules
+
+    return line_rules(_t(spark, sf_dir, "documents"))
+
+
+def q_mojibake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T87: encoding-damage audit + digraph repair — count UTF-8-as-
+    Latin-1 lead-byte digraphs, repair the mapped ones with chained
+    replaces; planted damage exercises repairable AND detect-only
+    sequences."""
+    from ocr_spark.operators.curation import mojibake_stats
+
+    return mojibake_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T88: per-doc unigram Shannon entropy in integer micro-nats —
+    the information-theoretic spam signal complementing the rule-based
+    repetition counters; one (doc,word) count + one per-doc agg."""
+    from ocr_spark.operators.corpus_ops import word_entropy
+
+    return word_entropy(_tw(spark, sf_dir, "documents"))
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T89: vocabulary-coverage audit — fraction of each doc's words
+    outside the corpus top-v vocabulary (broadcast), the per-doc
+    domain-shift flag complementing bpe_fertility's per-language
+    view."""
+    from ocr_spark.operators.corpus_ops import oov_rate
+
+    return oov_rate(_tw(spark, sf_dir, "documents"))
+
+
 def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T83: pre-fetch URL admission — blocked media/binary extensions,
     path-depth and query-param caps, digit-spam hosts; pure codegen'd
@@ -1913,6 +1952,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "line_rules": q_line_rules,
+        "mojibake_stats": q_mojibake_stats,
+        "word_entropy": q_word_entropy,
+        "oov_rate": q_oov_rate,
         "url_filter": q_url_filter,
         "domain_stats": q_domain_stats,
         "recrawl_priority": q_recrawl_priority,
@@ -2454,6 +2497,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "line_rules": _curation_sql.sql_line_rules(),
+        "mojibake_stats": _curation_sql.sql_mojibake_stats(),
+        "word_entropy": _corpus_sql.sql_word_entropy(),
+        "oov_rate": _corpus_sql.sql_oov_rate(),
         "url_filter": _webcorpus_sql.sql_url_filter(),
         "domain_stats": _webcorpus_sql.sql_domain_stats(),
         "recrawl_priority": _webcorpus_sql.sql_recrawl_priority(

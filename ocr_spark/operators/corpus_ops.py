@@ -1041,3 +1041,187 @@ def sql_epoch_shuffle(
                    AS pos
         FROM d
     """
+
+
+# ---------------------------------------------------------------------------
+# T88 — per-document unigram entropy (diversity quality signal)
+# ---------------------------------------------------------------------------
+#
+# Shannon entropy of a doc's word distribution: near-zero for looped/
+# keyword-stuffed spam, high for natural prose — the information-
+# theoretic complement of repetition_stats' rule counters.  Integer
+# micro-nat arithmetic makes the cross-engine sum exact: per word type,
+# c * round(ln(c)*1e6) is a bigint; the single float step (the final
+# normalization) is the identical expression in both engines.
+#
+# Scale shape: one (doc, word)-keyed count with map-side combine, one
+# per-doc agg on its output — no broadcastable state, no text through
+# the second shuffle (8-byte counts only).
+
+_ENT_SCALE = 1_000_000
+
+
+def word_entropy(
+    docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_types, entropy): H = ln(n) - sum(c ln c)/n
+    in nats, 6dp; empty docs emit (0, 0, 0.0)."""
+    from ocr_spark.operators.corpus_ops import _words
+
+    key = F.col(key_col)
+    tw = docs.select(
+        key.alias("doc_id"), F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    tc = tw.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    per = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * _ENT_SCALE).cast(
+                "bigint"
+            )
+        ).cast("bigint").alias("s"),
+    )
+    lnn = F.round(F.log(F.col("n").cast("double")) * _ENT_SCALE).cast(
+        "bigint"
+    )
+    ent = F.round(
+        (lnn.cast("double") - F.col("s").cast("double") / F.col("n").cast("double"))
+        / F.lit(float(_ENT_SCALE)),
+        6,
+    )
+    scored = per.select("doc_id", "n", "n_types", ent.alias("entropy"))
+    return (
+        docs.select(key.alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_types", F.lit(0)).cast("bigint").alias("n_types"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+def sql_word_entropy() -> str:
+    w = _sql_words("text")
+    s = _ENT_SCALE
+    return f"""
+        WITH tw AS (
+            SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE w <> ''
+        ),
+        tc AS (
+            SELECT doc_id, word, count(*) AS c FROM tw GROUP BY doc_id, word
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * {s})
+                                     AS BIGINT)) AS BIGINT) AS w_s
+            FROM tc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n, 0) AS n_words,
+               COALESCE(p.n_types, 0) AS n_types,
+               COALESCE(round((CAST(CAST(round(ln(CAST(p.n AS DOUBLE)) * {s})
+                                         AS BIGINT) AS DOUBLE)
+                               - CAST(p.w_s AS DOUBLE) / CAST(p.n AS DOUBLE))
+                              / {float(s)!r}, 6), 0.0) AS entropy
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# T89 — tokenizer-vocabulary OOV rate
+# ---------------------------------------------------------------------------
+#
+# Coverage audit for a fixed top-v vocabulary: the fraction of a doc's
+# words outside it.  High OOV flags domain shift (code, tables, other
+# scripts) before a tokenizer trained on the mix over-segments it —
+# the per-DOC complement of bpe_fertility's per-language view.
+#
+# Scale shape: the vocabulary is one map-side-combined count + top-v
+# (bounded rows, broadcast); scoring is a broadcast left join + one
+# per-doc agg — the corpus shuffles words exactly once.
+
+OOV_VOCAB = 16
+
+
+def oov_rate(
+    docs: DataFrame,
+    v: int = OOV_VOCAB,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_oov, oov_rate); empty docs emit (0,0,0.0).
+    Vocabulary ties break lexicographically (vocab_topk's rule)."""
+    from ocr_spark.operators.corpus_ops import _words
+
+    key = F.col(key_col)
+    tw = docs.select(
+        key.alias("doc_id"), F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        tw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(v)
+        .select("word", F.lit(1).alias("iv"))
+    )
+    per = (
+        tw.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    rate = F.round(
+        F.col("n_oov").cast("double") / F.col("n").cast("double"), 6
+    )
+    return (
+        docs.select(key.alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.coalesce(rate, F.lit(0.0)).alias("oov_rate"),
+        )
+    )
+
+
+def sql_oov_rate(v: int = OOV_VOCAB) -> str:
+    w = _sql_words("text")
+    return f"""
+        WITH tw AS (
+            SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE w <> ''
+        ),
+        vocab AS (
+            SELECT word FROM (
+                SELECT word, count(*) AS n FROM tw GROUP BY word
+                ORDER BY n DESC, word ASC LIMIT {v})
+        ),
+        per AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN vc.word IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+            FROM tw t LEFT JOIN vocab vc ON t.word = vc.word
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n, 0) AS n_words,
+               COALESCE(p.n_oov, 0) AS n_oov,
+               COALESCE(round(CAST(p.n_oov AS DOUBLE) / p.n, 6), 0.0)
+                   AS oov_rate
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """

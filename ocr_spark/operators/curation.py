@@ -904,3 +904,191 @@ def sql_boilerplate_scrub(
         FROM hashed k LEFT JOIN boiler b ON k.h = b.h
         GROUP BY k.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# T86 — local line/paragraph rules (C4's per-line filters)
+# ---------------------------------------------------------------------------
+#
+# C4's cheapest text filters are LOCAL per line: too few words, policy
+# mentions ("javascript", cookie banners, lorem-ipsum filler), list
+# markup.  boilerplate_scrub (T75) needs a corpus-wide DF count; these
+# rules need nothing but the line itself — an in-row higher-order
+# filter, zero shuffle, zero Python, applicable before any corpus-wide
+# stage.  Chunks stand in for lines (chunk_texts_col's documented
+# paragraph proxy).
+
+LINE_MIN_WORDS = 4
+LINE_POLICY_RE = r"(javascript|cookie|lorem ipsum)"
+LINE_MARKUP_RE = r"^[*-] "
+
+_LINE_POLICY_PLANT = " ".join(
+    ["click here to accept the cookie banner javascript required"]
+    + ["pad"] * (CHUNK_WORDS - 9)
+)
+_LINE_MARKUP_PLANT = "* " + " ".join(["item"] * (CHUNK_WORDS - 1))
+
+
+def plant_bad_lines_col(text: Column, key: Column) -> Column:
+    """Plant one policy chunk (%9) and one markup chunk (%15), each
+    padded to a full chunk so neighbours' boundaries stay put."""
+    return F.concat(
+        F.when(key % 9 == 0, F.lit(_LINE_POLICY_PLANT + " ")).otherwise(
+            F.lit("")
+        ),
+        F.when(key % 15 == 0, F.lit(_LINE_MARKUP_PLANT + " ")).otherwise(
+            F.lit("")
+        ),
+        text,
+    )
+
+
+def sql_plant_bad_lines(
+    text_expr: str = "text", key_expr: str = "doc_id"
+) -> str:
+    return f"""(
+        CASE WHEN {key_expr} % 9 = 0
+             THEN '{_LINE_POLICY_PLANT} ' ELSE '' END
+        || CASE WHEN {key_expr} % 15 = 0
+                THEN '{_LINE_MARKUP_PLANT} ' ELSE '' END
+        || {text_expr}
+    )"""
+
+
+def line_rules(
+    docs: DataFrame,
+    min_words: int = LINE_MIN_WORDS,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text): apply C4's local line
+    rules — drop lines under ``min_words`` words, lines mentioning
+    javascript/cookie/lorem-ipsum policy text, and list-markup lines —
+    and re-emit the doc from the survivors, order preserved.
+
+    Scale shape: one transform+filter over the in-row chunk array; no
+    shuffle, no corpus-wide state, no Python (plan-asserted) — this is
+    the filter that runs FIRST at 10^12 rows because it costs a scan."""
+    key = F.col(key_col)
+    planted = plant_bad_lines_col(F.col(text_col), key)
+    lines = chunk_texts_col(planted)
+
+    def keep(c):
+        return (
+            (F.size(F.split(c, " ")) >= min_words)
+            & ~F.lower(c).rlike(LINE_POLICY_RE)
+            & ~c.rlike(LINE_MARKUP_RE)
+        )
+
+    kept = F.filter(lines, keep)
+    return docs.select(
+        key.alias("doc_id"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def sql_line_rules(min_words: int = LINE_MIN_WORDS) -> str:
+    planted = sql_plant_bad_lines()
+    ch = sql_chunks("t")
+    return f"""
+        WITH p AS (
+            SELECT doc_id, {planted} AS t FROM documents
+        ),
+        l AS (SELECT doc_id, {ch} AS lines FROM p),
+        k AS (
+            SELECT doc_id, lines,
+                   list_filter(lines, c ->
+                       len(string_split(c, ' ')) >= {min_words}
+                       AND NOT regexp_matches(lower(c), '{LINE_POLICY_RE}')
+                       AND NOT regexp_matches(c, '{LINE_MARKUP_RE}')
+                   ) AS kept
+            FROM l
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               array_to_string(kept, ' ') AS clean_text
+        FROM k
+    """
+
+
+# ---------------------------------------------------------------------------
+# T87 — mojibake detection + digraph repair
+# ---------------------------------------------------------------------------
+#
+# Crawl text is full of UTF-8 bytes decoded as Latin-1 (U+00C3 U+00A9
+# where e-acute was meant; U+00E2 U+0080 U+0099 for a right quote).
+# Full repair is ftfy's job; the workhorse core is (a) a detector
+# counting the characteristic lead-byte digraphs and (b) a bounded
+# digraph -> char mapping applied as chained replaces — both pure
+# column expressions, so the 10^12-row pass costs a scan and the
+# DuckDB oracle matches byte-for-byte.  Damaged sequences are spelled
+# as escapes throughout: their raw forms contain C1 control chars.
+
+MOJIBAKE_MAP = [
+    ("\xc3\xa9", "\xe9"),            # mangled e-acute
+    ("\xc3\xa8", "\xe8"),            # mangled e-grave
+    ("\xe2\x80\x99", "’"),      # mangled right single quote
+    ("\xe2\x80\x9c", "“"),      # mangled left double quote
+]
+MOJIBAKE_RE = "(\xc3.|\xe2.)"
+
+# Planted damage: two repairable digraphs + one detect-only (mangled
+# u-umlaut \xc3\xbc, NOT in the map), so n_hits can exceed the
+# repairs made.
+_MOJIBAKE_PLANT = " caf\xc3\xa9 don\xe2\x80\x99t \xc3\xbcber"
+
+
+def plant_mojibake_col(text: Column, key: Column) -> Column:
+    return F.when(
+        key % 21 == 0, F.concat(text, F.lit(_MOJIBAKE_PLANT))
+    ).otherwise(text)
+
+
+def sql_plant_mojibake(
+    text_expr: str = "text", key_expr: str = "doc_id"
+) -> str:
+    return (
+        f"(CASE WHEN {key_expr} % 21 = 0 THEN {text_expr} || "
+        f"'{_MOJIBAKE_PLANT}' ELSE {text_expr} END)"
+    )
+
+
+def mojibake_stats(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits, had_mojibake, text_fixed): count encoding-
+    damage digraphs and repair the mapped ones with chained replaces.
+    Zero shuffle, zero Python."""
+    key = F.col(key_col)
+    planted = plant_mojibake_col(F.col(text_col), key)
+    fixed = planted
+    for bad, good in MOJIBAKE_MAP:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    n_hits = F.regexp_count(planted, F.lit(MOJIBAKE_RE)).cast("bigint")
+    return docs.select(
+        key.alias("doc_id"),
+        n_hits.alias("n_hits"),
+        (n_hits > 0).alias("had_mojibake"),
+        fixed.alias("text_fixed"),
+    )
+
+
+def sql_mojibake_stats() -> str:
+    planted = sql_plant_mojibake()
+    fixed = planted
+    for bad, good in MOJIBAKE_MAP:
+        fixed = f"replace({fixed}, '{bad}', '{good}')"
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({planted}, '{MOJIBAKE_RE}'))
+                    AS BIGINT) AS n_hits,
+               len(regexp_extract_all({planted}, '{MOJIBAKE_RE}')) > 0
+                   AS had_mojibake,
+               {fixed} AS text_fixed
+        FROM documents
+    """

@@ -2187,3 +2187,126 @@ class TestBpeFertility:
         assert set(base) == set(learned)
         for lang in base:
             assert learned[lang] <= base[lang]
+
+
+# ---------------------------------------------------------------------------
+# T86 line_rules
+# ---------------------------------------------------------------------------
+
+
+def test_line_rules_drops_planted_and_short_lines(spark):
+    """Policy and markup plants are removed, the short tail chunk is
+    removed, surviving text preserves order; a clean full-chunk doc
+    passes untouched."""
+    from ocr_spark.operators.curation import CHUNK_WORDS, line_rules
+
+    clean = " ".join(f"w{i}" for i in range(2 * CHUNK_WORDS))
+    rows = [
+        (9, clean),            # %9: policy chunk planted
+        (15, clean),           # %15: markup chunk planted
+        (1, clean),            # clean, chunk-aligned
+        (2, clean + " tail"),  # 1-word tail chunk -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in line_rules(docs).collect()}
+    assert out[1].n_lines == 2 and out[1].n_kept == 2
+    assert out[1].clean_text == clean
+    assert out[9].n_lines == 3 and out[9].n_kept == 2
+    assert "cookie" not in out[9].clean_text
+    assert out[9].clean_text == clean
+    assert out[15].n_kept == 2 and not out[15].clean_text.startswith("*")
+    assert out[2].n_lines == 3 and out[2].n_kept == 2
+    assert out[2].clean_text == clean
+
+
+def test_line_rules_no_shuffle_no_python(spark):
+    from ocr_spark.operators.curation import line_rules
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        line_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# T87 mojibake_stats
+# ---------------------------------------------------------------------------
+
+
+def test_mojibake_detect_and_repair(spark):
+    """Planted rows count 3 digraph hits, the two mapped sequences are
+    repaired, the unmapped one survives; clean rows pass byte-exact."""
+    from ocr_spark.operators.curation import mojibake_stats
+
+    docs = spark.createDataFrame(
+        [(0, "plain text"), (1, "plain text"), (21, "x")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in mojibake_stats(docs).collect()}
+    assert out[1].n_hits == 0 and not out[1].had_mojibake
+    assert out[1].text_fixed == "plain text"
+    planted = out[0]  # 0 % 21 == 0 -> planted
+    assert planted.n_hits == 3 and planted.had_mojibake
+    assert "caf\xe9" in planted.text_fixed          # repaired e-acute
+    assert "don’t" in planted.text_fixed       # repaired quote
+    assert "\xc3\xbc" in planted.text_fixed         # unmapped: kept as-is
+    assert "\xc3\xa9" not in planted.text_fixed
+
+
+# ---------------------------------------------------------------------------
+# T88 word_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_word_entropy_closed_form(spark):
+    """Hand-checkable distributions: uniform over 4 words = ln 4;
+    single repeated word = 0; empty doc = 0 with zero counts."""
+    import math
+
+    from ocr_spark.operators.corpus_ops import word_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "x x x x x"),
+            (3, ""),
+            (4, "a a b b"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in word_entropy(docs).collect()}
+    assert abs(out[1].entropy - math.log(4)) < 1e-5
+    assert out[2].entropy == 0.0 and out[2].n_types == 1
+    assert out[3] == (3, 0, 0, 0.0)
+    assert abs(out[4].entropy - math.log(2)) < 1e-5
+    assert out[4].n_words == 4 and out[4].n_types == 2
+
+
+# ---------------------------------------------------------------------------
+# T89 oov_rate
+# ---------------------------------------------------------------------------
+
+
+def test_oov_rate_closed_form_and_broadcast(spark):
+    """v=2 vocabulary = the two most frequent words; rarer words count
+    as OOV; vocab join must be broadcast."""
+    from ocr_spark.operators.corpus_ops import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b rare"),
+            (2, "a b"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out_df = oov_rate(docs, v=2)
+    out = {r.doc_id: r for r in out_df.collect()}
+    assert out[1].n_words == 6 and out[1].n_oov == 1
+    assert abs(out[1].oov_rate - 1 / 6) < 1e-5
+    assert out[2].n_oov == 0 and out[2].oov_rate == 0.0
+    assert out[3] == (3, 0, 0, 0.0)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
