@@ -1629,6 +1629,35 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T90: BM25 top-k retrieval for a fixed term query — query terms
+    filtered before any shuffle, df/N/avgdl broadcast, per-term scores
+    fixed to integer micro-units so the per-doc sum is exact."""
+    from ocr_spark.operators.corpus_ops import bm25_topk
+
+    return bm25_topk(_tw(spark, sf_dir, "documents"))
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T91: adjacent-pair PMI collocations (Church & Hanks; word2vec's
+    phrase pass) — one slice+zip pair explode, map-side-combined
+    counts, marginals re-aggregated and broadcast, integer micro-nat
+    PMI."""
+    from ocr_spark.operators.corpus_ops import pmi_pairs
+
+    return pmi_pairs(_tw(spark, sf_dir, "documents"))
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T92: KMV-sketch Jaccard estimate between the doc_id%2 corpus
+    halves — the k smallest union hashes sample the union, membership
+    flags estimate the overlap; deterministic md5 makes the whole
+    estimate oracle-replayable."""
+    from ocr_spark.operators.corpus_ops import corpus_overlap
+
+    return corpus_overlap(_tw(spark, sf_dir, "documents"))
+
+
 def q_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T86: C4's local line filters — short lines, policy mentions
     (javascript/cookie/lorem-ipsum), list markup — applied as one
@@ -1952,6 +1981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "bm25_topk": q_bm25_topk,
+        "pmi_pairs": q_pmi_pairs,
+        "corpus_overlap": q_corpus_overlap,
         "line_rules": q_line_rules,
         "mojibake_stats": q_mojibake_stats,
         "word_entropy": q_word_entropy,
@@ -2497,6 +2529,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "bm25_topk": _corpus_sql.sql_bm25_topk(),
+        "pmi_pairs": _corpus_sql.sql_pmi_pairs(),
+        "corpus_overlap": _corpus_sql.sql_corpus_overlap(),
         "line_rules": _curation_sql.sql_line_rules(),
         "mojibake_stats": _curation_sql.sql_mojibake_stats(),
         "word_entropy": _corpus_sql.sql_word_entropy(),

@@ -1225,3 +1225,350 @@ def sql_oov_rate(v: int = OOV_VOCAB) -> str:
                    AS oov_rate
         FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# T90 — BM25 retrieval scoring (Robertson et al.)
+# ---------------------------------------------------------------------------
+#
+# The standard ranking function over the inverted-index statistics
+# (T63 builds the index; this is the query-time math): idf x saturated
+# tf with length normalization.  Per-term scores are fixed to integer
+# micro-units before the per-doc sum, so the only float steps are the
+# per-term formula itself — the identical expression in both engines.
+#
+# Scale shape: the corpus-side term filter runs BEFORE any shuffle
+# (query terms are a literal isin pushed to the scan), so the tf agg
+# touches only matching rows; doc lengths are one map-side-combined
+# agg; N/avgdl is a broadcast 1-row frame; df is per-query-term
+# (bounded, broadcast).  TakeOrderedAndProject finishes top-k.
+
+BM25_QUERY = ("spark", "window", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+_BM25_SCALE = 1_000_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: tuple = BM25_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hit_terms, score): BM25 top-``topk`` docs for a fixed
+    term query, ties broken by doc_id.  Score is the 6dp rendering of
+    the exact micro-unit integer sum."""
+    key = F.col(key_col)
+    tw = docs.select(
+        key.alias("doc"), F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    dl = tw.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    qtf = (
+        tw.filter(F.col("word").isin(*query))
+        .groupBy("doc", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = qtf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    s = idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom
+    s_micro = F.round(s * _BM25_SCALE).cast("bigint")
+    scored = (
+        qtf.join(F.broadcast(dfq), "word")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select("doc", s_micro.alias("s_micro"))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+            F.sum("s_micro").alias("total_micro"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_hit_terms",
+            F.round(
+                F.col("total_micro").cast("double") / _BM25_SCALE, 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(topk)
+    )
+
+
+def sql_bm25_topk(
+    query: tuple = BM25_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> str:
+    w = _sql_words("text")
+    qlist = ", ".join(f"'{t}'" for t in query)
+    s = _BM25_SCALE
+    return f"""
+        WITH tw AS (
+            SELECT doc_id AS doc, w AS word FROM (
+                SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE w <> ''
+        ),
+        dl AS (SELECT doc, count(*) AS dl FROM tw GROUP BY doc),
+        stats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+        ),
+        qtf AS (
+            SELECT doc, word, count(*) AS tf FROM tw
+            WHERE word IN ({qlist}) GROUP BY doc, word
+        ),
+        dfq AS (SELECT word, count(*) AS df FROM qtf GROUP BY word),
+        scored AS (
+            SELECT q.doc,
+                   CAST(round(
+                       ln(1.0 + (CAST(st.n_docs AS DOUBLE)
+                                 - CAST(f.df AS DOUBLE) + 0.5)
+                                / (CAST(f.df AS DOUBLE) + 0.5))
+                       * (CAST(q.tf AS DOUBLE) * {k1 + 1.0!r})
+                       / (CAST(q.tf AS DOUBLE) + {k1!r} *
+                          ({1.0 - b!r} + {b!r} * CAST(d.dl AS DOUBLE)
+                           / (CAST(st.sum_dl AS DOUBLE)
+                              / CAST(st.n_docs AS DOUBLE))))
+                       * {s}) AS BIGINT) AS s_micro
+            FROM qtf q
+            JOIN dfq f ON q.word = f.word
+            JOIN dl d ON q.doc = d.doc
+            CROSS JOIN stats st
+        )
+        SELECT doc AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_hit_terms,
+               round(CAST(sum(s_micro) AS DOUBLE) / {s}, 6) AS score
+        FROM scored GROUP BY doc
+        ORDER BY score DESC, doc_id ASC LIMIT {topk}
+    """
+
+
+# ---------------------------------------------------------------------------
+# T91 — adjacent-pair PMI collocations
+# ---------------------------------------------------------------------------
+#
+# Pointwise mutual information over adjacent word pairs — the standard
+# collocation/phrase-mining statistic (Church & Hanks 1990; word2vec's
+# phrase pass).  Marginals come from the pair distribution itself
+# (left word, right word), so the probabilities are self-consistent.
+# PMI is fixed to integer micro-nats, making the ranking and values
+# hash-exact cross-engine.
+#
+# Scale shape: one slice+zip pair explode (no Python), one map-side-
+# combined pair count; the marginals are re-aggregations of the pair
+# counts (bounded by vocabulary, broadcast); min-count pruning runs
+# before the joins.  TakeOrderedAndProject finishes.
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    min_count: int = PMI_MIN_COUNT,
+    topk: int = PMI_TOPK,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, c_pair, pmi): the ``topk`` adjacent pairs by PMI among
+    pairs seen >= ``min_count`` times; ties break lexicographically."""
+    z = F.arrays_zip(
+        F.expr("slice(_w, 1, greatest(size(_w) - 1, 0))").alias("a"),
+        F.expr("slice(_w, 2, greatest(size(_w) - 1, 0))").alias("b"),
+    )
+    pairs = (
+        docs.withColumn("_w", _words(F.col(text_col)))
+        .select(F.explode(z).alias("p"))
+        .select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    left = pc.groupBy("w1").agg(F.sum("c_pair").alias("c_left"))
+    right = pc.groupBy("w2").agg(F.sum("c_pair").alias("c_right"))
+    total = pc.agg(F.sum("c_pair").alias("n_pairs"))
+    pmi_micro = F.round(
+        F.log(
+            (F.col("c_pair").cast("double") * F.col("n_pairs").cast("double"))
+            / (F.col("c_left").cast("double") * F.col("c_right").cast("double"))
+        )
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        pc.filter(F.col("c_pair") >= min_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_pair").cast("bigint").alias("c_pair"),
+            F.round(pmi_micro.cast("double") / 1_000_000, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(topk)
+    )
+
+
+def sql_pmi_pairs(
+    min_count: int = PMI_MIN_COUNT, topk: int = PMI_TOPK
+) -> str:
+    w = _sql_words("text")
+    return f"""
+        WITH ws AS (SELECT {w} AS ww FROM documents),
+        pairs AS (
+            SELECT ww[CAST(i AS INTEGER)] AS w1,
+                   ww[CAST(i AS INTEGER) + 1] AS w2
+            FROM ws, UNNEST(range(1, greatest(len(ww), 1))) AS t(i)
+            WHERE ww[CAST(i AS INTEGER)] <> ''
+              AND ww[CAST(i AS INTEGER) + 1] <> ''
+        ),
+        pc AS (
+            SELECT w1, w2, count(*) AS c_pair FROM pairs GROUP BY w1, w2
+        ),
+        lmar AS (SELECT w1, sum(c_pair) AS c_left FROM pc GROUP BY w1),
+        rmar AS (SELECT w2, sum(c_pair) AS c_right FROM pc GROUP BY w2),
+        tot AS (SELECT sum(c_pair) AS n_pairs FROM pc)
+        SELECT p.w1, p.w2, CAST(p.c_pair AS BIGINT) AS c_pair,
+               round(CAST(CAST(round(
+                   ln((CAST(p.c_pair AS DOUBLE) * CAST(t.n_pairs AS DOUBLE))
+                      / (CAST(l.c_left AS DOUBLE)
+                         * CAST(r.c_right AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS DOUBLE) / 1000000, 6) AS pmi
+        FROM pc p
+        JOIN lmar l ON p.w1 = l.w1
+        JOIN rmar r ON p.w2 = r.w2
+        CROSS JOIN tot t
+        WHERE p.c_pair >= {min_count}
+        ORDER BY pmi DESC, p.w1 ASC, p.w2 ASC LIMIT {topk}
+    """
+
+
+# ---------------------------------------------------------------------------
+# T92 — two-corpus overlap estimate (KMV Jaccard sketch)
+# ---------------------------------------------------------------------------
+#
+# "How much does the new crawl overlap the old corpus?" answered
+# without an exact set intersection: the k smallest hashes of the
+# UNION form a uniform sample of it, so the fraction of them present
+# in both sides estimates the Jaccard coefficient (Bar-Yossef et al.;
+# the datasketches theta-intersection shape).  Deterministic md5
+# hashing makes the whole estimate — sample, flags, ratio — replayable
+# by the oracle bit-for-bit.
+#
+# Scale shape: per-side distinct gram hashes with map-side combine;
+# one groupBy(h) to merge membership flags; TakeOrderedAndProject for
+# the global k-min (per-partition top-k, k rows to the driver-side
+# merge, never a global sort); the final agg runs on k rows.
+
+OVERLAP_K = 512
+
+
+def corpus_overlap(
+    docs: DataFrame,
+    k: int = OVERLAP_K,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row: (k, m, n_both, jaccard_est, union_est) comparing the
+    shingle vocabularies of the doc_id%2 halves (the 'old/new corpus'
+    stand-in).  m < k means the union was smaller than the sketch and
+    every number is exact."""
+    from ocr_spark.operators.dedup import _hash60, shingles_col
+
+    key = F.col(key_col)
+    hashed = (
+        docs.select(
+            (key % 2 == 0).alias("in_a"),
+            F.explode(
+                F.array_distinct(shingles_col(F.col(text_col)))
+            ).alias("sh"),
+        )
+        .select(
+            "in_a", _hash60(F.concat(F.lit("o:"), F.col("sh"))).alias("h")
+        )
+        .groupBy("h")
+        .agg(
+            F.max(F.col("in_a").cast("int")).alias("a"),
+            F.max((~F.col("in_a")).cast("int")).alias("b"),
+        )
+    )
+    kmin = hashed.orderBy(F.asc("h")).limit(k)
+    est_union = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_H60_SPACE) / F.col("h_k").cast("double")
+        )
+    )
+    return (
+        kmin.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum((F.col("a") + F.col("b") == 2).cast("bigint")).alias(
+                "n_both"
+            ),
+            F.max("h").alias("h_k"),
+        )
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("m").cast("bigint").alias("m"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("m").cast("double"), 6
+            ).alias("jaccard_est"),
+            est_union.cast("bigint").alias("union_est"),
+        )
+    )
+
+
+def sql_corpus_overlap(k: int = OVERLAP_K) -> str:
+    from ocr_spark.operators.dedup import sql_shingles
+
+    h = "CAST('0x' || substr(md5('o:' || sh), 1, 15) AS BIGINT)"
+    return f"""
+        WITH sh AS (
+            SELECT doc_id % 2 = 0 AS in_a, sh FROM (
+                SELECT doc_id,
+                       unnest(list_distinct({sql_shingles("text")})) AS sh
+                FROM documents)
+        ),
+        hashed AS (
+            SELECT {h} AS h,
+                   max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+                   max(CASE WHEN in_a THEN 0 ELSE 1 END) AS b
+            FROM sh GROUP BY 1
+        ),
+        kmin AS (SELECT * FROM hashed ORDER BY h ASC LIMIT {k}),
+        agg AS (
+            SELECT count(*) AS m,
+                   CAST(sum(CASE WHEN a + b = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_both,
+                   max(h) AS h_k
+            FROM kmin
+        )
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST(m AS BIGINT) AS m,
+               n_both,
+               round(CAST(n_both AS DOUBLE) / m, 6) AS jaccard_est,
+               CAST(CASE WHEN m < {k} THEN CAST(m AS DOUBLE)
+                    ELSE floor({float(k - 1)!r} * {_H60_SPACE!r}
+                               / CAST(h_k AS DOUBLE)) END
+                    AS BIGINT) AS union_est
+        FROM agg
+    """

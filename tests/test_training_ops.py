@@ -2310,3 +2310,108 @@ def test_oov_rate_closed_form_and_broadcast(spark):
     assert out[3] == (3, 0, 0, 0.0)
     plan = out_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# T90 bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_closed_form(spark):
+    """Hand-checkable corpus: scores match the textbook formula and
+    rank the term-dense doc first; docs without query terms are
+    absent."""
+    import math
+
+    from ocr_spark.operators.corpus_ops import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark pad"),
+            (2, "spark pad pad pad"),
+            (3, "pad pad pad pad"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in bm25_topk(docs, query=("spark",)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].score > out[2].score
+    # textbook check for doc 2: N=3, df=2, tf=1, dl=4, avgdl=4
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    expect = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 1.0))
+    assert abs(out[2].score - expect) < 2e-6
+    assert out[2].n_hit_terms == 1
+
+
+def test_bm25_query_filter_before_shuffle(spark):
+    """The isin(query) filter must sit below the first aggregate in
+    the plan, so non-matching rows never shuffle."""
+    from ocr_spark.operators.corpus_ops import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bm25_topk(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "IN (spark" in plan.replace("'", "") or "isin" in plan.lower() or "In(word" in plan
+
+
+# ---------------------------------------------------------------------------
+# T91 pmi_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_ranks_exclusive_collocation_top(spark):
+    """A pair that always co-occurs ('new york') outranks pairs whose
+    members also appear apart; min_count prunes rare pairs."""
+    import math
+
+    from ocr_spark.operators.corpus_ops import pmi_pairs
+
+    text_a = " ".join(["new york"] * 6)           # exclusive collocation
+    text_b = " ".join(["big data big apple"] * 6)  # 'big' promiscuous
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id bigint, text string"
+    )
+    rows = pmi_pairs(docs, min_count=5, topk=10).collect()
+    assert rows, "no pairs survived min_count"
+    # both orientations of the exclusive collocation outrank every
+    # pair involving the promiscuous 'big'
+    ranked = [(r.w1, r.w2) for r in rows]
+    ny = {("new", "york"), ("york", "new")}
+    big_best = min(
+        i for i, p in enumerate(ranked) if "big" in p
+    )
+    assert all(ranked.index(p) < big_best for p in ny if p in ranked)
+    assert ny.issubset(set(ranked))
+    # every returned pair respects the count floor; ordering holds
+    assert all(r.c_pair >= 5 for r in rows)
+    assert rows[0].pmi > 0
+    assert rows == sorted(rows, key=lambda r: (-r.pmi, r.w1, r.w2))
+
+
+# ---------------------------------------------------------------------------
+# T92 corpus_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_overlap_exact_when_small(spark):
+    """Union smaller than k: m < k and every number is exact — the
+    planted halves share exactly their common shingles."""
+    from ocr_spark.operators.corpus_ops import corpus_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    only_a = "one two three four five six"
+    only_b = "seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " " + only_a),   # side A (even)
+            (1, shared + " " + only_b),   # side B (odd)
+        ],
+        "doc_id bigint, text string",
+    )
+    row = corpus_overlap(docs, k=512).collect()[0]
+    assert row.m < 512
+    assert row.union_est == row.m  # exact branch
+    # shared shingles exist and are flagged both-sides
+    assert 0 < row.n_both < row.m
+    assert abs(row.jaccard_est - row.n_both / row.m) < 1e-9
