@@ -1629,6 +1629,50 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_link_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T93: per-page outlink spam profile — links per 100 words and
+    duplicate-target fraction from the JVM-regex edge extraction, spam
+    planted as a link farm on doc_id%29 pages.  The oracle states the
+    edge profile by construction, so a regex or join defect breaks the
+    hash."""
+    from ocr_spark.operators.graph import link_spam_score, spam_linked_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    return link_spam_score(spam_linked_pages(docs, docs.count()), docs)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T94: retention cohort matrix over the clickstream — users
+    grouped by first-seen day, activity by day offset; one min-agg,
+    one hash join, one rollup, all map-side combined."""
+    from ocr_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T95: packing skew audit — per language, shard count and token
+    min/max/imbalance from pack_shards' running-sum assignment; the
+    pre-flight check a training run does before reading shards."""
+    from ocr_spark.operators.corpus_ops import shard_balance
+
+    return shard_balance(_t(spark, sf_dir, "documents"), budget_tokens=5000)
+
+
+def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T96: clustering-quality audit — per-cluster size and cosine
+    cohesion (mean/min) against the trained Lloyd codebook; zero-
+    shuffle literal-codebook assignment, integer micro-unit cosines,
+    one agg to <= k rows."""
+    from ocr_spark.operators.ann import kmeans_inertia, kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "inertia8")
+    if key not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[key] = kmeans_train(emb, k=8, n_iter=3)
+    return kmeans_inertia(emb, _PQ_BOOKS_CACHE[key])
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T90: BM25 top-k retrieval for a fixed term query — query terms
     filtered before any shuffle, df/N/avgdl broadcast, per-term scores
@@ -1981,6 +2025,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "link_spam_score": q_link_spam_score,
+        "retention_cohorts": q_retention_cohorts,
+        "shard_balance": q_shard_balance,
+        "kmeans_inertia": q_kmeans_inertia,
         "bm25_topk": q_bm25_topk,
         "pmi_pairs": q_pmi_pairs,
         "corpus_overlap": q_corpus_overlap,
@@ -2529,6 +2577,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "link_spam_score": _graph_sql.sql_link_spam_score(),
+        "retention_cohorts": _events_sql.sql_retention_cohorts(),
+        "shard_balance": _corpus_sql.sql_shard_balance(5000),
+        "kmeans_inertia": _ann_sql.sql_kmeans_inertia(k=8, n_iter=3),
         "bm25_topk": _corpus_sql.sql_bm25_topk(),
         "pmi_pairs": _corpus_sql.sql_pmi_pairs(),
         "corpus_overlap": _corpus_sql.sql_corpus_overlap(),

@@ -246,6 +246,51 @@ def assign_to_codebook(emb: DataFrame, codebook) -> DataFrame:
     )
 
 
+def kmeans_inertia(emb: DataFrame, codebook) -> DataFrame:
+    """(centroid, n_vecs, mean_cos, min_cos): the training-quality
+    audit every clustering run reports — per-cluster size and cosine
+    cohesion against the trained codebook.  A centroid whose mean_cos
+    collapses (or whose n_vecs is 1) flags a bad init or a dead
+    cluster before the codebook ships to the IVF index.
+
+    Scale shape: the same zero-shuffle literal-codebook argmax as
+    assign_to_codebook (cosines to all k centroids in one array
+    expression per row), cosine fixed to integer micro-units in-row,
+    then ONE map-side-combined agg to <= k rows.  Empty clusters are
+    absent in both engines by construction."""
+    coses = F.array(
+        *[
+            F.round(cosine_col(F.col("embedding"), _lit_array(cvec)), 6)
+            for _, cvec in codebook
+        ]
+    )
+    raw = F.array(
+        *[
+            cosine_col(F.col("embedding"), _lit_array(cvec))
+            for _, cvec in codebook
+        ]
+    )
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in codebook])
+    pos = F.array_position(coses, F.array_max(coses)).cast("int")
+    cos_micro = F.round(F.element_at(raw, pos) * 1_000_000).cast("bigint")
+    assigned = emb.select(
+        F.element_at(ids, pos).alias("centroid"),
+        cos_micro.alias("cos_micro"),
+    )
+    return assigned.groupBy("centroid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum("cos_micro").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1_000_000),
+            6,
+        ).alias("mean_cos"),
+        F.round(
+            F.min("cos_micro").cast("double") / F.lit(1_000_000), 6
+        ).alias("min_cos"),
+    )
+
+
 # Rounding applied to every trained centroid component IN BOTH ENGINES
 # each iteration: partial-sum association order (numpy per-partition
 # sums merged on the driver vs DuckDB's sequential avg) differs in the
@@ -561,13 +606,12 @@ def sql_topk_join(query_ids: List[int], k: int = 10) -> str:
     """
 
 
-def sql_kmeans_centroids(k: int = IVF_CENTROIDS, n_iter: int = 3) -> str:
-    """The same fixed Lloyd iterations as chained CTEs: assignment =
-    argmax rounded cosine (rn=1 ordered by cos DESC, centroid ASC —
-    the tie rule assign_to_codebook gets from array_position), new
-    centroid = per-position avg rounded to KMEANS_ROUND like the
-    Spark trainer.  Output: (centroid, pos, val) rows of the final
-    codebook."""
+def _sql_kmeans_parts(k: int, n_iter: int) -> list:
+    """The shared Lloyd CTE chain (e, c0, a0, c1, ... c{n_iter}) —
+    assignment = argmax rounded cosine (rn=1 ordered by cos DESC,
+    centroid ASC, the tie rule assign_to_codebook gets from
+    array_position), new centroid = per-position avg rounded to
+    KMEANS_ROUND like the Spark trainer."""
 
     def assign(prev: str) -> str:
         cos = _sql_cosine("e.embedding", "c.cvec")
@@ -610,11 +654,48 @@ def sql_kmeans_centroids(k: int = IVF_CENTROIDS, n_iter: int = 3) -> str:
     for i in range(n_iter):
         parts.append(f", a{i} AS {assign(f'c{i}')}")
         parts.append(f", c{i + 1} AS {update(f'c{i}', f'a{i}')}")
+    return parts
+
+
+def sql_kmeans_centroids(k: int = IVF_CENTROIDS, n_iter: int = 3) -> str:
+    """The fixed Lloyd iterations as chained CTEs; output =
+    (centroid, pos, val) rows of the final codebook."""
+    parts = _sql_kmeans_parts(k, n_iter)
     parts.append(
         f"""
         SELECT c.centroid, ii.pos, c.cvec[ii.pos] AS val
         FROM c{n_iter} c,
              (SELECT unnest(range(1, {EMB_DIM + 1})) AS pos) ii
+        """
+    )
+    return "\n".join(parts)
+
+
+def sql_kmeans_inertia(k: int = IVF_CENTROIDS, n_iter: int = 3) -> str:
+    """Training-quality audit: one more assignment pass against the
+    final codebook, then per-cluster size and cohesion — the cosine
+    fixed to integer micro-units before the sum so the per-cluster
+    mean is exact cross-engine."""
+    parts = _sql_kmeans_parts(k, n_iter)
+    cos = _sql_cosine("e.embedding", "c.cvec")
+    parts.append(
+        f""", fin AS (
+            SELECT centroid, cos_micro FROM (
+                SELECT e.vec_id, c.centroid,
+                       CAST(round({cos} * 1000000) AS BIGINT) AS cos_micro,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({cos}, 6) DESC, c.centroid ASC
+                       ) AS rn
+                FROM e CROSS JOIN c{n_iter} c)
+            WHERE rn = 1
+        )
+        SELECT centroid,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               round(CAST(sum(cos_micro) AS DOUBLE) / count(*) / 1000000, 6)
+                   AS mean_cos,
+               round(CAST(min(cos_micro) AS DOUBLE) / 1000000, 6) AS min_cos
+        FROM fin GROUP BY centroid
         """
     )
     return "\n".join(parts)

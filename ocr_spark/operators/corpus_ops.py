@@ -1572,3 +1572,79 @@ def sql_corpus_overlap(k: int = OVERLAP_K) -> str:
                     AS BIGINT) AS union_est
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# T95 — shard balance audit
+# ---------------------------------------------------------------------------
+#
+# The packing sanity check a training run does before reading shards:
+# token skew across a partition's shards decides whether data loading
+# stalls on a straggler shard.  Pure re-aggregation of pack_shards'
+# output — one (partition, shard) agg then one per-partition agg, both
+# map-side combined; no text moves.
+
+def shard_balance(
+    df: DataFrame,
+    budget_tokens: int,
+    partition_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, n_shards, n_docs, min_tokens, max_tokens, imbalance):
+    imbalance = max shard tokens / mean shard tokens, 6dp (the final
+    partial shard included — it is what the loader will read)."""
+    packed = pack_shards(
+        df,
+        budget_tokens,
+        partition_col=partition_col,
+        key_col=key_col,
+        text_col=text_col,
+    )
+    per_shard = packed.groupBy(partition_col, "shard").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    return per_shard.groupBy(partition_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("docs").cast("bigint").alias("n_docs"),
+        F.min("tokens").cast("bigint").alias("min_tokens"),
+        F.max("tokens").cast("bigint").alias("max_tokens"),
+        F.round(
+            F.max("tokens").cast("double")
+            / (F.sum("tokens").cast("double") / F.count(F.lit(1))),
+            6,
+        ).alias("imbalance"),
+    )
+
+
+def sql_shard_balance(
+    budget_tokens: int, partition_col: str = "lang"
+) -> str:
+    w = _sql_words("text")
+    return f"""
+        WITH packed AS (
+            SELECT {partition_col}, doc_id,
+                   len({w}) AS n_tokens,
+                   CAST(floor(CAST(sum(len({w})) OVER (
+                            PARTITION BY {partition_col} ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - len({w}) AS DOUBLE) / {budget_tokens})
+                        AS INTEGER) AS shard
+            FROM documents
+        ),
+        per_shard AS (
+            SELECT {partition_col}, shard, count(*) AS docs,
+                   sum(n_tokens) AS tokens
+            FROM packed GROUP BY {partition_col}, shard
+        )
+        SELECT {partition_col},
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(docs) AS BIGINT) AS n_docs,
+               CAST(min(tokens) AS BIGINT) AS min_tokens,
+               CAST(max(tokens) AS BIGINT) AS max_tokens,
+               round(CAST(max(tokens) AS DOUBLE)
+                     / (CAST(sum(tokens) AS DOUBLE) / count(*)), 6)
+                   AS imbalance
+        FROM per_shard GROUP BY {partition_col}
+    """

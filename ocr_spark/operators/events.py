@@ -190,3 +190,56 @@ def sql_sessionize(gap_minutes: int = ASOF_SESSION_GAP_MIN) -> str:
         FROM ids
         GROUP BY user_id, session_idx
     """
+
+
+# ---------------------------------------------------------------------------
+# T94 — retention cohort matrix
+# ---------------------------------------------------------------------------
+#
+# The standard product-analytics rollup a clickstream warehouse runs
+# daily: users grouped by first-seen day (the cohort), activity
+# counted by day offset from it.  Scale shape: the cohort table is one
+# min-agg per user (map-side combined), reattached with one hash join
+# on user_id, then one (cohort, offset) agg — no windows, no per-user
+# state, every shuffled row is (bigint, date-int).
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_day, offset_days, n_users, n_events): distinct active
+    users and event volume per cohort x day-offset cell; cohort_day
+    rendered as a string for cross-engine hash stability."""
+    day = F.to_date("ts")
+    first = (
+        events.select(F.col("user_id"), day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+    )
+    return (
+        events.select("user_id", "event_id", day.alias("day"))
+        .join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("offset_days"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def sql_retention_cohorts() -> str:
+    return """
+        WITH first AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(CAST(e.ts AS DATE) - f.cohort_day AS BIGINT)
+                   AS offset_days,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """

@@ -438,3 +438,124 @@ def sql_redirect_resolve() -> str:
         FROM walk w
         WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.dst)
     """
+
+
+# ---------------------------------------------------------------------------
+# T93 — outlink spam scoring
+# ---------------------------------------------------------------------------
+#
+# Link farms betray themselves in the page's own edge profile: link
+# count way out of proportion to the prose, and the same target
+# repeated (SEO reciprocal blocks).  Score per page from the extracted
+# edge list — (links per 100 words, duplicate-target fraction) — the
+# per-PAGE complement of PageRank's whole-graph view.
+#
+# Scale shape: one regex edge extraction (JVM, zero Python), one
+# map-side-combined per-src agg, one hash join back to doc lengths;
+# nothing shuffles page bytes.  The planted spam pages make the oracle
+# closed-form: it states the edge profile by construction, so the
+# regex extraction path must agree with it exactly.
+
+SPAM_MOD = 29
+SPAM_EXTRA_LINKS = 12
+SPAM_DUP_FRAC = 0.5
+
+
+def spam_linked_pages(docs: DataFrame, n_docs: int) -> DataFrame:
+    """linked_pages plus a planted link farm: every doc_id % SPAM_MOD
+    == 0 page appends SPAM_EXTRA_LINKS duplicate anchors to its first
+    target.  Pure column expressions."""
+    from ..sources.wrap import _HTML_TEMPLATE_HEAD, _HTML_TEMPLATE_TAIL
+
+    anchors = [
+        F.concat(
+            F.lit('<a href="/doc/'),
+            ((F.col("doc_id") * LINK_STRIDE + F.lit(j + 1)) % n_docs).cast(
+                "string"
+            ),
+            F.lit('">ref</a>'),
+        )
+        for j in range(LINKS_PER_DOC)
+    ]
+    farm = F.when(
+        F.col("doc_id") % SPAM_MOD == 0,
+        F.repeat(anchors[0], SPAM_EXTRA_LINKS),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit(_HTML_TEMPLATE_HEAD),
+        F.lit("<p>"),
+        _escape_col(F.col("text")),
+        F.lit("</p>"),
+        *anchors,
+        farm,
+        F.lit(_HTML_TEMPLATE_TAIL),
+    )
+    return docs.select("doc_id", F.encode(page, "utf-8").alias("html"))
+
+
+def link_spam_score(pages: DataFrame, docs: DataFrame) -> DataFrame:
+    """(doc_id, n_links, n_distinct, dup_frac, links_per_100w, spam):
+    per-page outlink profile from the extracted edges; spam = more
+    than SPAM_DUP_FRAC of the links repeat a target."""
+    from ocr_spark.operators.corpus_ops import _words
+
+    edges = extract_links(pages)
+    per = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        F.countDistinct("dst").cast("bigint").alias("n_distinct"),
+    )
+    lens = docs.select(
+        F.col("doc_id"),
+        F.size(_words(F.col("text"))).cast("bigint").alias("n_words"),
+    )
+    dup_frac = F.round(
+        F.lit(1.0)
+        - F.col("n_distinct").cast("double") / F.col("n_links").cast("double"),
+        6,
+    )
+    per100 = F.round(
+        F.col("n_links").cast("double") * 100.0 / F.col("n_words").cast("double"),
+        6,
+    )
+    return (
+        per.withColumnRenamed("src", "doc_id")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "n_links",
+            "n_distinct",
+            dup_frac.alias("dup_frac"),
+            per100.alias("links_per_100w"),
+            (dup_frac > SPAM_DUP_FRAC).alias("spam"),
+        )
+    )
+
+
+def sql_link_spam_score() -> str:
+    """Closed-form oracle: the planted pages carry exactly
+    LINKS_PER_DOC distinct targets plus SPAM_EXTRA_LINKS duplicates on
+    spam rows — a wrong regex, a lost edge, or a bad join breaks the
+    hash."""
+    from ocr_spark.operators.corpus_ops import _sql_words
+
+    w = _sql_words("text")
+    nl = (
+        f"CAST({LINKS_PER_DOC} + CASE WHEN doc_id % {SPAM_MOD} = 0 "
+        f"THEN {SPAM_EXTRA_LINKS} ELSE 0 END AS BIGINT)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {nl} AS n_links,
+                   CAST({LINKS_PER_DOC} AS BIGINT) AS n_distinct,
+                   CAST(len({w}) AS BIGINT) AS n_words
+            FROM documents
+        )
+        SELECT doc_id, n_links, n_distinct,
+               round(1.0 - CAST(n_distinct AS DOUBLE)
+                     / CAST(n_links AS DOUBLE), 6) AS dup_frac,
+               round(CAST(n_links AS DOUBLE) * 100.0
+                     / CAST(n_words AS DOUBLE), 6) AS links_per_100w,
+               round(1.0 - CAST(n_distinct AS DOUBLE)
+                     / CAST(n_links AS DOUBLE), 6) > {SPAM_DUP_FRAC} AS spam
+        FROM base
+    """

@@ -290,3 +290,70 @@ class TestRedirectResolve:
         assert capped == free
         srcs = {s for s, _, _ in capped}
         assert all(f not in srcs for _, f, _ in capped)  # all terminal
+
+
+# ---------------------------------------------------------------------------
+# T93 link_spam_score
+# ---------------------------------------------------------------------------
+
+
+def test_link_spam_flags_planted_farms_only(spark):
+    """Planted %29 pages carry 15 links (12 duplicated) -> spam; every
+    other page has 3 distinct links -> clean.  Counts come from the
+    real regex extraction, not the plant's arithmetic."""
+    from ocr_spark.operators.graph import (
+        SPAM_EXTRA_LINKS,
+        SPAM_MOD,
+        link_spam_score,
+        spam_linked_pages,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    out = {
+        r.doc_id: r
+        for r in link_spam_score(
+            spam_linked_pages(docs, 120), docs
+        ).collect()
+    }
+    assert len(out) == 120
+    for i, r in out.items():
+        if i % SPAM_MOD == 0:
+            assert r.n_links == 3 + SPAM_EXTRA_LINKS and r.spam, r
+            assert r.n_distinct == 3
+        else:
+            assert r.n_links == 3 and not r.spam, r
+
+
+# ---------------------------------------------------------------------------
+# T94 retention_cohorts
+# ---------------------------------------------------------------------------
+
+
+def test_retention_cohorts_closed_form(spark):
+    """Two users, two cohorts: day offsets and distinct-user counts on
+    a hand-built stream."""
+    import datetime as dt
+
+    from ocr_spark.operators.events import retention_cohorts
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 10),
+        (2, dt.datetime(2024, 1, 1, 12), 10),   # same user, same day
+        (3, dt.datetime(2024, 1, 3, 9), 10),    # user 10, offset 2
+        (4, dt.datetime(2024, 1, 2, 9), 20),    # user 20 cohort 01-02
+        (5, dt.datetime(2024, 1, 3, 9), 20),    # offset 1
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint"
+    )
+    out = {
+        (r.cohort_day, r.offset_days): (r.n_users, r.n_events)
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out[("2024-01-01", 0)] == (1, 2)
+    assert out[("2024-01-01", 2)] == (1, 1)
+    assert out[("2024-01-02", 0)] == (1, 1)
+    assert out[("2024-01-02", 1)] == (1, 1)
+    assert len(out) == 4

@@ -2415,3 +2415,64 @@ def test_corpus_overlap_exact_when_small(spark):
     # shared shingles exist and are flagged both-sides
     assert 0 < row.n_both < row.m
     assert abs(row.jaccard_est - row.n_both / row.m) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# T95 shard_balance
+# ---------------------------------------------------------------------------
+
+
+def test_shard_balance_closed_form(spark):
+    """Four 3-token docs, budget 6: two shards of 6 tokens each,
+    imbalance exactly 1.0; a 5th doc makes a 3-token tail shard and
+    imbalance 6/5."""
+    from ocr_spark.operators.corpus_ops import shard_balance
+
+    rows = [(i, "a b c", "en") for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    )
+    r = shard_balance(docs, budget_tokens=6).collect()[0]
+    assert (r.n_shards, r.n_docs, r.min_tokens, r.max_tokens) == (2, 4, 6, 6)
+    assert r.imbalance == 1.0
+    docs5 = spark.createDataFrame(
+        rows + [(4, "a b c", "en")], "doc_id bigint, text string, lang string"
+    )
+    r5 = shard_balance(docs5, budget_tokens=6).collect()[0]
+    assert (r5.n_shards, r5.min_tokens, r5.max_tokens) == (3, 3, 6)
+    assert abs(r5.imbalance - 6 / 5) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# T96 kmeans_inertia
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_inertia_covers_corpus_and_bounds(spark):
+    """Cluster sizes sum to the corpus, cohesion is bounded by the
+    per-cluster minimum, and the audit never exceeds k rows."""
+    from ocr_spark.operators.ann import kmeans_inertia, kmeans_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    book = kmeans_train(emb, k=8, n_iter=2)
+    rows = kmeans_inertia(emb, book).collect()
+    assert 0 < len(rows) <= 8
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    for r in rows:
+        assert r.min_cos <= r.mean_cos <= 1.0
+
+
+def test_kmeans_inertia_no_exchange_before_agg(spark):
+    """Assignment is a literal-codebook argmax: the only exchange in
+    the plan is the final <= k-row aggregation."""
+    from ocr_spark.operators.ann import kmeans_inertia, kmeans_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    book = kmeans_train(emb, k=4, n_iter=1)
+    plan = (
+        kmeans_inertia(emb, book)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1
