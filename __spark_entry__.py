@@ -1629,6 +1629,47 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T97: majority-vote keep decision over the Gopher rules, the
+    trained naive-Bayes filter, and the LM-surprisal filter (cutoff =
+    corpus mean micro-nat surprisal, a deterministic statistic) — the
+    production ensemble recipe, two doc-keyed joins + one broadcast
+    cutoff."""
+    from ocr_spark.operators.webcorpus import quality_ensemble
+
+    return quality_ensemble(_tw(spark, sf_dir, "documents"))
+
+
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T98: the dedup governance funnel — input docs, exact-hash
+    survivors, near-dup cluster survivors, as (stage, n_docs) rows;
+    reuses the session-shared CC table so the star rounds don't
+    rerun."""
+    from ocr_spark.operators.cluster import dedup_survivorship
+    from ocr_spark.operators.dedup import neardup_corpus
+
+    corpus = neardup_corpus(_tw(spark, sf_dir, "documents"))
+    return dedup_survivorship(corpus, _neardup_cc(spark, sf_dir))
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T99: recall@10 of the IVF cell probe against brute-force cosine
+    — the index-quality evaluation harness, itself oracle-gated; both
+    sides exclude the query vector."""
+    from ocr_spark.operators.ann import ann_recall_audit
+
+    return ann_recall_audit(_t(spark, sf_dir, "embeddings"))
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T100: per-doc Unicode script mix (CJK/Latin/digit fractions +
+    dominant label) via identical codepoint-range arithmetic in both
+    engines; pure per-row expressions."""
+    from ocr_spark.operators.corpus_ops import script_profile
+
+    return script_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_link_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T93: per-page outlink spam profile — links per 100 words and
     duplicate-target fraction from the JVM-regex edge extraction, spam
@@ -2025,6 +2066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "quality_ensemble": q_quality_ensemble,
+        "dedup_survivorship": q_dedup_survivorship,
+        "ann_recall_audit": q_ann_recall_audit,
+        "script_profile": q_script_profile,
         "link_spam_score": q_link_spam_score,
         "retention_cohorts": q_retention_cohorts,
         "shard_balance": q_shard_balance,
@@ -2577,6 +2622,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "quality_ensemble": _webcorpus_sql.sql_quality_ensemble(),
+        "dedup_survivorship": _cluster_sql.sql_dedup_survivorship(),
+        "ann_recall_audit": _ann_sql.sql_ann_recall_audit(),
+        "script_profile": _corpus_sql.sql_script_profile(),
         "link_spam_score": _graph_sql.sql_link_spam_score(),
         "retention_cohorts": _events_sql.sql_retention_cohorts(),
         "shard_balance": _corpus_sql.sql_shard_balance(5000),

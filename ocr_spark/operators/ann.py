@@ -1639,3 +1639,75 @@ def sql_pq_adc_rerank_topk(
         FROM ef JOIN cand c ON ef.vec_id = c.vec_id, qq
         ORDER BY cos_sim DESC, ef.vec_id ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# T99 — ANN recall audit
+# ---------------------------------------------------------------------------
+#
+# The evaluation harness every approximate index ships with: recall@k
+# of the probe against the brute-force answer on the same corpus.  A
+# recall regression is how you notice a bad codebook, an over-small
+# n_probe, or a broken partition layout BEFORE the index serves
+# queries.  Both sides exclude the query vector; both engines compute
+# both sides, so the audit itself is oracle-gated.
+#
+# Scale shape: the IVF side prunes to the query's cell (T7's zero-
+# shuffle assignment); the exact side is the one-broadcast top-k scan;
+# the overlap join runs on 2k rows.
+
+
+def ann_recall_audit(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """One row: (k, n_approx, n_overlap, recall) for the IVF probe vs
+    exact cosine top-k.  n_approx < k flags an under-filled cell."""
+    approx = ivf_topk(emb, query_vec_id=query_vec_id, k=k).select("vec_id")
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    cos = cosine_col(F.col("embedding"), F.col("qvec"))
+    exact = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    n_approx = approx.agg(F.count(F.lit(1)).cast("bigint").alias("n_approx"))
+    overlap = approx.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    )
+    return n_approx.crossJoin(overlap).select(
+        F.lit(k).cast("bigint").alias("k"),
+        "n_approx",
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / F.lit(float(k)), 6).alias(
+            "recall"
+        ),
+    )
+
+
+def sql_ann_recall_audit(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+        WITH ivf AS ({sql_ivf_topk(query_vec_id=query_vec_id, k=k)}),
+        q AS (SELECT embedding AS qvec FROM embeddings
+              WHERE vec_id = {query_vec_id}),
+        exact AS (
+            SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       round(
+                         list_dot_product(e.embedding, q.qvec) /
+                         (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                          sqrt(list_dot_product(q.qvec, q.qvec))), 4)
+                           AS cos_sim
+                FROM embeddings e, q WHERE e.vec_id <> {query_vec_id}
+                ORDER BY cos_sim DESC, vec_id ASC LIMIT {k})
+        )
+        SELECT CAST({k} AS BIGINT) AS k,
+               (SELECT CAST(count(*) AS BIGINT) FROM ivf) AS n_approx,
+               CAST(count(*) AS BIGINT) AS n_overlap,
+               round(CAST(count(*) AS DOUBLE) / {float(k)!r}, 6) AS recall
+        FROM ivf JOIN exact USING (vec_id)
+    """

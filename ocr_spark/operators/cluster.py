@@ -305,3 +305,49 @@ def sql_neardup_clusters() -> str:
         FROM walk
         GROUP BY node
     """
+
+
+# ---------------------------------------------------------------------------
+# T98 — dedup survivorship funnel
+# ---------------------------------------------------------------------------
+#
+# The governance report every dedup run ships: how many documents
+# entered, how many distinct payloads exact dedup leaves, how many
+# near-dup clusters (= keep-one survivors) remain.  Pure composition
+# of the existing stages — three bounded aggregations unioned, no new
+# shuffle shapes; the oracle recomputes each stage independently, so a
+# drifting stage breaks its row.
+
+
+def dedup_survivorship(corpus: DataFrame, clusters: DataFrame) -> DataFrame:
+    """(stage, n_docs) rows: input -> exact -> neardup, computed from
+    the planted corpus and its CC table (pass the session-shared one —
+    the star rounds don't rerun)."""
+    n_input = corpus.agg(
+        F.lit("1_input").alias("stage"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    n_exact = corpus.agg(
+        F.lit("2_exact").alias("stage"),
+        F.countDistinct(F.md5(F.col("text"))).cast("bigint").alias("n_docs"),
+    )
+    n_near = clusters.agg(
+        F.lit("3_neardup").alias("stage"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_docs"),
+    )
+    return n_input.unionByName(n_exact).unionByName(n_near)
+
+
+def sql_dedup_survivorship() -> str:
+    from ocr_spark.operators import dedup
+
+    return f"""
+        SELECT '1_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+        FROM ({dedup.sql_neardup_corpus()})
+        UNION ALL
+        SELECT '2_exact', CAST(count(DISTINCT md5(text)) AS BIGINT)
+        FROM ({dedup.sql_neardup_corpus()})
+        UNION ALL
+        SELECT '3_neardup', CAST(count(DISTINCT cluster_id) AS BIGINT)
+        FROM ({sql_neardup_clusters()})
+    """

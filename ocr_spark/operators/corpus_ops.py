@@ -1648,3 +1648,65 @@ def sql_shard_balance(
                    AS imbalance
         FROM per_shard GROUP BY {partition_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# T100 — Unicode script profile
+# ---------------------------------------------------------------------------
+#
+# Character-class composition per document — the script histogram a
+# multilingual pipeline reads before routing text to per-script
+# tokenizers/filters (langid_cjk makes one guess; this keeps the whole
+# mix).  Counting is codepoint-range regexp_replace arithmetic with
+# IDENTICAL explicit ranges in both engines; pure per-row expressions,
+# zero shuffle, zero Python.
+
+
+def script_profile(
+    docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars_t, cjk_frac, latin_frac, digit_frac,
+    dominant): per-script character fractions (6dp) + the dominant
+    label by integer count comparison."""
+    from ocr_spark.operators.corpus_ops import _CJK_RANGE
+
+    key = F.col(key_col)
+    t = F.col(text_col)
+    n = F.length(t).cast("bigint")
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    cjk = F.length(F.regexp_replace(t, f"[^{_CJK_RANGE}]", "")).cast("bigint")
+    latin = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("bigint")
+    digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("bigint")
+    dominant = (
+        F.when(cjk > latin, F.lit("cjk"))
+        .when(latin > 0, F.lit("latin"))
+        .otherwise(F.lit("other"))
+    )
+    return docs.select(
+        key.alias("doc_id"),
+        n.alias("n_chars_t"),
+        F.round(cjk.cast("double") / safe_n, 6).alias("cjk_frac"),
+        F.round(latin.cast("double") / safe_n, 6).alias("latin_frac"),
+        F.round(digit.cast("double") / safe_n, 6).alias("digit_frac"),
+        dominant.alias("dominant"),
+    )
+
+
+def sql_script_profile() -> str:
+    cjk = f"len(regexp_replace(text, '[^{_CJK_RANGE}]', '', 'g'))"
+    latin = "len(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    digit = "len(regexp_replace(text, '[^0-9]', '', 'g'))"
+    return f"""
+        SELECT doc_id,
+               CAST(len(text) AS BIGINT) AS n_chars_t,
+               round(CAST({cjk} AS DOUBLE)
+                     / greatest(len(text), 1), 6) AS cjk_frac,
+               round(CAST({latin} AS DOUBLE)
+                     / greatest(len(text), 1), 6) AS latin_frac,
+               round(CAST({digit} AS DOUBLE)
+                     / greatest(len(text), 1), 6) AS digit_frac,
+               CASE WHEN {cjk} > {latin} THEN 'cjk'
+                    WHEN {latin} > 0 THEN 'latin'
+                    ELSE 'other' END AS dominant
+        FROM documents
+    """

@@ -2379,3 +2379,95 @@ def sql_recrawl_priority(
                     ELSE 'cold' END AS tier
         FROM per
     """
+
+
+# ---------------------------------------------------------------------------
+# T97 — quality-filter ensemble
+# ---------------------------------------------------------------------------
+#
+# Production pipelines rarely trust one quality signal: the shipped
+# keep decision is a vote over rule-based (Gopher), supervised
+# (naive-Bayes), and LM-surprisal filters (the GPT-3/CCNet/Dolma
+# recipe).  The LM vote's cutoff is the corpus mean surprisal in
+# integer micro-nats — a deterministic corpus statistic, not a magic
+# constant, so both decision branches are exercised on any corpus.
+#
+# Scale shape: each member filter keeps its own scale story; the
+# ensemble adds two doc_id-keyed hash joins and one broadcast 1-row
+# cutoff.  Votes are integer arithmetic.
+
+
+def quality_ensemble(
+    docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, gopher_ok, nb_ok, lm_ok, votes, keep): majority vote
+    (>= 2 of 3) over the three quality filters."""
+    from ocr_spark.operators.corpus_ops import quality_features, quality_keep
+
+    key = F.col(key_col)
+    feats = quality_features(F.col(text_col))
+    g = docs.select(key.alias("doc_id"), quality_keep(feats).alias("gopher_ok"))
+    nb = nb_quality(docs, key_col=key_col, text_col=text_col).select(
+        "doc_id", F.col("pred").alias("nb_ok")
+    )
+    lm = lm_score(docs, key_col=key_col, text_col=text_col).select(
+        "doc_id",
+        F.round(F.col("score") * 1_000_000).cast("bigint").alias("micro"),
+    )
+    cut = lm.agg(
+        F.floor(
+            F.sum("micro").cast("double") / F.count(F.lit(1))
+        ).cast("bigint").alias("cut")
+    )
+    lm_ok = lm.crossJoin(F.broadcast(cut)).select(
+        "doc_id", (F.col("micro") <= F.col("cut")).alias("lm_ok")
+    )
+    votes = (
+        F.col("gopher_ok").cast("int")
+        + F.col("nb_ok").cast("int")
+        + F.col("lm_ok").cast("int")
+    ).cast("bigint")
+    return (
+        g.join(nb, "doc_id")
+        .join(lm_ok, "doc_id")
+        .select(
+            "doc_id", "gopher_ok", "nb_ok", "lm_ok",
+            votes.alias("votes"), (votes >= 2).alias("keep"),
+        )
+    )
+
+
+def sql_quality_ensemble() -> str:
+    from ocr_spark.operators.corpus_ops import sql_quality_query
+
+    return f"""
+        WITH g AS ({sql_quality_query()}),
+        nb AS ({sql_nb_quality()}),
+        lm AS ({sql_lm_score()}),
+        lmm AS (
+            SELECT doc_id,
+                   CAST(round(score * 1000000) AS BIGINT) AS micro
+            FROM lm
+        ),
+        cut AS (
+            SELECT CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*))
+                        AS BIGINT) AS cut
+            FROM lmm
+        ),
+        v AS (
+            SELECT g.doc_id,
+                   g.keep AS gopher_ok,
+                   nb.pred AS nb_ok,
+                   lmm.micro <= cut.cut AS lm_ok
+            FROM g
+            JOIN nb ON g.doc_id = nb.doc_id
+            JOIN lmm ON g.doc_id = lmm.doc_id
+            CROSS JOIN cut
+        )
+        SELECT doc_id, gopher_ok, nb_ok, lm_ok,
+               CAST(CAST(gopher_ok AS INTEGER) + CAST(nb_ok AS INTEGER)
+                    + CAST(lm_ok AS INTEGER) AS BIGINT) AS votes,
+               CAST(gopher_ok AS INTEGER) + CAST(nb_ok AS INTEGER)
+                   + CAST(lm_ok AS INTEGER) >= 2 AS keep
+        FROM v
+    """

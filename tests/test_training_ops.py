@@ -2476,3 +2476,42 @@ def test_kmeans_inertia_no_exchange_before_agg(spark):
         .toString()
     )
     assert plan.count("Exchange") <= 1
+
+
+# ---------------------------------------------------------------------------
+# T98 dedup_survivorship
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_survivorship_funnel_monotone(spark):
+    """Stages shrink monotonically and the near-dup stage actually
+    removes the planted mutants (clusters < exact survivors)."""
+    from ocr_spark.operators.cluster import dedup_survivorship, neardup_clusters
+    from ocr_spark.operators.dedup import neardup_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = neardup_corpus(docs)
+    cc = neardup_clusters(corpus)
+    out = {r.stage: r.n_docs for r in dedup_survivorship(corpus, cc).collect()}
+    assert set(out) == {"1_input", "2_exact", "3_neardup"}
+    assert out["1_input"] >= out["2_exact"] > out["3_neardup"]
+    # planted corpus doubles the docs; clusters collapse most mutants
+    assert out["3_neardup"] < out["1_input"]
+
+
+# ---------------------------------------------------------------------------
+# T99 ann_recall_audit
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_audit_bounds(spark):
+    """recall = overlap/k, overlap bounded by both result sizes; the
+    first-k-stand-in cells give nonzero recall on the gate corpus."""
+    from ocr_spark.operators.ann import ann_recall_audit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r = ann_recall_audit(emb, k=10).collect()[0]
+    assert r.k == 10
+    assert 0 <= r.n_overlap <= min(r.n_approx, 10)
+    assert abs(r.recall - r.n_overlap / 10) < 1e-9
+    assert r.n_overlap > 0

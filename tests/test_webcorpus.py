@@ -760,3 +760,61 @@ def test_recrawl_priority_tiers(spark):
     assert out["hostA"].tier == "hot" and out["hostA"].n_changed == 4
     assert out["hostB"].tier == "warm" and out["hostB"].n_changed == 2
     assert out["hostC"].tier == "cold" and out["hostC"].change_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# T97 quality_ensemble
+# ---------------------------------------------------------------------------
+
+
+def test_quality_ensemble_votes_consistent_and_both_branches(spark):
+    """votes always equals the sum of the member flags, keep is the
+    majority rule, and the gate corpus exercises both outcomes."""
+    out = wc.quality_ensemble(_docs(spark)).collect()
+    assert out
+    for r in out:
+        assert r.votes == int(r.gopher_ok) + int(r.nb_ok) + int(r.lm_ok)
+        assert r.keep == (r.votes >= 2)
+    kept = {r.keep for r in out}
+    assert kept == {True, False}
+
+
+# ---------------------------------------------------------------------------
+# T100 script_profile
+# ---------------------------------------------------------------------------
+
+
+def test_script_profile_closed_form(spark):
+    """Hand rows: pure CJK text is dominant 'cjk', ASCII prose is
+    'latin', digits-only is 'other'; fractions are exact."""
+    from ocr_spark.operators.corpus_ops import script_profile
+
+    rows = [
+        (1, "中文文本"),   # 4 CJK chars
+        (2, "abc 12"),                      # 3 latin, 2 digit, 1 space
+        (3, "1234"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in script_profile(docs).collect()}
+    assert out[1].dominant == "cjk" and out[1].cjk_frac == 1.0
+    assert out[2].dominant == "latin"
+    assert out[2].latin_frac == 0.5 and abs(out[2].digit_frac - 2 / 6) < 1e-6
+    assert out[3].dominant == "other" and out[3].digit_frac == 1.0
+    assert out[4].dominant == "other" and out[4].n_chars_t == 0
+
+
+def test_script_profile_corpus_and_no_shuffle(spark):
+    """The gate corpus is ASCII prose regardless of its synthetic lang
+    labels — every doc must come back latin-dominant with zero cjk —
+    and the op's plan must stay exchange- and Python-free."""
+    from ocr_spark.operators.corpus_ops import script_profile
+
+    docs = _docs(spark)
+    out = script_profile(docs)
+    rows = out.collect()
+    assert rows and all(r.dominant == "latin" for r in rows)
+    assert all(r.cjk_frac == 0.0 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
