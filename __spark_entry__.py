@@ -1629,6 +1629,42 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T101: page-head metadata extraction (title, description,
+    og:title, canonical, published_time) via JVM regexes over
+    deterministically-planted heads; the oracle restates every field
+    from the source row, so extraction defects break the hash."""
+    from ocr_spark.operators.webcorpus import html_metadata, meta_pages
+
+    return html_metadata(meta_pages(_t(spark, sf_dir, "documents")))
+
+
+def q_topic_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T102: keyword-map topic labels (the mixture-strata input) —
+    broadcast keyword join, per-(doc, topic) count, partial-agg
+    argmax; docs without hits tag 'none'."""
+    from ocr_spark.operators.webcorpus import topic_tag
+
+    return topic_tag(_tw(spark, sf_dir, "documents"))
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T103: the per-language datasheet rollup a released corpus
+    publishes — docs, tokens, chars, mean length, corpus share."""
+    from ocr_spark.operators.corpus_ops import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
+def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T104: the MinHash S-curve for the shipped (bands, rows) — the
+    collision-probability table the dedup threshold is tuned and
+    reviewed against."""
+    from ocr_spark.operators.dedup import lsh_tuning_curve
+
+    return lsh_tuning_curve(spark)
+
+
 def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T97: majority-vote keep decision over the Gopher rules, the
     trained naive-Bayes filter, and the LM-surprisal filter (cutoff =
@@ -2066,6 +2102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "html_metadata": q_html_metadata,
+        "topic_tag": q_topic_tag,
+        "dataset_card": q_dataset_card,
+        "lsh_tuning_curve": q_lsh_tuning_curve,
         "quality_ensemble": q_quality_ensemble,
         "dedup_survivorship": q_dedup_survivorship,
         "ann_recall_audit": q_ann_recall_audit,
@@ -2622,6 +2662,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "html_metadata": _webcorpus_sql.sql_html_metadata(),
+        "topic_tag": _webcorpus_sql.sql_topic_tag(),
+        "dataset_card": _corpus_sql.sql_dataset_card(),
+        "lsh_tuning_curve": _dedup_sql.sql_lsh_tuning_curve(),
         "quality_ensemble": _webcorpus_sql.sql_quality_ensemble(),
         "dedup_survivorship": _cluster_sql.sql_dedup_survivorship(),
         "ann_recall_audit": _ann_sql.sql_ann_recall_audit(),

@@ -1710,3 +1710,62 @@ def sql_script_profile() -> str:
                     ELSE 'other' END AS dominant
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# T103 — dataset card rollup
+# ---------------------------------------------------------------------------
+#
+# The datasheet table a released corpus publishes per language: doc
+# and token volume, length profile, share of the corpus.  One map-side
+# combined agg + a broadcast 1-row total — the terminal reporting step
+# of the curation pipeline.
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(lang, n_docs, total_tokens, total_chars, mean_doc_tokens,
+    doc_share): per-language datasheet row, 6dp floats."""
+    per = docs.select(
+        "lang",
+        F.size(_words(F.col(text_col))).cast("bigint").alias("toks"),
+        F.length(text_col).cast("bigint").alias("chars"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+    )
+    total = per.agg(F.sum("n_docs").alias("all_docs"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("mean_doc_tokens"),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("all_docs").cast("double"),
+            6,
+        ).alias("doc_share"),
+    )
+
+
+def sql_dataset_card() -> str:
+    w = _sql_words("text")
+    return f"""
+        WITH per AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({w})) AS BIGINT) AS total_tokens,
+                   CAST(sum(len(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT sum(n_docs) AS all_docs FROM per)
+        SELECT lang, n_docs, total_tokens, total_chars,
+               round(CAST(total_tokens AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE), 6) AS mean_doc_tokens,
+               round(CAST(n_docs AS DOUBLE)
+                     / CAST(all_docs AS DOUBLE), 6) AS doc_share
+        FROM per CROSS JOIN tot
+    """

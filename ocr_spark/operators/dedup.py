@@ -575,3 +575,40 @@ def sql_incremental_pairs(max_bucket: int = MAX_MINHASH_BUCKET) -> str:
         FROM new_k n JOIN old_ok o USING (band, key)
         WHERE n.doc_id != o.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# T104 — LSH threshold tuning curve
+# ---------------------------------------------------------------------------
+#
+# The S-curve every MinHash deployment is tuned against: with b bands
+# of r rows, a pair at Jaccard s collides with probability
+# 1 - (1 - s^r)^b.  Publishing the curve for the shipped (b, r) is how
+# the dedup threshold choice is justified and reviewed; the math runs
+# identically in both engines (pure double powers, 6dp).
+
+
+def lsh_tuning_curve(
+    spark, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS
+) -> "DataFrame":
+    """(s, p_collide) for s = 0.05 .. 0.95 step 0.05 under the shipped
+    band/row configuration."""
+    grid = spark.range(1, 20).select(
+        F.round(F.col("id").cast("double") * 0.05, 2).alias("s")
+    )
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("s"), F.lit(float(rows))), F.lit(float(bands))
+    )
+    return grid.select("s", F.round(p, 6).alias("p_collide"))
+
+
+def sql_lsh_tuning_curve(
+    bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS
+) -> str:
+    return f"""
+        SELECT round(CAST(i AS DOUBLE) * 0.05, 2) AS s,
+               round(1.0 - pow(1.0 - pow(round(CAST(i AS DOUBLE) * 0.05, 2),
+                                         {float(rows)!r}),
+                               {float(bands)!r}), 6) AS p_collide
+        FROM (SELECT unnest(range(1, 20)) AS i)
+    """

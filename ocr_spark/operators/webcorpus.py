@@ -2471,3 +2471,214 @@ def sql_quality_ensemble() -> str:
                    + CAST(lm_ok AS INTEGER) >= 2 AS keep
         FROM v
     """
+
+
+# ---------------------------------------------------------------------------
+# T101 — HTML metadata extraction
+# ---------------------------------------------------------------------------
+#
+# Crawl pipelines index the page's declared metadata before touching
+# the body: <title>, meta description, og:title, the canonical link,
+# and the published timestamp (the newsworthiness/freshness signals
+# WARC indexers and URL dedup both consume).  Extraction is JVM-regex
+# over the decoded page — zero Python — and the planted pages make the
+# oracle closed-form: it restates every field from the source row, so
+# a regex that drops or mangles a field breaks the hash.
+
+_META_TITLE_WORDS = 5
+_META_DESC_WORDS = 8
+
+
+def _escape_html_col(c: Column) -> Column:
+    for src, dst in [
+        ("&", "&amp;"),
+        ("<", "&lt;"),
+        (">", "&gt;"),
+        ('"', "&quot;"),
+        ("'", "&#x27;"),
+    ]:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return c
+
+
+def _sql_escape_html(expr: str) -> str:
+    out = expr
+    for src, dst in [
+        ("&", "&amp;"),
+        ("<", "&lt;"),
+        (">", "&gt;"),
+        ('"', "&quot;"),
+        ("''", "&#x27;"),  # SQL-escaped single quote
+    ]:
+        out = f"replace({out}, '{src}', '{dst}')"
+    return out
+
+
+def meta_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, html): the boilerplate page with a deterministic
+    metadata head — title = first 5 words, description = first 8,
+    og:title, canonical URL, published_time derived from doc_id.
+    Pure column expressions."""
+    from ocr_spark.operators.corpus_ops import _words
+    from ocr_spark.sources.wrap import _HTML_TEMPLATE_TAIL
+
+    words = _words(F.col("text"))
+    title = _escape_html_col(
+        F.array_join(F.slice(words, 1, _META_TITLE_WORDS), " ")
+    )
+    desc = _escape_html_col(
+        F.array_join(F.slice(words, 1, _META_DESC_WORDS), " ")
+    )
+    canonical = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    pub = F.date_format(
+        F.date_add(F.to_date(F.lit("2023-01-01")), (F.col("doc_id") % 365).cast("int")),
+        "yyyy-MM-dd",
+    )
+    page = F.concat(
+        F.lit("<!DOCTYPE html>\n<html><head><title>"), title,
+        F.lit('</title><meta name="description" content="'), desc,
+        F.lit('"><meta property="og:title" content="'), title,
+        F.lit('"><link rel="canonical" href="'), canonical,
+        F.lit('"><meta property="article:published_time" content="'), pub,
+        F.lit('"></head>\n<body><main><article><p>'),
+        _escape_html_col(F.col("text")),
+        F.lit("</p>"),
+        F.lit(_HTML_TEMPLATE_TAIL),
+    )
+    return docs.select("doc_id", F.encode(page, "utf-8").alias("html"))
+
+
+def html_metadata(pages: DataFrame) -> DataFrame:
+    """(doc_id, title, description, og_title, canonical, pub_date)
+    extracted from the page head with JVM regexes."""
+    body = F.decode(F.col("html"), "utf-8")
+    return pages.select(
+        "doc_id",
+        F.regexp_extract(body, "<title>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract(
+            body, '<meta name="description" content="([^"]*)"', 1
+        ).alias("description"),
+        F.regexp_extract(
+            body, '<meta property="og:title" content="([^"]*)"', 1
+        ).alias("og_title"),
+        F.regexp_extract(
+            body, '<link rel="canonical" href="([^"]*)"', 1
+        ).alias("canonical"),
+        F.regexp_extract(
+            body,
+            '<meta property="article:published_time" content="([^"]*)"',
+            1,
+        ).alias("pub_date"),
+    )
+
+
+def sql_html_metadata() -> str:
+    from ocr_spark.operators.corpus_ops import _sql_words
+
+    w = _sql_words("text")
+    title = _sql_escape_html(
+        f"array_to_string(({w})[1:{_META_TITLE_WORDS}], ' ')"
+    )
+    desc = _sql_escape_html(
+        f"array_to_string(({w})[1:{_META_DESC_WORDS}], ' ')"
+    )
+    return f"""
+        SELECT doc_id,
+               {title} AS title,
+               {desc} AS description,
+               {title} AS og_title,
+               'https://' || source || '.com/doc/'
+                   || CAST(doc_id AS VARCHAR) AS canonical,
+               strftime(DATE '2023-01-01'
+                        + INTERVAL (doc_id % 365) DAY, '%Y-%m-%d')
+                   AS pub_date
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# T102 — keyword topic tagging
+# ---------------------------------------------------------------------------
+#
+# The cheapest corpus-mixing label: a curated keyword -> topic map
+# (bounded, broadcast) votes per document, dominant topic wins.  Real
+# pipelines use exactly this to build mixture strata before weighted
+# sampling (T54/T55 consume the labels).  One explode + broadcast join
+# + per-(doc, topic) map-side-combined count + an argmax partial agg —
+# no cluster state, no Python.
+
+TOPIC_MAP = [
+    ("spark", "compute"), ("batch", "compute"), ("partition", "compute"),
+    ("query", "database"), ("table", "database"), ("row", "database"),
+    ("scan", "database"),
+    ("vector", "ml"), ("embedding", "ml"), ("model", "ml"),
+]
+
+
+def topic_tag(
+    docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, topic, n_hits): dominant topic by keyword votes, ties
+    to the lexicographically smaller topic; docs with no hits tag
+    ('none', 0)."""
+    from ocr_spark.operators.corpus_ops import _words
+
+    spark = docs.sparkSession
+    key = F.col(key_col)
+    kw = spark.createDataFrame(TOPIC_MAP, "word string, topic string")
+    hits = (
+        docs.select(
+            key.alias("doc_id"),
+            F.explode(_words(F.col(text_col))).alias("word"),
+        )
+        .join(F.broadcast(kw), "word")
+        .groupBy("doc_id", "topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = hits.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("topic"))).alias("m")
+    )
+    return (
+        docs.select(key.alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("m.topic"), F.lit("none")).alias("topic"),
+            F.coalesce(-F.col("m.neg"), F.lit(0)).cast("bigint").alias(
+                "n_hits"
+            ),
+        )
+    )
+
+
+def sql_topic_tag() -> str:
+    from ocr_spark.operators.corpus_ops import _sql_words
+
+    w = _sql_words("text")
+    vals = ", ".join(f"('{k}', '{t}')" for k, t in TOPIC_MAP)
+    return f"""
+        WITH kw(word, topic) AS (SELECT * FROM (VALUES {vals})),
+        tw AS (
+            SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest({w}) AS w FROM documents)
+        ),
+        hits AS (
+            SELECT t.doc_id, k.topic, count(*) AS n
+            FROM tw t JOIN kw k ON t.word = k.word
+            GROUP BY t.doc_id, k.topic
+        ),
+        best AS (
+            SELECT doc_id, topic, n FROM (
+                SELECT doc_id, topic, n,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY n DESC, topic ASC) AS rk
+                FROM hits) WHERE rk = 1
+        )
+        SELECT d.doc_id,
+               COALESCE(b.topic, 'none') AS topic,
+               CAST(COALESCE(b.n, 0) AS BIGINT) AS n_hits
+        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """

@@ -2515,3 +2515,38 @@ def test_ann_recall_audit_bounds(spark):
     assert 0 <= r.n_overlap <= min(r.n_approx, 10)
     assert abs(r.recall - r.n_overlap / 10) < 1e-9
     assert r.n_overlap > 0
+
+
+# ---------------------------------------------------------------------------
+# T103 dataset_card / T104 lsh_tuning_curve
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_card_shares_sum_to_one(spark):
+    from ocr_spark.operators.corpus_ops import dataset_card
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = dataset_card(docs).collect()
+    assert rows
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-4
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert abs(r.mean_doc_tokens - r.total_tokens / r.n_docs) < 1e-5
+
+
+def test_lsh_tuning_curve_monotone_and_closed_form(spark):
+    """The S-curve is monotone in s and matches 1-(1-s^r)^b at the
+    shipped configuration."""
+    from ocr_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        lsh_tuning_curve,
+    )
+
+    rows = sorted(lsh_tuning_curve(spark).collect(), key=lambda r: r.s)
+    assert len(rows) == 19
+    ps = [r.p_collide for r in rows]
+    assert ps == sorted(ps)
+    for r in rows:
+        expect = 1 - (1 - r.s**MINHASH_ROWS) ** MINHASH_BANDS
+        assert abs(r.p_collide - expect) < 1e-6

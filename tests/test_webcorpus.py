@@ -818,3 +818,60 @@ def test_script_profile_corpus_and_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# T101 html_metadata / T102 topic_tag
+# ---------------------------------------------------------------------------
+
+
+def test_html_metadata_roundtrip_and_escaping(spark):
+    """Extraction recovers every planted field, including on text with
+    HTML-special characters (the escape/extract pair must compose)."""
+    from ocr_spark.operators.webcorpus import html_metadata, meta_pages
+
+    docs = spark.createDataFrame(
+        [
+            (7, 'alpha & beta <tag> "quoted" extra words here now', "srcA"),
+            (8, "tiny", "srcB"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r.doc_id: r for r in html_metadata(meta_pages(docs)).collect()}
+    assert out[7].title == "alpha &amp; beta &lt;tag&gt; &quot;quoted&quot;"
+    assert out[7].og_title == out[7].title
+    assert out[7].description.endswith("extra words here")
+    assert out[7].canonical == "https://srcA.com/doc/7"
+    assert out[7].pub_date == "2023-01-08"
+    assert out[8].title == "tiny" and out[8].pub_date == "2023-01-09"
+
+
+def test_html_metadata_no_python_in_plan(spark):
+    from ocr_spark.operators.webcorpus import html_metadata, meta_pages
+
+    plan = (
+        html_metadata(meta_pages(_docs(spark)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_topic_tag_dominant_and_none(spark):
+    """Votes pick the dominant topic, ties go to the lexicographically
+    smaller one, no-hit docs tag 'none'."""
+    from ocr_spark.operators.webcorpus import topic_tag
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark batch partition query"),       # compute 3 : database 1
+            (2, "query table row vector embedding model"),  # db 3 : ml 3 tie
+            (3, "nothing matches here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.topic, r.n_hits) for r in topic_tag(docs).collect()}
+    assert out[1] == ("compute", 3)
+    assert out[2] == ("database", 3)  # tie -> 'database' < 'ml'
+    assert out[3] == ("none", 0)
