@@ -1629,6 +1629,45 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T105: embedding-quality probe — majority-label vote among each
+    query's k nearest (one corpus scan for all queries via the batched
+    retrieval), compared to the true label."""
+    from ocr_spark.operators.ann import knn_classify
+
+    return knn_classify(_tw(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T106: per-label L2-norm QA profile (exact micro-unit sums) —
+    the degenerate-embedding check an ingest job runs before anything
+    indexes the vectors."""
+    from ocr_spark.operators.ann import embedding_norm_stats
+
+    return embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T107: near-dup cluster-size distribution (singletons vs mirror
+    farms) over the session-shared CC table — the governance chart
+    next to the survivorship funnel."""
+    from ocr_spark.operators.cluster import cluster_size_histogram
+
+    return cluster_size_histogram(_neardup_cc(spark, sf_dir))
+
+
+def q_eval_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T108: per-eval-doc leakage review — candidate count,
+    contaminated count, and closest Jaccard from the fuzzy screen over
+    the near-dup corpus (whose planted mutants make eval docs leak)."""
+    from ocr_spark.operators.dedup import neardup_corpus
+    from ocr_spark.operators.webcorpus import eval_leakage_report
+
+    return eval_leakage_report(
+        neardup_corpus(_tw(spark, sf_dir, "documents"))
+    )
+
+
 def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T101: page-head metadata extraction (title, description,
     og:title, canonical, published_time) via JVM regexes over
@@ -2102,6 +2141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "knn_classify": q_knn_classify,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "eval_leakage_report": q_eval_leakage_report,
         "html_metadata": q_html_metadata,
         "topic_tag": q_topic_tag,
         "dataset_card": q_dataset_card,
@@ -2662,6 +2705,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "knn_classify": _ann_sql.sql_knn_classify(),
+        "embedding_norm_stats": _ann_sql.sql_embedding_norm_stats(),
+        "cluster_size_histogram": _cluster_sql.sql_cluster_size_histogram(),
+        "eval_leakage_report": _webcorpus_sql.sql_eval_leakage_report(
+            source_sql=_dedup_sql.sql_neardup_corpus()
+        ),
         "html_metadata": _webcorpus_sql.sql_html_metadata(),
         "topic_tag": _webcorpus_sql.sql_topic_tag(),
         "dataset_card": _corpus_sql.sql_dataset_card(),

@@ -114,6 +114,17 @@ HEADLINE_QUERIES = [
     "nb_quality",
     "fuzzy_contamination",
     "bpe_fertility",
+    # round-4 ops (representative mix: scan-only, count-shuffle,
+    # composition, retrieval)
+    "url_filter",
+    "line_rules",
+    "word_entropy",
+    "bm25_topk",
+    "pmi_pairs",
+    "corpus_overlap",
+    "quality_ensemble",
+    "html_metadata",
+    "link_spam_score",
 ]
 
 

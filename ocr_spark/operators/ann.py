@@ -1711,3 +1711,129 @@ def sql_ann_recall_audit(query_vec_id: int = 0, k: int = 10) -> str:
                round(CAST(count(*) AS DOUBLE) / {float(k)!r}, 6) AS recall
         FROM ivf JOIN exact USING (vec_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# T105 — k-NN label classification
+# ---------------------------------------------------------------------------
+#
+# The standard embedding-quality probe: predict each query's label by
+# majority vote among its nearest neighbors and compare to the truth —
+# a collapsed embedding space scores at chance, a good one near 1.0.
+# Rides on the batched one-scan retrieval (T23), so the corpus is
+# scanned once for ALL queries; the vote is one map-side-combined
+# count + a partial-agg argmax over <= queries x labels rows.
+
+
+def knn_classify(
+    emb: DataFrame, query_ids: List[int] = (0, 1, 2), k: int = 10
+) -> DataFrame:
+    """(query_id, predicted, n_votes, true_label, correct): majority
+    label among the k nearest (ties to the smaller label id)."""
+    hits = topk_join(emb, query_ids=list(query_ids), k=k)
+    labels = emb.select("vec_id", F.col("label").cast("bigint").alias("label"))
+    votes = (
+        hits.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = votes.groupBy("query_id").agg(
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("label"))).alias("m")
+    )
+    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    return (
+        best.join(truth, "query_id")
+        .select(
+            "query_id",
+            F.col("m.label").alias("predicted"),
+            (-F.col("m.neg")).cast("bigint").alias("n_votes"),
+            "true_label",
+            (F.col("m.label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+def sql_knn_classify(query_ids: List[int] = (0, 1, 2), k: int = 10) -> str:
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+        WITH hits AS ({sql_topk_join(list(query_ids), k=k)}),
+        votes AS (
+            SELECT h.query_id, CAST(e.label AS BIGINT) AS label,
+                   count(*) AS n
+            FROM hits h JOIN embeddings e ON h.vec_id = e.vec_id
+            GROUP BY h.query_id, e.label
+        ),
+        best AS (
+            SELECT query_id, label, n FROM (
+                SELECT query_id, label, n,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY n DESC, label ASC) AS rk
+                FROM votes) WHERE rk = 1
+        )
+        SELECT b.query_id, b.label AS predicted,
+               CAST(b.n AS BIGINT) AS n_votes,
+               CAST(e.label AS BIGINT) AS true_label,
+               b.label = CAST(e.label AS BIGINT) AS correct
+        FROM best b JOIN embeddings e ON b.query_id = e.vec_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# T106 — embedding norm audit
+# ---------------------------------------------------------------------------
+#
+# Degenerate embeddings (zero rows, exploding norms, a collapsed
+# label) show up first in the norm distribution — the QA table an
+# embedding ingest job publishes before anything indexes the vectors.
+# Norms are fixed to integer micro-units in-row, so the per-label
+# aggregation is exact; one map-side-combined agg, no shuffle of
+# vectors.
+
+
+def embedding_norm_stats(emb: DataFrame) -> DataFrame:
+    """(label, n_vecs, mean_norm, min_norm, max_norm): L2-norm profile
+    per label, 6dp from exact micro-unit sums."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm_micro = F.round(F.sqrt(dot_col(e, e)) * 1_000_000).cast("bigint")
+    return (
+        emb.select(
+            F.col("label").cast("bigint").alias("label"),
+            norm_micro.alias("nm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum("nm").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+            ).alias("mean_norm"),
+            F.round(F.min("nm").cast("double") / 1_000_000, 6).alias(
+                "min_norm"
+            ),
+            F.round(F.max("nm").cast("double") / 1_000_000, 6).alias(
+                "max_norm"
+            ),
+        )
+    )
+
+
+def sql_embedding_norm_stats() -> str:
+    dot = _sql_dot_cols("e.embedding", "e.embedding")
+    return f"""
+        WITH m AS (
+            SELECT CAST(e.label AS BIGINT) AS label,
+                   CAST(round(sqrt({dot}) * 1000000) AS BIGINT) AS nm
+            FROM (SELECT label,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE))
+                             AS embedding
+                  FROM embeddings) e
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               round(CAST(sum(nm) AS DOUBLE) / count(*) / 1000000, 6)
+                   AS mean_norm,
+               round(CAST(min(nm) AS DOUBLE) / 1000000, 6) AS min_norm,
+               round(CAST(max(nm) AS DOUBLE) / 1000000, 6) AS max_norm
+        FROM m GROUP BY label
+    """

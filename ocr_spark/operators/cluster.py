@@ -351,3 +351,39 @@ def sql_dedup_survivorship() -> str:
         SELECT '3_neardup', CAST(count(DISTINCT cluster_id) AS BIGINT)
         FROM ({sql_neardup_clusters()})
     """
+
+
+# ---------------------------------------------------------------------------
+# T107 — near-dup cluster size histogram
+# ---------------------------------------------------------------------------
+#
+# The one-table summary of how duplication is distributed: mostly
+# singletons (healthy crawl) vs a few giant clusters (template spam,
+# mirror farms) — the governance chart printed next to the
+# survivorship funnel.  Two map-side-combined aggs over the CC table;
+# nothing but (cluster_id, count) moves.
+
+
+def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
+    """(size, n_clusters, n_docs): how many clusters have each member
+    count, and the docs they hold."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("size")).cast("bigint").alias("n_docs"),
+    ).select(F.col("size").cast("bigint").alias("size"), "n_clusters", "n_docs")
+
+
+def sql_cluster_size_histogram() -> str:
+    return f"""
+        WITH cc AS ({sql_neardup_clusters()}),
+        sizes AS (
+            SELECT cluster_id, count(*) AS size FROM cc GROUP BY cluster_id
+        )
+        SELECT CAST(size AS BIGINT) AS size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(count(*) * size AS BIGINT) AS n_docs
+        FROM sizes GROUP BY size
+    """

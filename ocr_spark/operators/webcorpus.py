@@ -2682,3 +2682,46 @@ def sql_topic_tag() -> str:
                CAST(COALESCE(b.n, 0) AS BIGINT) AS n_hits
         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# T108 — eval leakage report
+# ---------------------------------------------------------------------------
+#
+# The decontamination stages flag corpus docs; the REVIEW artifact is
+# per-EVAL-doc: which benchmark items leak into the corpus, how often,
+# and how closely — the table that decides whether an eval stays
+# usable.  Pure re-aggregation of the fuzzy screen's output (per-doc
+# best matches), one map-side-combined agg to <= |eval| rows.
+
+
+def eval_leakage_report(docs: DataFrame, eval_mod: int = EVAL_MOD) -> DataFrame:
+    """(eval_id, n_candidates, n_contaminated, max_jaccard) for every
+    eval doc with at least one LSH candidate in the corpus."""
+    fz = fuzzy_contamination(docs, eval_mod=eval_mod).filter(
+        F.col("eval_id") >= 0
+    )
+    return fz.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.col("contaminated").cast("bigint"))
+        .cast("bigint")
+        .alias("n_contaminated"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+def sql_eval_leakage_report(
+    eval_mod: int = EVAL_MOD,
+    source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    fz = sql_fuzzy_contamination(eval_mod=eval_mod, source_sql=source_sql)
+    return f"""
+        WITH fz AS ({fz})
+        SELECT eval_id,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated,
+               max(jaccard) AS max_jaccard
+        FROM fz WHERE eval_id >= 0
+        GROUP BY eval_id
+    """

@@ -2550,3 +2550,87 @@ def test_lsh_tuning_curve_monotone_and_closed_form(spark):
     for r in rows:
         expect = 1 - (1 - r.s**MINHASH_ROWS) ** MINHASH_BANDS
         assert abs(r.p_collide - expect) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# T105 knn_classify / T106 embedding_norm_stats
+# ---------------------------------------------------------------------------
+
+
+def test_knn_classify_separable_labels(spark):
+    """Hand-built separable space: two orthogonal label clusters with
+    small jitter — every query must classify correctly with full
+    votes."""
+    from ocr_spark.operators.ann import knn_classify
+
+    rows = []
+    dim = 8
+    for i in range(20):
+        v = [0.0] * dim
+        if i % 2 == 0:
+            v[0] = 1.0
+            v[1] = 0.001 * i
+            rows.append((i, v, 0))
+        else:
+            v[4] = 1.0
+            v[5] = 0.001 * i
+            rows.append((i, v, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {
+        r.query_id: r
+        for r in knn_classify(emb, query_ids=[0, 1], k=5).collect()
+    }
+    assert out[0].predicted == 0 and out[0].correct
+    assert out[1].predicted == 1 and out[1].correct
+    assert out[0].n_votes == 5 and out[1].n_votes == 5
+
+
+def test_embedding_norm_stats_bounds(spark):
+    from ocr_spark.operators.ann import embedding_norm_stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = embedding_norm_stats(emb).collect()
+    assert rows
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    for r in rows:
+        assert 0 < r.min_norm <= r.mean_norm <= r.max_norm
+
+
+# ---------------------------------------------------------------------------
+# T107 cluster_size_histogram / T108 eval_leakage_report
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_size_histogram_accounts_every_doc(spark):
+    """Histogram cells tile the corpus: sum(n_docs) equals the planted
+    corpus size, and the planted mutants guarantee size >= 2 cells."""
+    from ocr_spark.operators.cluster import (
+        cluster_size_histogram,
+        neardup_clusters,
+    )
+    from ocr_spark.operators.dedup import neardup_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = neardup_corpus(docs)
+    hist = cluster_size_histogram(neardup_clusters(corpus)).collect()
+    assert sum(r.n_docs for r in hist) == corpus.count()
+    assert all(r.n_docs == r.size * r.n_clusters for r in hist)
+    assert any(r.size >= 2 for r in hist)
+
+
+def test_eval_leakage_report_flags_planted_mutants(spark):
+    """Every reported eval doc aggregates its fuzzy candidates; the
+    planted ~90%-prefix mutants make at least one eval doc leak with a
+    high max_jaccard."""
+    from ocr_spark.operators.dedup import neardup_corpus
+    from ocr_spark.operators.webcorpus import eval_leakage_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = eval_leakage_report(neardup_corpus(docs)).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_candidates
+        assert 0.0 <= r.max_jaccard <= 1.0
+    assert any(r.n_contaminated > 0 and r.max_jaccard > 0.4 for r in rows)
