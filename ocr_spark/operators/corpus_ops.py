@@ -1261,52 +1261,65 @@ def bm25_topk(
 ) -> DataFrame:
     """(doc_id, n_hit_terms, score): BM25 top-``topk`` docs for a fixed
     term query, ties broken by doc_id.  Score is the 6dp rendering of
-    the exact micro-unit integer sum."""
+    the exact micro-unit integer sum.
+
+    One-pass shape: because the query terms are a bounded literal
+    list, per-doc dl AND every per-term tf come out of a SINGLE
+    conditional aggregation over the in-row word array — no explode,
+    no (doc, word) shuffle, no joins.  The corpus-level stats (N,
+    avgdl, per-term df) are a second aggregation OVER that per-doc
+    table, broadcast back as one row.  Total: one corpus scan, two
+    map-side-combined aggs, one TakeOrdered."""
     key = F.col(key_col)
-    tw = docs.select(
-        key.alias("doc"), F.explode(_words(F.col(text_col))).alias("word")
-    ).filter(F.col("word") != "")
-    dl = tw.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    words = _words(F.col(text_col))
+    tf_cols = [
+        F.size(F.filter(words, lambda w: w == F.lit(t))).cast("bigint").alias(
+            f"tf_{i}"
+        )
+        for i, t in enumerate(query)
+    ]
+    dl = F.size(F.filter(words, lambda w: w != "")).cast("bigint")
+    per = docs.select(key.alias("doc"), dl.alias("dl"), *tf_cols)
+    stats = per.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(query))
+        ],
     )
-    qtf = (
-        tw.filter(F.col("word").isin(*query))
-        .groupBy("doc", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfq = qtf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
-        / (F.col("df").cast("double") + 0.5)
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - df + 0.5) / (df + 0.5)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+        )
+        s = idf * (tf * F.lit(k1 + 1.0)) / denom
+        return F.when(
+            F.col(f"tf_{i}") > 0, F.round(s * _BM25_SCALE).cast("bigint")
+        ).otherwise(F.lit(0))
+
+    total = sum(
+        (term_score(i) for i in range(len(query))), F.lit(0).cast("bigint")
     )
-    denom = F.col("tf").cast("double") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
-    )
-    s = idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom
-    s_micro = F.round(s * _BM25_SCALE).cast("bigint")
-    scored = (
-        qtf.join(F.broadcast(dfq), "word")
-        .join(dl, "doc")
-        .crossJoin(F.broadcast(stats))
-        .select("doc", s_micro.alias("s_micro"))
+    hits = sum(
+        ((F.col(f"tf_{i}") > 0).cast("bigint") for i in range(len(query))),
+        F.lit(0).cast("bigint"),
     )
     return (
-        scored.groupBy("doc")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
-            F.sum("s_micro").alias("total_micro"),
-        )
+        per.crossJoin(F.broadcast(stats))
         .select(
             F.col("doc").alias("doc_id"),
-            "n_hit_terms",
-            F.round(
-                F.col("total_micro").cast("double") / _BM25_SCALE, 6
-            ).alias("score"),
+            hits.alias("n_hit_terms"),
+            F.round(total.cast("double") / _BM25_SCALE, 6).alias("score"),
         )
+        .filter(F.col("n_hit_terms") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(topk)
     )
@@ -1399,9 +1412,19 @@ def pmi_pairs(
         .select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
+    from pyspark.sql import Window as W
+
+    # Marginals come from window sums over the PAIR table, not from
+    # re-aggregating the corpus: without this, Catalyst re-derives the
+    # pair explode once per marginal (4 corpus scans).  The windows
+    # shuffle only (w1, w2, count) rows — bounded by distinct bigrams,
+    # orders of magnitude under the corpus.  The scalar total is one
+    # extra aggregation branch (the only re-derivation left; persist
+    # the pair table at production scale to drop it too).
     pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
-    left = pc.groupBy("w1").agg(F.sum("c_pair").alias("c_left"))
-    right = pc.groupBy("w2").agg(F.sum("c_pair").alias("c_right"))
+    pcw = pc.withColumn(
+        "c_left", F.sum("c_pair").over(W.partitionBy("w1"))
+    ).withColumn("c_right", F.sum("c_pair").over(W.partitionBy("w2")))
     total = pc.agg(F.sum("c_pair").alias("n_pairs"))
     pmi_micro = F.round(
         F.log(
@@ -1411,9 +1434,7 @@ def pmi_pairs(
         * 1_000_000
     ).cast("bigint")
     return (
-        pc.filter(F.col("c_pair") >= min_count)
-        .join(F.broadcast(left), "w1")
-        .join(F.broadcast(right), "w2")
+        pcw.filter(F.col("c_pair") >= min_count)
         .crossJoin(F.broadcast(total))
         .select(
             "w1",

@@ -2343,16 +2343,20 @@ def test_bm25_closed_form(spark):
     assert out[2].n_hit_terms == 1
 
 
-def test_bm25_query_filter_before_shuffle(spark):
-    """The isin(query) filter must sit below the first aggregate in
-    the plan, so non-matching rows never shuffle."""
+def test_bm25_single_scan_no_explode(spark):
+    """The literal query list compiles tf/dl into ONE conditional
+    aggregation: the plan must read the corpus once, contain no
+    explode/Generate, and need no joins beyond the broadcast stats
+    row."""
     from ocr_spark.operators.corpus_ops import bm25_topk
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = (
-        bm25_topk(docs)._jdf.queryExecution().optimizedPlan().toString()
-    )
-    assert "IN (spark" in plan.replace("'", "") or "isin" in plan.lower() or "In(word" in plan
+    plan = bm25_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    # two scan branches: scoring (filter pushed to the scan) + the
+    # 1-row stats aggregation
+    assert plan.count("FileScan") <= 2
+    assert "Generate" not in plan  # no explode anywhere
+    assert "SortMergeJoin" not in plan
 
 
 # ---------------------------------------------------------------------------
