@@ -2,12 +2,16 @@
 """Corpus-curation job — `spark-submit` entrypoint chaining the
 post-extraction cleaning stack over an extracted-documents table:
 
+    [mojibake repair] → [line rules] → [URL admission] →
     blocklist filter → Gopher quality rules → repetition rules →
     chunk-level global dedup → [naive-Bayes quality floor] →
     [exact-gram + fuzzy eval decontamination] → stratified sampling →
     shard packing
 
-Bracketed stages are opt-in: ``--min-logodds`` turns on the trained
+Bracketed stages are opt-in: ``--fix-mojibake`` repairs encoding
+damage before anything hashes the text (T87), ``--line-rules`` runs
+C4's local line filters (T86), ``--url-filter`` applies the URL
+admission rules (T83), ``--min-logodds`` turns on the trained
 classifier floor (T79), ``--decontaminate`` turns on the benchmark
 screens (T45 exact-gram + T80 MinHash-fuzzy, both against the
 ``--eval-mod`` slice). ``--rewrite-chunks`` swaps the chunk-dedup
@@ -109,6 +113,25 @@ def main() -> None:
         "--decontaminate",
     )
     ap.add_argument(
+        "--fix-mojibake",
+        action="store_true",
+        help="repair UTF-8-as-Latin-1 digraphs (T87) before any "
+        "text-keyed stage — pure chained replaces, costs a scan",
+    )
+    ap.add_argument(
+        "--line-rules",
+        action="store_true",
+        help="C4 local line filters (T86): drop short/policy/markup "
+        "lines per doc before the corpus-wide stages",
+    )
+    ap.add_argument(
+        "--url-filter",
+        action="store_true",
+        help="URL admission rules (T83): drop docs whose planted URL "
+        "fails the extension/depth/params/host screens (needs a "
+        "source column)",
+    )
+    ap.add_argument(
         "--audit",
         action="store_true",
         help="count survivors after every stage (recomputes the chain "
@@ -133,6 +156,53 @@ def main() -> None:
             stages.append((name, df.count()))
 
     audit("input", docs)
+
+    # 0a-0c are deliberately JOIN-FREE (withColumn/filter on column
+    # expressions): rewriting a stage as a self-join back onto its own
+    # source doubles the plan subtree, and a chain of such self-joins
+    # ahead of the corpus-wide stages grows the lineage exponentially.
+
+    # 0a. encoding repair (opt-in): fix text BEFORE any stage that
+    # hashes or tokenizes it, so a mojibake variant can't evade dedup
+    if args.fix_mojibake:
+        from ocr_spark.operators.curation import repair_mojibake_col
+
+        docs = docs.withColumn(text, repair_mojibake_col(F.col(text)))
+        audit("fix_mojibake", docs)
+
+    # 0b. local line rules (opt-in): the cheapest text scrub — purely
+    # in-row, so it runs before everything corpus-wide
+    if args.line_rules:
+        from ocr_spark.operators.curation import clean_lines_col
+
+        docs = docs.withColumn(text, clean_lines_col(F.col(text))).filter(
+            F.length(F.col(text)) > 0
+        )
+        audit("line_rules", docs)
+
+    # 0c. URL admission (opt-in): reject on the URL alone
+    if args.url_filter and "source" in docs.columns:
+        from ocr_spark.operators.webcorpus import url_filter_cols
+
+        docs = docs.filter(
+            url_filter_cols(F.col(key), F.col("source"))["admitted"]
+        )
+        audit("url_filter", docs)
+
+    # Stage the 0-block's result to parquet and re-read before the
+    # corpus-wide stages.  The downstream chain contains several
+    # self-joins (repetition, chunk-dedup, nb floor, decontamination),
+    # each of which duplicates its source subtree on both sides; with
+    # the 0-block's large rewrite/regex expressions inlined into every
+    # copy, analysis + codegen time grows multiplicatively (observed:
+    # 87 s -> 9+ min at sf0.01).  One write/read of the corpus is the
+    # standard materialization point a production pipeline puts after
+    # a whole-text rewrite/admission phase; it also makes the 0-block
+    # resumable on its own.
+    if args.fix_mojibake or args.line_rules or args.url_filter:
+        stage0 = os.path.join(args.output, "_stage0_hygiene")
+        docs.write.mode("overwrite").parquet(stage0)
+        docs = spread_cpu(spark.read.parquet(stage0))
 
     # 1. blocklist (broadcast anti)
     if "source" in docs.columns:

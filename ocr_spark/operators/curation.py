@@ -960,17 +960,24 @@ def line_rules(
     min_words: int = LINE_MIN_WORDS,
     key_col: str = "doc_id",
     text_col: str = "text",
+    plant: bool = True,
 ) -> DataFrame:
     """(doc_id, n_lines, n_kept, clean_text): apply C4's local line
     rules — drop lines under ``min_words`` words, lines mentioning
     javascript/cookie/lorem-ipsum policy text, and list-markup lines —
     and re-emit the doc from the survivors, order preserved.
+    ``plant=True`` injects the oracle's bad-line fixtures; production
+    callers (jobs/curate.py) pass plant=False to scrub real text.
 
     Scale shape: one transform+filter over the in-row chunk array; no
     shuffle, no corpus-wide state, no Python (plan-asserted) — this is
     the filter that runs FIRST at 10^12 rows because it costs a scan."""
     key = F.col(key_col)
-    planted = plant_bad_lines_col(F.col(text_col), key)
+    planted = (
+        plant_bad_lines_col(F.col(text_col), key)
+        if plant
+        else F.col(text_col)
+    )
     lines = chunk_texts_col(planted)
 
     def keep(c):
@@ -987,6 +994,23 @@ def line_rules(
         F.size(kept).cast("bigint").alias("n_kept"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def clean_lines_col(text: Column, min_words: int = LINE_MIN_WORDS) -> Column:
+    """The line_rules rewrite as ONE column expression — for pipeline
+    callers (jobs/curate.py) that must stay join-free: a rewrite
+    joined back onto its own source doubles the plan subtree, and a
+    chain of such self-joins grows the lineage exponentially."""
+    lines = chunk_texts_col(text)
+    kept = F.filter(
+        lines,
+        lambda c: (
+            (F.size(F.split(c, " ")) >= min_words)
+            & ~F.lower(c).rlike(LINE_POLICY_RE)
+            & ~c.rlike(LINE_MARKUP_RE)
+        ),
+    )
+    return F.array_join(kept, " ")
 
 
 def sql_line_rules(min_words: int = LINE_MIN_WORDS) -> str:
@@ -1056,19 +1080,30 @@ def sql_plant_mojibake(
     )
 
 
+def repair_mojibake_col(text: Column) -> Column:
+    """The digraph repair as ONE column expression (join-free pipeline
+    form, same rationale as clean_lines_col)."""
+    fixed = text
+    for bad, good in MOJIBAKE_MAP:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return fixed
+
+
 def mojibake_stats(
     docs: DataFrame,
     key_col: str = "doc_id",
     text_col: str = "text",
+    plant: bool = True,
 ) -> DataFrame:
     """(doc_id, n_hits, had_mojibake, text_fixed): count encoding-
     damage digraphs and repair the mapped ones with chained replaces.
-    Zero shuffle, zero Python."""
+    Zero shuffle, zero Python.  ``plant=False`` for production callers
+    (jobs/curate.py) — no fixture damage injected."""
     key = F.col(key_col)
-    planted = plant_mojibake_col(F.col(text_col), key)
-    fixed = planted
-    for bad, good in MOJIBAKE_MAP:
-        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    planted = (
+        plant_mojibake_col(F.col(text_col), key) if plant else F.col(text_col)
+    )
+    fixed = repair_mojibake_col(planted)
     n_hits = F.regexp_count(planted, F.lit(MOJIBAKE_RE)).cast("bigint")
     return docs.select(
         key.alias("doc_id"),

@@ -2065,19 +2065,18 @@ def sql_plant_messy_url(doc_id: str = "doc_id", source: str = "source") -> str:
     )"""
 
 
-def url_filter(
-    docs: DataFrame,
-    key_col: str = "doc_id",
+def url_filter_cols(
+    key: Column,
+    source: Column,
     max_depth: int = URLF_MAX_DEPTH,
     max_params: int = URLF_MAX_PARAMS,
     max_digit_frac: float = URLF_MAX_HOST_DIGIT_FRAC,
-) -> DataFrame:
-    """(doc_id, url, path_depth, n_params, blocked_ext, host_digit_frac,
-    admitted) — the pre-fetch URL admission decision with its reasons
-    kept as audit columns.  Everything is codegen'd column arithmetic;
-    no shuffle, no Python."""
-    key = F.col(key_col)
-    url = plant_messy_url_col(key, F.col("source"))
+) -> dict:
+    """The admission decision and its audit columns as expressions —
+    for join-free pipeline callers (jobs/curate.py filters on
+    ['admitted'] directly; a semi-join back onto the source would
+    double the plan subtree)."""
+    url = plant_messy_url_col(key, source)
     parts = canonicalize_url(url)
     host, canon = parts["host"], parts["canon_url"]
     path = F.regexp_extract(canon, _URL_RE, 3)
@@ -2099,14 +2098,43 @@ def url_filter(
         & (n_params <= max_params)
         & (host_digit_frac <= max_digit_frac)
     )
+    return {
+        "url": url,
+        "path_depth": path_depth,
+        "n_params": n_params,
+        "blocked_ext": blocked_ext,
+        "host_digit_frac": host_digit_frac,
+        "admitted": admitted,
+    }
+
+
+def url_filter(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    max_depth: int = URLF_MAX_DEPTH,
+    max_params: int = URLF_MAX_PARAMS,
+    max_digit_frac: float = URLF_MAX_HOST_DIGIT_FRAC,
+) -> DataFrame:
+    """(doc_id, url, path_depth, n_params, blocked_ext, host_digit_frac,
+    admitted) — the pre-fetch URL admission decision with its reasons
+    kept as audit columns.  Everything is codegen'd column arithmetic;
+    no shuffle, no Python."""
+    key = F.col(key_col)
+    c = url_filter_cols(
+        key,
+        F.col("source"),
+        max_depth=max_depth,
+        max_params=max_params,
+        max_digit_frac=max_digit_frac,
+    )
     return docs.select(
         key.alias("doc_id"),
-        url.alias("url"),
-        path_depth.alias("path_depth"),
-        n_params.alias("n_params"),
-        blocked_ext.alias("blocked_ext"),
-        host_digit_frac.alias("host_digit_frac"),
-        admitted.alias("admitted"),
+        c["url"].alias("url"),
+        c["path_depth"].alias("path_depth"),
+        c["n_params"].alias("n_params"),
+        c["blocked_ext"].alias("blocked_ext"),
+        c["host_digit_frac"].alias("host_digit_frac"),
+        c["admitted"].alias("admitted"),
     )
 
 

@@ -745,17 +745,23 @@ def test_curate_job_end_to_end(spark, tmp_path):
             "--min-logodds",
             "-20",
             "--decontaminate",
+            "--fix-mojibake",
+            "--line-rules",
+            "--url-filter",
         ],
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=540,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     curated = spark.read.parquet(out)
     report = {r.stage: r.n_docs for r in spark.read.parquet(rep).collect()}
     assert report["input"] == 500
+    # the URL screen actually dropped its planted offenders
+    assert report["url_filter"] < report["line_rules"]
     # monotone shrinkage through the funnel
-    order = ["input", "blocklist", "quality", "repetition", "chunk_dedup",
+    order = ["input", "fix_mojibake", "line_rules", "url_filter",
+             "blocklist", "quality", "repetition", "chunk_dedup",
              "nb_quality", "decontaminate", "sampling", "output"]
     present = [report[s] for s in order if s in report]
     assert all(a >= b for a, b in zip(present, present[1:])), report
