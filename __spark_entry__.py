@@ -1629,6 +1629,40 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T109: the corpus's actual similarity mass — exact Jaccard of
+    the verified pairs in 0.05 buckets; reviewed against the
+    theoretical S-curve (T104) to place the dedup threshold."""
+    from ocr_spark.operators.dedup import jaccard_histogram
+
+    return jaccard_histogram(_tw(spark, sf_dir, "documents"))
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T110: contrastive hard-negative mining — the k most similar
+    vectors with a DIFFERENT label than the query's; one broadcast
+    exclusion predicate on the brute-force top-k path."""
+    from ocr_spark.operators.ann import hard_negatives
+
+    return hard_negatives(_tw(spark, sf_dir, "embeddings"))
+
+
+def q_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T111: language-mixture drift between crawl snapshots — per-lang
+    doc shares before/after with exact micro-share deltas (the
+    monitoring table that catches silent distribution shift)."""
+    from ocr_spark.operators.webcorpus import lang_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "lang")
+    new = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "lang")
+    return lang_drift(old, new)
+
+
+_SQL_DRIFT_OLD = "SELECT doc_id, lang FROM documents"
+_SQL_DRIFT_NEW = "SELECT doc_id, lang FROM documents WHERE doc_id % 7 <> 0"
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T105: embedding-quality probe — majority-label vote among each
     query's k nearest (one corpus scan for all queries via the batched
@@ -2141,6 +2175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "jaccard_histogram": q_jaccard_histogram,
+        "hard_negatives": q_hard_negatives,
+        "lang_drift": q_lang_drift,
         "knn_classify": q_knn_classify,
         "embedding_norm_stats": q_embedding_norm_stats,
         "cluster_size_histogram": q_cluster_size_histogram,
@@ -2705,6 +2742,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "jaccard_histogram": _dedup_sql.sql_jaccard_histogram(),
+        "hard_negatives": _ann_sql.sql_hard_negatives(),
+        "lang_drift": _webcorpus_sql.sql_lang_drift(
+            _SQL_DRIFT_OLD, _SQL_DRIFT_NEW
+        ),
         "knn_classify": _ann_sql.sql_knn_classify(),
         "embedding_norm_stats": _ann_sql.sql_embedding_norm_stats(),
         "cluster_size_histogram": _cluster_sql.sql_cluster_size_histogram(),

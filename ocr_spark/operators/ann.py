@@ -1837,3 +1837,53 @@ def sql_embedding_norm_stats() -> str:
                round(CAST(max(nm) AS DOUBLE) / 1000000, 6) AS max_norm
         FROM m GROUP BY label
     """
+
+
+# ---------------------------------------------------------------------------
+# T110 — hard-negative mining
+# ---------------------------------------------------------------------------
+#
+# Contrastive training wants, per anchor, the most similar vectors
+# with a DIFFERENT label — the examples that actually move the loss
+# (random negatives are trivially separable).  Same shape as the
+# brute-force top-k with one broadcast label-exclusion predicate; at
+# scale it composes with the IVF cell filter exactly like the positive
+# retrieval path.
+
+
+def hard_negatives(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """(vec_id, label, cos_sim): the k nearest vectors whose label
+    differs from the query's."""
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    cos = cosine_col(F.col("embedding"), F.col("qvec"))
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def sql_hard_negatives(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+        WITH q AS (
+            SELECT embedding AS qvec, label AS qlabel
+            FROM embeddings WHERE vec_id = {query_vec_id}
+        )
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               round({_sql_cosine('e.embedding', 'q.qvec')}, 4) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> {query_vec_id} AND e.label <> q.qlabel
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
+    """

@@ -612,3 +612,48 @@ def sql_lsh_tuning_curve(
                                {float(bands)!r}), 6) AS p_collide
         FROM (SELECT unnest(range(1, 20)) AS i)
     """
+
+
+# ---------------------------------------------------------------------------
+# T109 — verified-pair Jaccard histogram
+# ---------------------------------------------------------------------------
+#
+# lsh_tuning_curve (T104) is the THEORY; this is the corpus's actual
+# similarity mass: the distribution of exact Jaccard over the verified
+# candidate pairs, in 0.05 buckets.  Reviewing the two together is how
+# the dedup threshold gets picked — a valley in the histogram is where
+# the cut belongs.  One bucket agg over the pair table; integer bucket
+# keys, exact cross-engine.
+
+
+def jaccard_histogram(docs: DataFrame) -> DataFrame:
+    """(bucket_lo, n_pairs) over the planted (orig, mutant) verified
+    pairs, bucket = floor(jaccard * 20) / 20."""
+    mut = _mutated_text(F.col("text"), F.col("n_chars"))
+    j = jaccard_col(shingles_col(F.col("text")), shingles_col(mut))
+    bucket = F.round(F.floor(j * 20).cast("double") / 20, 2)
+    return (
+        docs.select(bucket.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+def sql_jaccard_histogram() -> str:
+    mut = sql_mutated_text("o.text", "o.n_chars")
+    return f"""
+        WITH pairs AS (
+            SELECT list_distinct({sql_shingles('o.text')}) AS sa,
+                   list_distinct({sql_shingles(mut)}) AS sb
+            FROM documents o
+        ),
+        j AS (
+            SELECT round(CAST(floor(
+                       CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                       / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+                       * 20) AS DOUBLE) / 20, 2) AS bucket_lo
+            FROM pairs
+        )
+        SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM j GROUP BY bucket_lo
+    """

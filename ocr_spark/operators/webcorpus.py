@@ -2753,3 +2753,88 @@ def sql_eval_leakage_report(
         FROM fz WHERE eval_id >= 0
         GROUP BY eval_id
     """
+
+
+# ---------------------------------------------------------------------------
+# T111 — language-mixture drift
+# ---------------------------------------------------------------------------
+#
+# The monitoring table between two crawl snapshots: per-language doc
+# share before vs after, with the delta — a mixture that silently
+# drifts (a host went down, a filter started over-dropping a script)
+# corrupts the training distribution long before anyone reads loss
+# curves.  Two map-side-combined aggs + a bounded-key join; the delta
+# is exact micro-share integer arithmetic.
+
+
+def lang_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(lang, old_docs, new_docs, old_share, new_share, delta_share):
+    share in micro-units internally so the 6dp deltas are exact."""
+
+    def shares(df: DataFrame, prefix: str) -> DataFrame:
+        per = df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{prefix}_docs")
+        )
+        tot = per.agg(F.sum(f"{prefix}_docs").alias("tot"))
+        micro = F.floor(
+            F.col(f"{prefix}_docs").cast("double")
+            / F.col("tot").cast("double")
+            * 1_000_000
+        ).cast("bigint")
+        return per.crossJoin(F.broadcast(tot)).select(
+            "lang", f"{prefix}_docs", micro.alias(f"{prefix}_micro")
+        )
+
+    o = shares(old, "old")
+    n = shares(new, "new")
+    return (
+        o.join(n, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("old_docs", F.lit(0)).cast("bigint").alias("old_docs"),
+            F.coalesce("new_docs", F.lit(0)).cast("bigint").alias("new_docs"),
+            F.round(
+                F.coalesce("old_micro", F.lit(0)).cast("double") / 1_000_000,
+                6,
+            ).alias("old_share"),
+            F.round(
+                F.coalesce("new_micro", F.lit(0)).cast("double") / 1_000_000,
+                6,
+            ).alias("new_share"),
+            F.round(
+                (
+                    F.coalesce("new_micro", F.lit(0))
+                    - F.coalesce("old_micro", F.lit(0))
+                ).cast("double")
+                / 1_000_000,
+                6,
+            ).alias("delta_share"),
+        )
+    )
+
+
+def sql_lang_drift(old_sql: str, new_sql: str) -> str:
+    def shares(src: str, prefix: str) -> str:
+        return f"""(
+            SELECT lang, {prefix}_docs,
+                   CAST(floor(CAST({prefix}_docs AS DOUBLE)
+                              / CAST(tot AS DOUBLE) * 1000000) AS BIGINT)
+                       AS {prefix}_micro
+            FROM (SELECT lang, CAST(count(*) AS BIGINT) AS {prefix}_docs
+                  FROM ({src}) GROUP BY lang)
+            CROSS JOIN (SELECT count(*) AS tot FROM ({src}))
+        )"""
+
+    return f"""
+        SELECT COALESCE(o.lang, n.lang) AS lang,
+               COALESCE(o.old_docs, 0) AS old_docs,
+               COALESCE(n.new_docs, 0) AS new_docs,
+               round(CAST(COALESCE(o.old_micro, 0) AS DOUBLE) / 1000000, 6)
+                   AS old_share,
+               round(CAST(COALESCE(n.new_micro, 0) AS DOUBLE) / 1000000, 6)
+                   AS new_share,
+               round(CAST(COALESCE(n.new_micro, 0) - COALESCE(o.old_micro, 0)
+                          AS DOUBLE) / 1000000, 6) AS delta_share
+        FROM {shares(old_sql, 'old')} o
+        FULL OUTER JOIN {shares(new_sql, 'new')} n ON o.lang = n.lang
+    """

@@ -2644,3 +2644,53 @@ def test_eval_leakage_report_flags_planted_mutants(spark):
         assert 0 <= r.n_contaminated <= r.n_candidates
         assert 0.0 <= r.max_jaccard <= 1.0
     assert any(r.n_contaminated > 0 and r.max_jaccard > 0.4 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# T109 jaccard_histogram / T110 hard_negatives / T111 lang_drift
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_histogram_tiles_pairs(spark):
+    """Buckets are 0.05-aligned, cover every planted pair once, and
+    the mutant mass sits high (the plants are ~90% prefix copies)."""
+    from ocr_spark.operators.dedup import jaccard_histogram
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = jaccard_histogram(docs).collect()
+    assert sum(r.n_pairs for r in rows) == docs.count()
+    assert all(abs(r.bucket_lo * 20 - round(r.bucket_lo * 20)) < 1e-9 for r in rows)
+    high = sum(r.n_pairs for r in rows if r.bucket_lo >= 0.5)
+    assert high > 0.5 * docs.count()
+
+
+def test_hard_negatives_excludes_query_label(spark):
+    from ocr_spark.operators.ann import hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qlabel = emb.filter(F.col("vec_id") == 0).collect()[0].label
+    rows = hard_negatives(emb, k=10).collect()
+    assert len(rows) == 10
+    assert all(r.label != qlabel for r in rows)
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lang_drift_closed_form(spark):
+    """Hand snapshots: a language that vanishes carries a negative
+    delta equal to its old share; a new language mirrors it."""
+    from ocr_spark.operators.webcorpus import lang_drift
+
+    old = spark.createDataFrame(
+        [(i, "en") for i in range(8)] + [(100 + i, "zh") for i in range(2)],
+        "doc_id bigint, lang string",
+    )
+    new = spark.createDataFrame(
+        [(i, "en") for i in range(8)] + [(200 + i, "fr") for i in range(2)],
+        "doc_id bigint, lang string",
+    )
+    out = {r.lang: r for r in lang_drift(old, new).collect()}
+    assert out["zh"].old_share == 0.2 and out["zh"].new_share == 0.0
+    assert out["zh"].delta_share == -0.2
+    assert out["fr"].old_docs == 0 and out["fr"].delta_share == 0.2
+    assert out["en"].delta_share == 0.0
