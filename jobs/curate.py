@@ -199,8 +199,13 @@ def main() -> None:
     # standard materialization point a production pipeline puts after
     # a whole-text rewrite/admission phase; it also makes the 0-block
     # resumable on its own.
+    # The staging path is a SIBLING of the output dir, never inside it:
+    # the final write's overwrite mode deletes the whole output path
+    # before its job runs, and a staging dir underneath it would be
+    # deleted out from under the plan that still reads it.
+    stage0 = None
     if args.fix_mojibake or args.line_rules or args.url_filter:
-        stage0 = os.path.join(args.output, "_stage0_hygiene")
+        stage0 = args.output.rstrip("/") + ".stage0"
         docs.write.mode("overwrite").parquet(stage0)
         docs = spread_cpu(spark.read.parquet(stage0))
 
@@ -317,6 +322,11 @@ def main() -> None:
         "stage_idx int, stage string, n_docs long",
     )
     report.write.mode("overwrite").parquet(args.report)
+    if stage0 is not None:
+        # the output is durable now; the hygiene staging copy is scratch
+        import shutil
+
+        shutil.rmtree(stage0, ignore_errors=True)
     print(json.dumps({name: n for name, n in stages}))
 
 
