@@ -1629,6 +1629,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_split_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T112: train->test gram leakage of the corpus's OWN held-out
+    split — the fraction of distinct test-split 8-grams already seen
+    in train; the memorization-vs-generalization number a dataset
+    release prints next to its split sizes."""
+    from ocr_spark.operators.corpus_ops import split_gram_overlap
+
+    return split_gram_overlap(_tw(spark, sf_dir, "documents"))
+
+
 def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T109: the corpus's actual similarity mass — exact Jaccard of
     the verified pairs in 0.05 buckets; reviewed against the
@@ -2175,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "split_gram_overlap": q_split_gram_overlap,
         "jaccard_histogram": q_jaccard_histogram,
         "hard_negatives": q_hard_negatives,
         "lang_drift": q_lang_drift,
@@ -2742,6 +2753,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "split_gram_overlap": _corpus_sql.sql_split_gram_overlap(),
         "jaccard_histogram": _dedup_sql.sql_jaccard_histogram(),
         "hard_negatives": _ann_sql.sql_hard_negatives(),
         "lang_drift": _webcorpus_sql.sql_lang_drift(

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Corpus governance report — `spark-submit` entrypoint that publishes
+the release-review tables for a (curated) documents table in one pass:
+
+  <report>/card/           per-language datasheet (T103 dataset_card)
+  <report>/survivorship/   input -> exact -> near-dup funnel (T98)
+  <report>/cluster_sizes/  near-dup cluster size histogram (T107)
+  <report>/balance/        shard token-skew audit (T95)
+  <report>/quality/        quality-ensemble vote rollup (T97)
+  <report>/drift/          per-language share drift vs --old-input (T111)
+
+Usage (cluster):
+
+    zip -r ocr_spark.zip ocr_spark
+    spark-submit --py-files ocr_spark.zip jobs/corpus_report.py \
+        --input  s3://bucket/crawl/curated/ \
+        --report s3://bucket/crawl/release-report/ \
+        --old-input s3://bucket/crawl/curated-prev/
+
+Usage (sandbox smoke):
+
+    python3 jobs/corpus_report.py \
+        --input /root/testdata/sf0.001/documents.parquet \
+        --report /tmp/corpus-report
+
+Every table is a bounded aggregation (per-language, per-cluster-size,
+per-vote rows); the only corpus-heavy stage is the near-dup CC pass,
+which runs once and feeds both the funnel and the histogram.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.cluster import (
+        cluster_size_histogram,
+        dedup_survivorship,
+        neardup_clusters,
+    )
+    from ocr_spark.operators.corpus_ops import dataset_card, shard_balance
+    from ocr_spark.operators.webcorpus import lang_drift, quality_ensemble
+    from ocr_spark.plans import spread_cpu
+    from ocr_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--report", required=True)
+    ap.add_argument("--key-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--shard-tokens", type=int, default=50_000)
+    ap.add_argument(
+        "--old-input",
+        default=None,
+        help="previous snapshot for the language-drift table (T111)",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="ocr_spark-corpus-report")
+    docs = spread_cpu(spark.read.parquet(args.input))
+    key, text = args.key_col, args.text_col
+    written = {}
+
+    def emit(name, df):
+        path = os.path.join(args.report, name)
+        df.write.mode("overwrite").parquet(path)
+        written[name] = spark.read.parquet(path).count()
+
+    if "lang" in docs.columns:
+        emit("card", dataset_card(docs, text_col=text))
+        emit(
+            "balance",
+            shard_balance(
+                docs, args.shard_tokens, key_col=key, text_col=text
+            ),
+        )
+        # vote rollup: (votes, n_docs, n_kept) — the ensemble's
+        # decision distribution, not half a million per-doc rows
+        ens = quality_ensemble(docs, key_col=key, text_col=text)
+        emit(
+            "quality",
+            ens.groupBy("votes").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(F.col("keep").cast("bigint"))
+                .cast("bigint")
+                .alias("n_kept"),
+            ),
+        )
+
+    corpus = docs.select(
+        F.col(key).alias("doc_id"), F.col(text).alias("text")
+    )
+    cc = neardup_clusters(corpus)
+    emit("survivorship", dedup_survivorship(corpus, cc))
+    emit("cluster_sizes", cluster_size_histogram(cc))
+
+    if args.old_input and "lang" in docs.columns:
+        old = spark.read.parquet(args.old_input)
+        emit(
+            "drift",
+            lang_drift(
+                old.select(key, "lang"), docs.select(key, "lang")
+            ),
+        )
+
+    print(json.dumps(written))
+
+
+if __name__ == "__main__":
+    main()

@@ -1790,3 +1790,115 @@ def sql_dataset_card() -> str:
                      / CAST(all_docs AS DOUBLE), 6) AS doc_share
         FROM per CROSS JOIN tot
     """
+
+
+# ---------------------------------------------------------------------------
+# T112 — cross-split gram overlap (train->test leakage audit)
+# ---------------------------------------------------------------------------
+#
+# Benchmark decontamination (T45/T60/T72/T80) screens EXTERNAL evals;
+# this audits the corpus's OWN held-out split: what fraction of the
+# test split's 8-grams already occur in the train split.  A high
+# overlap means the held-out loss is memorization, not generalization
+# — the number every dataset release should print next to its split
+# sizes.
+#
+# Scale shape: one gram explode per side keyed by the split hash
+# (pure per-row assignment, no split shuffle), train grams distinct →
+# the join is gram-hash against gram-hash with map-side-combined
+# distinct counts; every shuffled row is an 8-byte hash.
+
+OVERLAP_GRAM_K = 8
+
+
+def split_gram_overlap(
+    docs: DataFrame,
+    k: int = OVERLAP_GRAM_K,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row: (n_test_grams, n_overlap, overlap_frac) — distinct
+    test-split k-grams and how many of them occur in the train
+    split."""
+    from ocr_spark.operators.dedup import _hash60
+
+    key = F.col(key_col)
+    split = dataset_split(
+        docs.select(key.alias(key_col), F.lit("x").alias("lang"), text_col),
+        key_col=key_col,
+    ).select(key_col, "split")
+    grams = (
+        docs.join(split, key_col)
+        .select(
+            "split",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.size(_words(F.col(text_col))) - (k - 1),
+                            F.lit(1),
+                        ),
+                    ),
+                    lambda i: _hash60(
+                        F.concat_ws(
+                            " ",
+                            F.slice(_words(F.col(text_col)), i, k),
+                        )
+                    ),
+                )
+            ).alias("g"),
+        )
+    )
+    train_g = grams.filter(F.col("split") == "train").select("g").distinct()
+    test_g = grams.filter(F.col("split") == "test").select("g").distinct()
+    joined = test_g.join(train_g, "g", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    )
+    totals = test_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_grams")
+    )
+    return totals.crossJoin(joined).select(
+        "n_test_grams",
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double")
+            / F.col("n_test_grams").cast("double"),
+            6,
+        ).alias("overlap_frac"),
+    )
+
+
+def sql_split_gram_overlap(k: int = OVERLAP_GRAM_K) -> str:
+    h = sql_hash_fraction("doc_id", "split")
+    w = _sql_words("text")
+    g = (
+        "CAST('0x' || substr(md5(array_to_string("
+        f"({w})[i : i + {k} - 1], ' ')), 1, 15) AS BIGINT)"
+    )
+    return f"""
+        WITH sp AS (
+            SELECT doc_id, text,
+                   CASE WHEN {h} < {SPLIT_FRACS[0]!r} THEN 'train'
+                        WHEN {h} < {SPLIT_FRACS[0] + SPLIT_FRACS[1]!r}
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        grams AS (
+            SELECT split, {g} AS g
+            FROM sp, UNNEST(range(1, greatest(len({w}) - {k - 1}, 1) + 1))
+                     AS t(i)
+        ),
+        train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+        test_g AS (SELECT DISTINCT g FROM grams WHERE split = 'test'),
+        o AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_overlap
+            FROM test_g WHERE g IN (SELECT g FROM train_g)
+        ),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS n_test_grams FROM test_g)
+        SELECT n_test_grams, n_overlap,
+               round(CAST(n_overlap AS DOUBLE) / n_test_grams, 6)
+                   AS overlap_frac
+        FROM tt CROSS JOIN o
+    """

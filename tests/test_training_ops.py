@@ -2694,3 +2694,53 @@ def test_lang_drift_closed_form(spark):
     assert out["zh"].delta_share == -0.2
     assert out["fr"].old_docs == 0 and out["fr"].delta_share == 0.2
     assert out["en"].delta_share == 0.0
+
+
+# ---------------------------------------------------------------------------
+# T112 split_gram_overlap / jobs/corpus_report.py
+# ---------------------------------------------------------------------------
+
+
+def test_split_gram_overlap_bounds_and_planted_leak(spark):
+    """Overlap is a fraction of the distinct test grams; duplicating a
+    test doc into the train id-space drives it strictly up."""
+    from ocr_spark.operators.corpus_ops import split_gram_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = split_gram_overlap(docs).collect()[0]
+    assert 0 <= base.n_overlap <= base.n_test_grams
+    assert abs(base.overlap_frac - base.n_overlap / base.n_test_grams) < 1e-9
+
+
+def test_corpus_report_job_end_to_end(spark, tmp_path):
+    """jobs/corpus_report.py publishes every governance table; the
+    funnel is monotone and the card covers all languages."""
+    import subprocess
+    import sys
+
+    rep = str(tmp_path / "report")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/jobs/corpus_report.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--report", rep,
+            "--old-input", "/root/testdata/sf0.001/documents.parquet",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    card = spark.read.parquet(f"{rep}/card")
+    assert sum(r.n_docs for r in card.collect()) == 500
+    surv = {r.stage: r.n_docs for r in spark.read.parquet(
+        f"{rep}/survivorship").collect()}
+    assert surv["1_input"] >= surv["2_exact"] >= surv["3_neardup"]
+    hist = spark.read.parquet(f"{rep}/cluster_sizes")
+    assert sum(r.n_docs for r in hist.collect()) == surv["1_input"]
+    qual = spark.read.parquet(f"{rep}/quality")
+    assert sum(r.n_docs for r in qual.collect()) == 500
+    drift = spark.read.parquet(f"{rep}/drift")
+    # identical snapshots: every delta is zero
+    assert all(r.delta_share == 0.0 for r in drift.collect())
