@@ -1629,6 +1629,15 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T113: exact phrase matching via word positions (the positional
+    half of an inverted index) — phrase terms filter the corpus before
+    any shuffle, adjacency is a bounded chain of posting equi-joins."""
+    from ocr_spark.operators.corpus_ops import phrase_query
+
+    return phrase_query(_tw(spark, sf_dir, "documents"))
+
+
 def q_split_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T112: train->test gram leakage of the corpus's OWN held-out
     split — the fraction of distinct test-split 8-grams already seen
@@ -2185,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "phrase_query": q_phrase_query,
         "split_gram_overlap": q_split_gram_overlap,
         "jaccard_histogram": q_jaccard_histogram,
         "hard_negatives": q_hard_negatives,
@@ -2753,6 +2763,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "phrase_query": _corpus_sql.sql_phrase_query(),
         "split_gram_overlap": _corpus_sql.sql_split_gram_overlap(),
         "jaccard_histogram": _dedup_sql.sql_jaccard_histogram(),
         "hard_negatives": _ann_sql.sql_hard_negatives(),

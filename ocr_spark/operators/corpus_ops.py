@@ -1902,3 +1902,70 @@ def sql_split_gram_overlap(k: int = OVERLAP_GRAM_K) -> str:
                    AS overlap_frac
         FROM tt CROSS JOIN o
     """
+
+
+# ---------------------------------------------------------------------------
+# T113 — positional phrase query
+# ---------------------------------------------------------------------------
+#
+# The retrieval feature term indexes can't answer: exact phrase
+# matching via word positions (the "positions" half of a positional
+# inverted index).  The phrase terms are a bounded literal, so the
+# corpus side filters to matching words BEFORE anything shuffles; the
+# adjacency check is a chain of len(phrase)-1 equi-joins on
+# (doc, pos+offset) — each join's both sides are the pre-filtered
+# term postings, never the corpus.
+
+PHRASE_QUERY = ("big", "data")
+
+
+def phrase_query(
+    docs: DataFrame,
+    phrase: tuple = PHRASE_QUERY,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_matches): documents containing the exact phrase,
+    with the occurrence count — start positions where every phrase
+    term appears at its offset."""
+    key = F.col(key_col)
+    tw = docs.select(
+        key.alias("doc"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "word"),
+    ).filter(F.col("word").isin(*phrase))
+    base = tw.filter(F.col("word") == phrase[0]).select(
+        "doc", F.col("pos").alias("p0")
+    )
+    for off, term in enumerate(phrase[1:], start=1):
+        nxt = tw.filter(F.col("word") == term).select(
+            "doc", (F.col("pos") - off).alias("p0")
+        )
+        base = base.join(nxt, ["doc", "p0"])
+    return (
+        base.groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+        .select(F.col("doc").alias("doc_id"), "n_matches")
+    )
+
+
+def sql_phrase_query(phrase: tuple = PHRASE_QUERY) -> str:
+    w = _sql_words("text")
+    terms = ", ".join(f"'{t}'" for t in phrase)
+    joins = "\n".join(
+        f"JOIN tw t{i} ON t0.doc = t{i}.doc AND t{i}.word = '{t}' "
+        f"AND t{i}.pos = t0.pos + {i}"
+        for i, t in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+        WITH tw AS (
+            SELECT doc_id AS doc, CAST(i - 1 AS BIGINT) AS pos,
+                   ({w})[CAST(i AS INTEGER)] AS word
+            FROM documents, UNNEST(range(1, len({w}) + 1)) AS t(i)
+            WHERE ({w})[CAST(i AS INTEGER)] IN ({terms})
+        )
+        SELECT t0.doc AS doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        FROM tw t0
+        {joins}
+        WHERE t0.word = '{phrase[0]}'
+        GROUP BY t0.doc
+    """

@@ -2744,3 +2744,42 @@ def test_corpus_report_job_end_to_end(spark, tmp_path):
     drift = spark.read.parquet(f"{rep}/drift")
     # identical snapshots: every delta is zero
     assert all(r.delta_share == 0.0 for r in drift.collect())
+
+
+# ---------------------------------------------------------------------------
+# T113 phrase_query
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_query_exact_adjacency(spark):
+    """Only true adjacent occurrences count: reversed order, gaps, and
+    partial terms don't match; overlapping starts count separately."""
+    from ocr_spark.operators.corpus_ops import phrase_query
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data lake"),     # 2 matches
+            (2, "data big"),                    # reversed: 0
+            (3, "big little data"),             # gap: 0
+            (4, "big data"),                    # 1
+            (5, "bigger data"),                 # partial word: 0
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.n_matches for r in phrase_query(docs).collect()}
+    assert out == {1: 2, 4: 1}
+
+
+def test_phrase_query_filters_before_shuffle(spark):
+    """The term isin filter reaches the scan: non-phrase words never
+    enter the posting joins."""
+    from ocr_spark.operators.corpus_ops import phrase_query
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        phrase_query(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "big" in plan and "data" in plan
+    # a term-membership filter exists in the optimized plan (pushed
+    # below the posting joins), however Catalyst renders it
+    assert "IN (" in plan or "= big" in plan or "(big,data)" in plan
