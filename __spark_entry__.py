@@ -1629,6 +1629,15 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T114: canonical-URL dedup (RefinedWeb's first stage) — collapse
+    tracker/www/port/fragment variants to one row per canonical URL,
+    keeping the most recent fetch via one max(struct) partial agg."""
+    from ocr_spark.operators.webcorpus import url_dedup
+
+    return url_dedup(_t(spark, sf_dir, "documents"))
+
+
 def q_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T113: exact phrase matching via word positions (the positional
     half of an inverted index) — phrase terms filter the corpus before
@@ -2194,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "url_dedup": q_url_dedup,
         "phrase_query": q_phrase_query,
         "split_gram_overlap": q_split_gram_overlap,
         "jaccard_histogram": q_jaccard_histogram,
@@ -2763,6 +2773,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "url_dedup": _webcorpus_sql.sql_url_dedup(),
         "phrase_query": _corpus_sql.sql_phrase_query(),
         "split_gram_overlap": _corpus_sql.sql_split_gram_overlap(),
         "jaccard_histogram": _dedup_sql.sql_jaccard_histogram(),

@@ -2838,3 +2838,44 @@ def sql_lang_drift(old_sql: str, new_sql: str) -> str:
         FROM {shares(old_sql, 'old')} o
         FULL OUTER JOIN {shares(new_sql, 'new')} n ON o.lang = n.lang
     """
+
+
+# ---------------------------------------------------------------------------
+# T114 — canonical-URL dedup
+# ---------------------------------------------------------------------------
+#
+# RefinedWeb's FIRST dedup stage, before any content hashing: multiple
+# crawls of the same page (tracker params, www/port/fragment variants)
+# collapse to one row per CANONICAL url, keeping the most recent
+# fetch.  At 10^12 rows this removes the bulk of trivial duplication
+# for the cost of one map-side-combinable argmax per canonical key —
+# content-level dedup (T1/T2) then runs on what's left.
+
+
+def url_dedup(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """(canon_url, kept_doc_id, n_variants): one survivor per
+    canonical URL — the max doc_id (the recency stand-in: ids ascend
+    with fetch order), via a single max(struct) partial agg; no
+    variant list ever materializes."""
+    key = F.col(key_col)
+    url = plant_url_col(key, F.col("source"))
+    canon = canonicalize_url(url)["canon_url"]
+    return (
+        docs.select(canon.alias("canon_url"), key.alias("doc_id"))
+        .groupBy("canon_url")
+        .agg(
+            F.max("doc_id").cast("bigint").alias("kept_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        )
+    )
+
+
+def sql_url_dedup() -> str:
+    canon = sql_url_canon()
+    return f"""
+        WITH c AS ({canon})
+        SELECT canon_url,
+               CAST(max(doc_id) AS BIGINT) AS kept_doc_id,
+               CAST(count(*) AS BIGINT) AS n_variants
+        FROM c GROUP BY canon_url
+    """

@@ -875,3 +875,39 @@ def test_topic_tag_dominant_and_none(spark):
     assert out[1] == ("compute", 3)
     assert out[2] == ("database", 3)  # tie -> 'database' < 'ml'
     assert out[3] == ("none", 0)
+
+
+# ---------------------------------------------------------------------------
+# T114 url_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_url_dedup_collapses_variants_keeps_latest(spark):
+    """Docs whose planted URLs canonicalize identically collapse to
+    one row keeping the max doc_id; survivors tile the corpus."""
+    from ocr_spark.operators.webcorpus import url_dedup
+
+    docs = _docs(spark)
+    out = url_dedup(docs).collect()
+    assert sum(r.n_variants for r in out) == docs.count()
+    # every canonical key appears once
+    keys = [r.canon_url for r in out]
+    assert len(keys) == len(set(keys))
+    # the planted URL space collapses at least some variants
+    assert any(r.n_variants > 1 for r in out)
+    # the kept doc is always a member (max) of its variant group
+    assert all(r.kept_doc_id >= 0 for r in out)
+
+
+def test_url_dedup_single_agg_plan(spark):
+    """One map-side-combinable aggregation; no joins, no windows."""
+    from ocr_spark.operators.webcorpus import url_dedup
+
+    plan = (
+        url_dedup(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 1
