@@ -253,7 +253,15 @@ def pagerank(
     """
     spark = edges.sparkSession
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    contrib_edges = edges.join(out_deg, "src")
+    # The degree-annotated edge list is loop-INVARIANT but referenced
+    # by every iteration: without truncation, each round's join
+    # re-derives it from scratch (at crawl scale that is a full page
+    # re-scan + regex re-extraction per iteration — 2 scans x n_iter
+    # in the plan).  A lazy localCheckpoint materializes it once on
+    # first use; every later round reads the materialized edges.  At
+    # production scale, write the edge table to storage once instead
+    # (the jobs/ pattern) — the loop shape is identical.
+    contrib_edges = edges.join(out_deg, "src").localCheckpoint(eager=False)
     nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
     ranks = nodes.withColumn(
         "rank", F.round(F.lit(1.0 / n_nodes), ITER_ROUND)

@@ -357,3 +357,21 @@ def test_retention_cohorts_closed_form(spark):
     assert out[("2024-01-02", 0)] == (1, 1)
     assert out[("2024-01-02", 1)] == (1, 1)
     assert len(out) == 4
+
+
+def test_pagerank_edges_derived_once(spark):
+    """The degree-annotated edge list is loop-invariant: the final
+    plan must NOT contain one page-scan + regex-extraction subtree per
+    iteration (it reads the once-materialized edges instead)."""
+    from ocr_spark.operators.graph import (
+        extract_links,
+        linked_pages,
+        pagerank,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(100)
+    pr = pagerank(extract_links(linked_pages(docs, 100)), 100, n_iter=5)
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 2, plan.count("FileScan")
