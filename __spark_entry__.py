@@ -1629,6 +1629,42 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, new)
 
 
+def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T115: what the deployed (bands, rows) actually delivers — the
+    fraction of LSH candidate pairs that survive exact Jaccard
+    verification, over the planted near-dup corpus.  The empirical
+    complement of the S-curve (T104) and the similarity mass (T109)."""
+    from ocr_spark.operators.dedup import lsh_precision, neardup_corpus
+
+    return lsh_precision(neardup_corpus(_tw(spark, sf_dir, "documents")))
+
+
+def q_dup_mass_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T116: where the duplication comes from — per-host removable
+    (non-canonical) fraction from the session-shared CC table; mirror
+    farms surface immediately and feed the next crawl's blocklist."""
+    from ocr_spark.operators.cluster import dup_mass_by_host
+    from ocr_spark.operators.dedup import NEARDUP_OFFSET
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        "doc_id", F.col("source").alias("host")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(NEARDUP_OFFSET)).alias("doc_id"),
+            F.col("source").alias("host"),
+        )
+    )
+    return dup_mass_by_host(_neardup_cc(spark, sf_dir), hosts)
+
+
+_SQL_NEARDUP_HOSTS = """
+    SELECT doc_id, source AS host FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, source AS host FROM documents
+"""
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T114: canonical-URL dedup (RefinedWeb's first stage) — collapse
     tracker/www/port/fragment variants to one row per canonical URL,
@@ -2203,6 +2239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "lsh_precision": q_lsh_precision,
+        "dup_mass_by_host": q_dup_mass_by_host,
         "url_dedup": q_url_dedup,
         "phrase_query": q_phrase_query,
         "split_gram_overlap": q_split_gram_overlap,
@@ -2773,6 +2811,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "lsh_precision": _dedup_sql.sql_lsh_precision(),
+        "dup_mass_by_host": _cluster_sql.sql_dup_mass_by_host(
+            _SQL_NEARDUP_HOSTS
+        ),
         "url_dedup": _webcorpus_sql.sql_url_dedup(),
         "phrase_query": _corpus_sql.sql_phrase_query(),
         "split_gram_overlap": _corpus_sql.sql_split_gram_overlap(),

@@ -387,3 +387,56 @@ def sql_cluster_size_histogram() -> str:
                CAST(count(*) * size AS BIGINT) AS n_docs
         FROM sizes GROUP BY size
     """
+
+
+# ---------------------------------------------------------------------------
+# T116 — duplication mass by host
+# ---------------------------------------------------------------------------
+#
+# "WHERE does the duplication come from" — the question the histogram
+# (T107) can't answer: join the CC output back to hosts and report the
+# non-canonical (removable) fraction per host.  Mirror farms and
+# template sites surface immediately; the output feeds the domain
+# blocklist the next crawl uses.  One hash join on doc_id + one
+# map-side-combined agg.
+
+
+def dup_mass_by_host(
+    clusters: DataFrame, hosts: DataFrame
+) -> DataFrame:
+    """clusters(doc_id, cluster_id, is_canonical) x hosts(doc_id, host)
+    -> (host, n_docs, n_dups, dup_frac), dup = non-canonical member."""
+    return (
+        clusters.join(hosts, "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("is_canonical") == 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dups"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_dups",
+            F.round(
+                F.col("n_dups").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def sql_dup_mass_by_host(hosts_sql: str) -> str:
+    return f"""
+        WITH cc AS ({sql_neardup_clusters()}),
+        h AS ({hosts_sql})
+        SELECT h.host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN cc.is_canonical = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dups,
+               round(CAST(sum(CASE WHEN cc.is_canonical = 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS dup_frac
+        FROM cc JOIN h ON cc.doc_id = h.doc_id
+        GROUP BY h.host
+    """

@@ -657,3 +657,93 @@ def sql_jaccard_histogram() -> str:
         SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_pairs
         FROM j GROUP BY bucket_lo
     """
+
+
+# ---------------------------------------------------------------------------
+# T115 — LSH candidate precision audit
+# ---------------------------------------------------------------------------
+#
+# The other half of the tuning story: T104 gives the theoretical
+# S-curve, T109 the corpus's similarity mass — this measures what the
+# deployed (bands, rows) ACTUALLY delivers: of the candidate pairs the
+# buckets emit, how many survive exact Jaccard verification.  Low
+# precision = wasted verify compute; the number that justifies (or
+# re-tunes) the band configuration on every corpus.
+
+
+def lsh_precision(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int = MAX_MINHASH_BUCKET,
+) -> DataFrame:
+    """One row: (n_candidates, n_verified, precision) over the LSH
+    candidate pairs of ``corpus(doc_id, text)``."""
+    pairs = minhash_candidate_pairs(corpus, max_bucket)
+    sh = corpus.select(
+        F.col("doc_id"),
+        F.array_distinct(shingles_col(F.col("text"))).alias("sh"),
+    )
+    ver = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sa"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sb"), "doc_b")
+        .select(jaccard_col(F.col("sa"), F.col("sb")).alias("j"))
+    )
+    return ver.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum((F.col("j") >= threshold).cast("bigint"))
+        .cast("bigint")
+        .alias("n_verified"),
+    ).select(
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.col("n_verified").cast("double")
+            / F.col("n_candidates").cast("double"),
+            6,
+        ).alias("precision"),
+    )
+
+
+def sql_lsh_precision(
+    threshold: float = 0.5, max_bucket: int = MAX_MINHASH_BUCKET
+) -> str:
+    return f"""
+        WITH corpus AS ({sql_neardup_corpus()}),
+        shingled AS (
+            SELECT doc_id, {sql_shingles('text')} AS sh,
+                   list_distinct({sql_shingles('text')}) AS sd
+            FROM corpus
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   unnest(range(0, {MINHASH_BANDS})) AS band,
+                   unnest({sql_band_keys('sh')}) AS key
+            FROM shingled
+        ),
+        ok AS (
+            SELECT band, key FROM keyed GROUP BY band, key
+            HAVING count(*) <= {max_bucket}
+        ),
+        keyed_ok AS (
+            SELECT k.* FROM keyed k JOIN ok USING (band, key)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM keyed_ok a JOIN keyed_ok b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+            SELECT CAST(len(list_intersect(sa.sd, sb.sd)) AS DOUBLE)
+                   / (len(sa.sd) + len(sb.sd)
+                      - len(list_intersect(sa.sd, sb.sd))) AS j
+            FROM pairs p
+            JOIN shingled sa ON p.doc_a = sa.doc_id
+            JOIN shingled sb ON p.doc_b = sb.doc_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN j >= {threshold} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_verified,
+               round(CAST(sum(CASE WHEN j >= {threshold} THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS precision
+        FROM ver
+    """

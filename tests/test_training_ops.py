@@ -2783,3 +2783,43 @@ def test_phrase_query_filters_before_shuffle(spark):
     # a term-membership filter exists in the optimized plan (pushed
     # below the posting joins), however Catalyst renders it
     assert "IN (" in plan or "= big" in plan or "(big,data)" in plan
+
+
+# ---------------------------------------------------------------------------
+# T115 lsh_precision / T116 dup_mass_by_host
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_precision_bounds_and_planted_pairs(spark):
+    """Precision is a fraction of the candidate count; the planted
+    ~90%-prefix mutants guarantee verified pairs exist."""
+    from ocr_spark.operators.dedup import lsh_precision, neardup_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = lsh_precision(neardup_corpus(docs)).collect()[0]
+    assert 0 < r.n_verified <= r.n_candidates
+    assert abs(r.precision - r.n_verified / r.n_candidates) < 5e-7  # 6dp
+
+
+def test_dup_mass_by_host_accounts_members(spark):
+    """Per-host doc counts tile the corpus and every host's removable
+    fraction is consistent with its counts; planted mutants make some
+    host carry duplication."""
+    from ocr_spark.operators.cluster import (
+        dup_mass_by_host,
+        neardup_clusters,
+    )
+    from ocr_spark.operators.dedup import NEARDUP_OFFSET, neardup_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = neardup_corpus(docs)
+    hosts = docs.select("doc_id", F.col("source").alias("host")).unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(NEARDUP_OFFSET)).alias("doc_id"),
+            F.col("source").alias("host"),
+        )
+    )
+    rows = dup_mass_by_host(neardup_clusters(corpus), hosts).collect()
+    assert sum(r.n_docs for r in rows) == corpus.count()
+    assert all(0 <= r.n_dups <= r.n_docs for r in rows)
+    assert any(r.dup_frac > 0 for r in rows)
