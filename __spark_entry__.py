@@ -32,6 +32,7 @@ from ocr_spark.operators import curation as _curation_sql  # noqa: E402
 from ocr_spark.operators import cluster as _cluster_sql  # noqa: E402
 from ocr_spark.operators import dedup as _dedup_sql  # noqa: E402
 from ocr_spark.operators import events as _events_sql  # noqa: E402
+from ocr_spark.operators import sketches as _sketches_sql  # noqa: E402
 from ocr_spark.operators import graph as _graph_sql  # noqa: E402
 from ocr_spark.operators import webcorpus as _webcorpus_sql  # noqa: E402
 from ocr_spark.streaming import metrics as _stream_metrics_sql  # noqa: E402
@@ -2226,6 +2227,127 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T117: per-language distinct-shingle estimate via deterministic
+    HyperLogLog — the mergeable-sketch shape for distinct counts at
+    10^12 rows: groupBy(lang, register).max(rho) collapses every
+    partition to ≤1024 rows per language inside map-side combine, the
+    harmonic denominator is carried as EXACT bigints, and the estimate
+    is bit-reproducible (oracle replays it)."""
+    from ocr_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_tw(spark, sf_dir, "documents"))
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T118: DDSketch-style log-histogram quantiles of doc length —
+    p50/p75/p90/p99 without a global sort: one map-side-combined
+    bucket count (integer bucketing via bit_length, no float log),
+    then a cumulative scan over ≤ 64*16 bucket rows."""
+    from ocr_spark.operators.sketches import quantile_sketch
+
+    return quantile_sketch(_tw(spark, sf_dir, "documents"))
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T122: Johnson-Lindenstrauss ±1 sign projection 64→8 dims — a
+    literal matrix applied as fixed-order codegen'd multiply-add
+    chains; zero shuffle, zero Python.  The cheap first stage before
+    LSH/clustering on reduced vectors."""
+    from ocr_spark.operators.sketches import random_projection
+
+    return random_projection(_tw(spark, sf_dir, "embeddings"))
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T119: triangle census + global clustering coefficient of the
+    link graph via the degree-ordered node-iterator (oriented edges
+    bound wedge fan-out by O(sqrt m)); the oracle recomputes the same
+    exact integers with the textbook u<v<w three-way self-join."""
+    from ocr_spark.operators.graph import (
+        extract_links,
+        linked_pages,
+        triangle_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return triangle_stats(extract_links(linked_pages(docs, docs.count())))
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T120: overlapping RAG chunk windows (W=400, S=300) with char
+    spans and chunk md5 — a pure narrow sequence+explode+substr plan,
+    no shuffle at any scale."""
+    from ocr_spark.operators.curation import chunk_windows
+
+    return chunk_windows(_tw(spark, sf_dir, "documents"))
+
+
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T121: per-key hourly rate anomalies (z >= 2 sigma vs the key's
+    own mean) from EXACT bigint moments — two map-side-combined aggs
+    and a key join; the crawl-ops monitor for stuck loops and spam
+    injections."""
+    from ocr_spark.operators.events import burst_detection
+
+    return burst_detection(_t(spark, sf_dir, "events"))
+
+
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T123: deterministic per-host fetch slots (crawl-delay
+    politeness) — per-host serialization is the CONTRACT, so the
+    per-host window is inherent; the shuffle carries (doc_id, host,
+    8-byte hash) only and every host maps to exactly one worker."""
+    from ocr_spark.operators.webcorpus import politeness_schedule
+
+    return politeness_schedule(_t(spark, sf_dir, "documents"))
+
+
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T124: URL path-template mining (numeric runs -> {n}) — the
+    site-structure census that drives crawl budgets and pattern-level
+    blocklists; one narrow regex projection + one map-side-combined
+    agg."""
+    from ocr_spark.operators.webcorpus import url_templates
+
+    return url_templates(_t(spark, sf_dir, "documents"))
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T125: first-order Markov next-event transitions per user —
+    one window pass, one pair count; |types|^2 output rows at any
+    corpus scale."""
+    from ocr_spark.operators.events import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T126: the distributed half of PCA — d x d Gram matrix in
+    FIXED-POINT (integer-milli coordinates, exact bigint sums), so
+    the partial aggregation is order-independent and the 64x64
+    eigendecomposition stays a driver-side numpy call."""
+    from ocr_spark.operators.sketches import gram_matrix
+
+    return gram_matrix(_tw(spark, sf_dir, "embeddings"))
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T127: Kleinberg HITS hubs/authorities over the link graph —
+    per-half-iteration rounding + max() normalization (order-
+    independent, unlike an L2 norm) keep the fixed-iteration DuckDB
+    mirror exact; one (node, score) shuffle per half-iteration."""
+    from ocr_spark.operators.graph import (
+        extract_links,
+        hits_scores,
+        linked_pages,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return hits_scores(extract_links(linked_pages(docs, n)), n)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2239,6 +2361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
         # --- unbanked (round-4 additions, no driver row yet) ---
+        "hll_distinct": q_hll_distinct,
+        "quantile_sketch": q_quantile_sketch,
+        "random_projection": q_random_projection,
+        "triangle_count": q_triangle_count,
+        "chunk_windows": q_chunk_windows,
+        "burst_detection": q_burst_detection,
         "lsh_precision": q_lsh_precision,
         "dup_mass_by_host": q_dup_mass_by_host,
         "url_dedup": q_url_dedup,
@@ -2284,6 +2412,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_contamination": q_fuzzy_contamination,
         "bpe_fertility": q_bpe_fertility,
         "chunk_rewrite": q_chunk_rewrite,
+        # --- unbanked overflow (positions 51+): will not fit this
+        # --- round's 50-query window; first in line for the next
+        # --- round's rotation (still parity-gated in-repo) ---
+        "politeness_schedule": q_politeness_schedule,
+        "url_templates": q_url_templates,
+        "transition_matrix": q_transition_matrix,
+        "gram_matrix": q_gram_matrix,
+        "hits_scores": q_hits_scores,
         # --- banked in CORRECTNESS_r03.json ---
         "extract_spans_roundtrip": q_extract_spans_roundtrip,
         "mixture_sample": q_mixture_sample,
@@ -2811,6 +2947,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
+        "url_templates": _webcorpus_sql.sql_url_templates(),
+        "transition_matrix": _events_sql.sql_transition_matrix(),
+        "gram_matrix": _sketches_sql.sql_gram_matrix(),
+        "hits_scores": _graph_sql.sql_hits_scores(),
+        "hll_distinct": _sketches_sql.sql_hll_distinct(),
+        "quantile_sketch": _sketches_sql.sql_quantile_sketch(),
+        "random_projection": _sketches_sql.sql_random_projection(),
+        "triangle_count": _graph_sql.sql_triangle_stats(),
+        "chunk_windows": _curation_sql.sql_chunk_windows(),
+        "burst_detection": _events_sql.sql_burst_detection(),
         "lsh_precision": _dedup_sql.sql_lsh_precision(),
         "dup_mass_by_host": _cluster_sql.sql_dup_mass_by_host(
             _SQL_NEARDUP_HOSTS

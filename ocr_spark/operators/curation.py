@@ -1127,3 +1127,76 @@ def sql_mojibake_stats() -> str:
                {fixed} AS text_fixed
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# T120 — overlapping chunk windows (RAG / context packing)
+# ---------------------------------------------------------------------------
+#
+# Retrieval corpora and long-context packers consume documents as
+# overlapping fixed-size character windows (chunk size W, stride S <
+# W, so consecutive chunks share W-S chars of context).  The operator
+# is a pure NARROW transformation — sequence + explode + substr inside
+# whole-stage codegen, no shuffle at any scale — and the bounded
+# explode factor (len/S) is the only cost.  Emitting the md5 alongside
+# the span keeps downstream chunk-level dedup (T25) joinable without
+# re-reading text.
+
+CHUNK_W = 400
+CHUNK_S = 300
+
+
+def chunk_windows(
+    docs: DataFrame,
+    width: int = CHUNK_W,
+    stride: int = CHUNK_S,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, start, chunk_len, chunk_md5): overlapping
+    windows covering the whole text; a doc shorter than ``width``
+    yields exactly one chunk.  Chunk count = 1 + max(0,
+    ceil((len-width)/stride)) — integer math shared with the oracle."""
+    n = F.length(F.col(text_col))
+    extra = F.when(
+        n > width,
+        F.floor((n - width + stride - 1) / stride).cast("int"),
+    ).otherwise(F.lit(0))
+    chunks = docs.select(
+        key_col,
+        text_col,
+        F.explode(F.sequence(F.lit(0), extra)).alias("chunk_id"),
+    )
+    chunk = F.col(text_col).substr(
+        (F.col("chunk_id") * stride + 1).cast("int"), F.lit(width)
+    )
+    return chunks.select(
+        key_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("bigint").alias("start"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+def sql_chunk_windows(width: int = CHUNK_W, stride: int = CHUNK_S) -> str:
+    n_extra = (
+        f"CASE WHEN length(text) > {width} "
+        f"THEN (length(text) - {width} + {stride - 1}) // {stride} "
+        f"ELSE 0 END"
+    )
+    return f"""
+        WITH exploded AS (
+            SELECT doc_id, text,
+                   unnest(range(0, {n_extra} + 1)) AS chunk_id
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(chunk_id * {stride} AS BIGINT) AS start,
+               CAST(length(substr(text, CAST(chunk_id * {stride} + 1 AS INT),
+                                  {width})) AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(chunk_id * {stride} + 1 AS INT),
+                          {width})) AS chunk_md5
+        FROM exploded
+    """

@@ -243,3 +243,156 @@ def sql_retention_cohorts() -> str:
         FROM events e JOIN first f ON e.user_id = f.user_id
         GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# T121 — burst detection (per-key rate anomaly)
+# ---------------------------------------------------------------------------
+#
+# Crawl-ops monitoring: a host (here: user) whose hourly event count
+# jumps more than Z_THRESH standard deviations above its own mean is
+# a burst — a stuck recrawl loop, a spam injection, a misbehaving
+# frontier shard.  Two map-side-combined aggregations (hour counts,
+# then per-key moments) and one join; the moments are EXACT bigint
+# sums (n, sum, sum of squares), so mean/variance derive from exact
+# integers with one fixed-shape float expression — bit-reproducible
+# across partitionings and mirrored verbatim by the oracle.
+
+Z_THRESH = 2.0
+
+
+def burst_detection(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    z_thresh: float = Z_THRESH,
+) -> DataFrame:
+    """(user_id, hour_s, n_events, z): the (key, hour) cells whose
+    count exceeds the key's mean by ``z_thresh`` sigmas (population
+    variance over the key's ACTIVE hours)."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    counts = (
+        events.groupBy(F.col(key_col).alias("k"), hour.alias("hour"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    moments = counts.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    joined = counts.join(moments, "k")
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / n
+    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
+    return (
+        joined.filter((var > 0) & (z >= F.lit(z_thresh)))
+        .select(
+            F.col("k").alias(key_col),
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            F.col("c").cast("bigint").alias("n_events"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+def sql_burst_detection(z_thresh: float = Z_THRESH) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT user_id AS k, date_trunc('hour', ts) AS hour,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        moments AS (
+            SELECT k, count(*) AS n,
+                   CAST(sum(c) AS BIGINT) AS s,
+                   CAST(sum(c * c) AS BIGINT) AS ss
+            FROM counts GROUP BY k
+        )
+        SELECT k AS user_id,
+               strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+               CAST(c AS BIGINT) AS n_events,
+               round((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt((CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)),
+                     6) AS z
+        FROM counts JOIN moments USING (k)
+        WHERE (CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE) > 0
+          AND (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+              >= {z_thresh!r}
+    """
+
+
+# ---------------------------------------------------------------------------
+# T125 — transition matrix (next-event Markov estimates)
+# ---------------------------------------------------------------------------
+#
+# First-order Markov transitions over per-user event streams: the
+# navigation model behind "what happens after a click" dashboards and
+# the sequence prior for session-level bot scoring.  One window pass
+# per user (ts order) to form (type -> next type) pairs, one
+# map-side-combined pair count, then conditional probabilities from a
+# bounded per-source window sum — at any corpus scale the result is
+# |types|^2 rows.
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(from_type, to_type, n, p): next-event transition counts and
+    row-normalized probabilities (6dp); the terminal event of each
+    user contributes nothing."""
+    from pyspark.sql import Window as W
+
+    seq = W.partitionBy(key_col).orderBy(ts_col, "event_id")
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(seq).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = W.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(total).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+def sql_transition_matrix() -> str:
+    return """
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+                     6) AS p
+        FROM counts
+    """

@@ -567,3 +567,243 @@ def sql_link_spam_score() -> str:
                      / CAST(n_links AS DOUBLE), 6) > {SPAM_DUP_FRAC} AS spam
         FROM base
     """
+
+
+# ---------------------------------------------------------------------------
+# T119 — triangle count / global clustering coefficient
+# ---------------------------------------------------------------------------
+#
+# Triangle density separates organic link neighborhoods from link
+# farms and mirror rings (spam subgraphs are near-bipartite — almost
+# no triangles for their edge count), and the global clustering
+# coefficient is the one-number summary a crawl-graph audit reports.
+#
+# Scale shape: the Spark side runs the DEGREE-ORDERED node-iterator
+# (Schank & Wagner 2005 "forward"; the MapReduce form is Suri &
+# Vassilvitskii 2011): orient every undirected edge from the
+# lower-(degree, id) endpoint to the higher, build wedges by joining
+# the oriented list with itself on the source, then semi-join wedge
+# endpoints against the oriented edges.  Orientation bounds every
+# node's out-neighborhood by O(sqrt(m)), so the wedge join emits
+# O(m^1.5) rows worst-case instead of sum(deg^2) — the difference
+# between feasible and not on a power-law web graph.  All three
+# shuffles carry (bigint, bigint) pairs only.  The DuckDB oracle
+# states the same count with the textbook u<v<w three-way self-join —
+# two independent derivations agreeing on exact integers.
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One row: (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering): triangle census of the undirected simple graph under
+    ``edges`` (direction and self-loops dropped, duplicates merged).
+
+    ``n_wedges`` = sum over nodes of C(deg, 2); ``clustering`` =
+    3 * triangles / wedges (6dp).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from lower (deg, node) rank to higher
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    fwd = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+        )
+        .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+        .alias("e")
+    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+    # wedges at a: unordered pairs of a's oriented out-neighbors
+    lhs = fwd.select(F.col("a"), F.col("b").alias("x"))
+    rhs = fwd.select(F.col("a"), F.col("b").alias("y"))
+    wedges = lhs.join(rhs, "a").filter(F.col("x") < F.col("y"))
+    closing = fwd.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = und.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(
+                (F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint")
+            ).alias("n_wedges"),
+        )
+    )
+    return counts.crossJoin(n_tri).select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_wedges").cast("bigint").alias("n_wedges"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.round(
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double"),
+            6,
+        ).alias("clustering"),
+    )
+
+
+def sql_triangle_stats() -> str:
+    """Textbook u<v<w three-way self-join over the stated edge list —
+    an independent derivation of the same exact integers the
+    degree-ordered Spark plan produces."""
+    return f"""
+        WITH raw AS ({sql_edges()}),
+        e AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ),
+        deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+                FROM deg) AS n_wedges,
+               CAST(n_triangles AS BIGINT) AS n_triangles,
+               round(3.0 * CAST(n_triangles AS DOUBLE)
+                     / (SELECT CAST(sum(deg * (deg - 1) // 2) AS DOUBLE)
+                        FROM deg), 6) AS clustering
+        FROM tri
+    """
+
+
+# ---------------------------------------------------------------------------
+# T127 — HITS hubs & authorities
+# ---------------------------------------------------------------------------
+#
+# Kleinberg's HITS complements PageRank on a crawl graph: authority
+# separates linked-TO quality pages from the hub/list pages that link
+# to them — a cheap prior for "is this a content page or a directory".
+# Same loop discipline as ``pagerank``: each half-iteration is ONE
+# shuffle of (node, score) pairs with map-side partial sums; scores
+# round to ITER_ROUND decimals every half-iteration IN BOTH ENGINES so
+# float-sum association drift cannot accumulate; normalization is by
+# max() (order-independent, unlike an L2 norm's float sum), keeping
+# the fixed-iteration mirror exact.  The loop-invariant edge list is
+# lazily localCheckpoint'd once (the T36 lesson: otherwise every
+# round re-derives the regex extraction).
+
+def hits_scores(
+    edges: DataFrame,
+    n_nodes: int,
+    n_iter: int = 3,
+) -> DataFrame:
+    """(node, hub, authority) after ``n_iter`` max-normalized HITS
+    iterations over nodes 0..n_nodes-1 (6dp output, ITER_ROUND
+    internal)."""
+    spark = edges.sparkSession
+    e = edges.localCheckpoint(eager=False)
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    hubs = nodes.withColumn("h", F.lit(1.0))
+    for _ in range(n_iter):
+        # authority = normalized inbound hub mass
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.round(F.sum("h"), ITER_ROUND).alias("a_raw"))
+        )
+        a_max = a_raw.agg(F.max("a_raw").alias("m"))
+        auths = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce("a_raw", F.lit(0.0)) / F.col("m"), ITER_ROUND
+                ).alias("a"),
+            )
+        )
+        # hub = normalized outbound authority mass
+        h_raw = (
+            e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.round(F.sum("a"), ITER_ROUND).alias("h_raw"))
+        )
+        h_max = h_raw.agg(F.max("h_raw").alias("m"))
+        hubs = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce("h_raw", F.lit(0.0)) / F.col("m"), ITER_ROUND
+                ).alias("h"),
+            )
+        )
+        auths_final = auths
+    return (
+        hubs.join(auths_final, "node")
+        .select(
+            "node",
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+    )
+
+
+def sql_hits_scores(n_iter: int = 3) -> str:
+    """The same fixed max-normalized iterations as chained CTEs."""
+    parts = [
+        f"WITH edges AS ({sql_edges()}),",
+        "nodes AS (SELECT doc_id AS node FROM documents),",
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)",
+    ]
+    prev_h = "h0"
+    for i in range(n_iter):
+        t = i + 1
+        parts.append(f""", a{t}raw AS (
+            SELECT e.dst AS node,
+                   round(sum(p.h), {ITER_ROUND}) AS a_raw
+            FROM edges e JOIN {prev_h} p ON p.node = e.src
+            GROUP BY e.dst
+        ), a{t} AS (
+            SELECT n.node,
+                   round(COALESCE(r.a_raw, CAST(0.0 AS DOUBLE))
+                         / (SELECT max(a_raw) FROM a{t}raw),
+                         {ITER_ROUND}) AS a
+            FROM nodes n LEFT JOIN a{t}raw r ON r.node = n.node
+        ), h{t}raw AS (
+            SELECT e.src AS node,
+                   round(sum(p.a), {ITER_ROUND}) AS h_raw
+            FROM edges e JOIN a{t} p ON p.node = e.dst
+            GROUP BY e.src
+        ), h{t} AS (
+            SELECT n.node,
+                   round(COALESCE(r.h_raw, CAST(0.0 AS DOUBLE))
+                         / (SELECT max(h_raw) FROM h{t}raw),
+                         {ITER_ROUND}) AS h
+            FROM nodes n LEFT JOIN h{t}raw r ON r.node = n.node
+        )""")
+        prev_h = f"h{t}"
+    parts.append(f"""
+        SELECT n.node, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+        FROM nodes n
+        JOIN {prev_h} h ON h.node = n.node
+        JOIN a{n_iter} a ON a.node = n.node
+    """)
+    return "\n".join(parts)

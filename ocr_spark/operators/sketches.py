@@ -1,0 +1,472 @@
+"""Mergeable sketches: HyperLogLog distinct counts, DDSketch-style
+quantiles, and Johnson-Lindenstrauss random projection.
+
+At 10^12 documents, "how many distinct X" and "what is the p99 of Y"
+cannot be answered with exact distincts or global sorts — the
+production shapes are MERGEABLE sketches whose partial states collapse
+inside map-side combine and whose final merge touches a bounded number
+of rows.  The reference keeps these as SQLite dashboard counts
+(main.py status/stats endpoints); here they are corpus-scale
+operators:
+
+* ``hll_distinct`` — per-language distinct-shingle estimate via a
+  deterministic HyperLogLog (Flajolet et al. 2007): 60-bit truncated
+  md5, ``HLL_P``-bit register index, rank-of-first-one registers.
+  The register table is a ``groupBy(lang, j).max(rho)`` — the textbook
+  mergeable sketch: every partition collapses to at most ``m`` rows
+  per language before the exchange, and the estimator runs on ``m``
+  rows per group.  All sketch state is INTEGER (the 2^-M harmonic sum
+  is carried as exact ``2^(51-M)`` bigints), so the estimate is
+  bit-reproducible regardless of partitioning — and the DuckDB oracle
+  replays it exactly.
+* ``quantile_sketch`` — log-histogram quantiles (the DDSketch idea,
+  Masson et al. 2019, with power-of-two boundaries instead of gamma):
+  bucket = (bitlen(x)-1)*S + sub-bucket from the top bits, all integer
+  math, relative error bounded by 1/S.  One ``groupBy(bucket).count``
+  with map-side combine, a cumulative sum over the ≤ 64*S bucket rows,
+  and a constant-size quantile lookup — no global sort at any scale.
+* ``random_projection`` — JL sign projection of the 64-dim embedding
+  column to ``RP_DIM`` dims: a literal ±1 matrix derived from md5 at
+  plan-build time (shared verbatim with the SQL mirror), applied as a
+  fixed-order chain of multiply-adds inside whole-stage codegen.
+  Zero shuffle, zero Python; the standard cheap first stage before
+  LSH / clustering on reduced vectors.
+
+Reference parity: the reference has no sketch surface; these extend
+its stats endpoints (``main.py:3741-3787``) to corpus scale as SURVEY
+§2.14 training-data operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# T117 — HyperLogLog distinct estimate
+# ---------------------------------------------------------------------------
+
+HLL_P = 10                      # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+# bits left after the register index is consumed from the 60-bit hash
+_HLL_WBITS = 60 - HLL_P         # 50
+_HLL_RMAX = _HLL_WBITS + 1      # rho for w == 0
+# Flajolet et al. 2007 bias correction for m >= 128
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _rho_col(w: Column) -> Column:
+    """Rank of the first 1-bit of the 50-bit suffix ``w``:
+    ``51 - bit_length(w)`` (bit_length via the binary-string length,
+    exact integer math — no float log2 edge cases)."""
+    return (
+        F.when(w == 0, F.lit(_HLL_RMAX))
+        .otherwise(F.lit(_HLL_RMAX) - F.length(F.bin(w)))
+        .cast("int")
+    )
+
+
+def hll_distinct(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, v_empty, z_scaled, est): HLL distinct-shingle estimate
+    per language.
+
+    ``z_scaled`` is the harmonic denominator carried exactly:
+    ``sum(2^(51 - M_j))`` over all m registers (empty registers
+    contribute ``2^51``) — a BIGINT sum, so the merge is
+    order-independent and the estimate reproducible bit-for-bit.
+    ``est`` applies linear counting below the 2.5m small-range
+    threshold (the only branch with a transcendental; rounded to 4dp).
+    """
+    from ocr_spark.operators.dedup import _hash60, shingles_col
+
+    h = _hash60(F.concat(F.lit("hll:"), F.col("sh")))
+    regs = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(shingles_col(F.col(text_col))).alias("sh"),
+        )
+        .select(
+            "g",
+            h.bitwiseAND(F.lit(HLL_M - 1)).alias("j"),
+            _rho_col(F.shiftright(h, HLL_P)).alias("rho"),
+        )
+        .groupBy("g", "j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # exact integer harmonic sum: present registers contribute
+    # 2^(51-M); the (m - n_present) empty ones contribute 2^51 each
+    agg = regs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - m_j)")
+        ).alias("z_present"),
+    )
+    z_scaled = (
+        F.col("z_present")
+        + (F.lit(HLL_M) - F.col("n_present"))
+        * F.lit(1 << _HLL_RMAX).cast("bigint")
+    )
+    v_empty = (F.lit(HLL_M) - F.col("n_present")).cast("bigint")
+    e_raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M)
+        * F.pow(F.lit(2.0), F.lit(_HLL_RMAX))
+        / z_scaled.cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        F.col("g").alias(group_col),
+        v_empty.alias("v_empty"),
+        z_scaled.alias("z_scaled"),
+        F.round(est, 4).alias("est"),
+    )
+
+
+def sql_hll_distinct(group_col: str = "lang") -> str:
+    from ocr_spark.operators.dedup import sql_shingles
+
+    h = "CAST('0x' || substr(md5('hll:' || sh), 1, 15) AS BIGINT)"
+    return f"""
+        WITH sh AS (
+            SELECT {group_col} AS g,
+                   unnest({sql_shingles("text")}) AS sh
+            FROM documents
+        ),
+        hashed AS (
+            SELECT g, {h} & {HLL_M - 1} AS j,
+                   CASE WHEN ({h} >> {HLL_P}) = 0 THEN {_HLL_RMAX}
+                        ELSE {_HLL_RMAX}
+                             - length(bin({h} >> {HLL_P}))
+                   END AS rho
+            FROM sh
+        ),
+        regs AS (
+            SELECT g, j, max(rho) AS m_j FROM hashed GROUP BY g, j
+        ),
+        agg AS (
+            SELECT g, count(*) AS n_present,
+                   CAST(sum(CAST(1 AS BIGINT) << ({_HLL_RMAX} - m_j))
+                        AS BIGINT) AS z_present
+            FROM regs GROUP BY g
+        ),
+        stats AS (
+            SELECT g,
+                   CAST({HLL_M} - n_present AS BIGINT) AS v_empty,
+                   z_present + ({HLL_M} - n_present)
+                             * (CAST(1 AS BIGINT) << {_HLL_RMAX})
+                       AS z_scaled
+            FROM agg
+        )
+        SELECT g AS {group_col}, v_empty, z_scaled,
+               round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r}
+                               * pow(CAST(2.0 AS DOUBLE), {_HLL_RMAX})
+                               / CAST(z_scaled AS DOUBLE)
+                               <= {2.5 * HLL_M!r}
+                          AND v_empty > 0
+                     THEN CAST({float(HLL_M)!r} AS DOUBLE)
+                          * ln(CAST({float(HLL_M)!r} AS DOUBLE)
+                               / CAST(v_empty AS DOUBLE))
+                     ELSE {HLL_ALPHA * HLL_M * HLL_M!r}
+                          * pow(CAST(2.0 AS DOUBLE), {_HLL_RMAX})
+                          / CAST(z_scaled AS DOUBLE)
+                     END, 4) AS est
+        FROM stats
+    """
+
+
+# ---------------------------------------------------------------------------
+# T118 — log-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+QSK_SUB = 16                    # sub-buckets per octave; rel err <= 1/16
+QSK_QUANTILES = (0.5, 0.75, 0.9, 0.99)
+
+
+def _qsk_bucket() -> Column:
+    """Integer bucket id of positive column ``_qx``: octave =
+    bit_length(x), sub-bucket = top QSK_SUB-th of the octave — exact
+    integer math in both engines (bit_length via binary-string
+    length)."""
+    x = F.col("_qx")
+    e = F.length(F.bin(x))                       # bit_length, x >= 1
+    lo = F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(_qx)) - 1)")
+    sub = F.floor((x - lo) * QSK_SUB / lo).cast("bigint")
+    return (e - 1).cast("bigint") * QSK_SUB + sub
+
+
+def quantile_sketch(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    quantiles: tuple = QSK_QUANTILES,
+) -> DataFrame:
+    """(q, rank, bucket, est_lo, est_hi, n_in_bucket): quantile
+    estimates from the bucket histogram.  ``est_lo <= true quantile
+    <= est_hi`` with ``est_hi/est_lo <= 1 + 1/QSK_SUB`` per octave.
+
+    rank = ceil(q * n); the answer bucket is the first whose
+    cumulative count reaches the rank.  The histogram is one
+    map-side-combined count; everything after runs on ≤ 64*QSK_SUB
+    rows.
+    """
+    x = F.col(value_col).cast("bigint")
+    hist = (
+        docs.filter(x >= 1)
+        .select(x.alias("_qx"))
+        .select(_qsk_bucket().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    )
+    from pyspark.sql import Window as W
+
+    cum = hist.select(
+        "bucket",
+        "n_in_bucket",
+        F.sum("n_in_bucket")
+        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("n_in_bucket").over(
+            W.orderBy("bucket").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    ranked = cum.select("*", qs).withColumn(
+        "rank", F.ceil(F.col("q") * F.col("n_total"))
+    )
+    best = (
+        ranked.filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q", "rank")
+        .agg(
+            F.min(
+                F.struct("bucket", "n_in_bucket")
+            ).alias("b")
+        )
+        .select("q", "rank", F.col("b.bucket").alias("bucket"),
+                F.col("b.n_in_bucket").alias("n_in_bucket"))
+    )
+    bounded = best.withColumn(
+        "_e", (F.floor(F.col("bucket") / QSK_SUB) + 1).cast("int")
+    ).withColumn(
+        "_lo_oct", F.expr("shiftleft(CAST(1 AS BIGINT), _e - 1)")
+    ).withColumn("_sub", F.col("bucket") % QSK_SUB)
+    est_lo = F.col("_lo_oct") + F.floor(
+        F.col("_sub") * F.col("_lo_oct") / QSK_SUB
+    ).cast("bigint")
+    est_hi = F.col("_lo_oct") + F.floor(
+        (F.col("_sub") + 1) * F.col("_lo_oct") / QSK_SUB
+    ).cast("bigint")
+    return bounded.select(
+        F.round("q", 6).alias("q"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "bucket",
+        est_lo.cast("bigint").alias("est_lo"),
+        est_hi.cast("bigint").alias("est_hi"),
+        "n_in_bucket",
+    )
+
+
+def sql_quantile_sketch(
+    value_col: str = "n_chars", quantiles: tuple = QSK_QUANTILES
+) -> str:
+    qvals = ", ".join(repr(float(q)) for q in quantiles)
+    b = (
+        f"(length(bin(CAST({value_col} AS BIGINT))) - 1) * {QSK_SUB} + "
+        f"CAST(floor((CAST({value_col} AS BIGINT) - "
+        f"(CAST(1 AS BIGINT) << (length(bin(CAST({value_col} AS BIGINT))) - 1)))"
+        f" * {QSK_SUB} / "
+        f"(CAST(1 AS BIGINT) << (length(bin(CAST({value_col} AS BIGINT))) - 1)))"
+        f" AS BIGINT)"
+    )
+    return f"""
+        WITH hist AS (
+            SELECT {b} AS bucket, count(*) AS n_in_bucket
+            FROM documents WHERE {value_col} >= 1 GROUP BY 1
+        ),
+        cum AS (
+            SELECT bucket, n_in_bucket,
+                   sum(n_in_bucket) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                   sum(n_in_bucket) OVER () AS n_total
+            FROM hist
+        ),
+        ranked AS (
+            SELECT cum.*, q.q, ceil(q.q * n_total) AS rank
+            FROM cum, (SELECT unnest([{qvals}]) AS q) q
+        ),
+        best AS (
+            SELECT q, rank,
+                   min(bucket) AS bucket
+            FROM ranked WHERE cum >= rank GROUP BY q, rank
+        ),
+        found AS (
+            SELECT b.q, b.rank, b.bucket, h.n_in_bucket,
+                   CAST(floor(b.bucket / {QSK_SUB}) + 1 AS INT) AS e,
+                   b.bucket % {QSK_SUB} AS sub
+            FROM best b JOIN hist h ON h.bucket = b.bucket
+        )
+        SELECT round(q, 6) AS q,
+               CAST(rank AS BIGINT) AS rank,
+               bucket,
+               CAST((CAST(1 AS BIGINT) << (e - 1))
+                    + floor(sub * (CAST(1 AS BIGINT) << (e - 1))
+                            / {QSK_SUB}) AS BIGINT) AS est_lo,
+               CAST((CAST(1 AS BIGINT) << (e - 1))
+                    + floor((sub + 1) * (CAST(1 AS BIGINT) << (e - 1))
+                            / {QSK_SUB}) AS BIGINT) AS est_hi,
+               n_in_bucket
+        FROM found
+    """
+
+
+# ---------------------------------------------------------------------------
+# T122 — Johnson-Lindenstrauss sign projection
+# ---------------------------------------------------------------------------
+
+RP_DIM = 8
+EMB_DIM = 64
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """±1 from md5 — computed ONCE at plan-build time in Python and
+    embedded as literals in BOTH engines' expressions."""
+    d = hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()
+    return 1 if int(d[:2], 16) % 2 == 0 else -1
+
+
+_RP_SCALE = 1.0 / float(RP_DIM) ** 0.5
+
+
+def random_projection(
+    emb: DataFrame,
+    in_dim: int = EMB_DIM,
+    out_dim: int = RP_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, p0..p{out_dim-1}): sign-matrix JL projection
+    (Achlioptas 2003 database-friendly variant, ±1 entries).  The
+    matrix is literal, the sum is a FIXED-ORDER chain of adds — the
+    whole projection is one codegen'd expression per output dim, and
+    the SQL mirror states the identical chain, so floats agree
+    bit-for-bit."""
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        expr = None
+        for i in range(in_dim):
+            term = F.col(vec_col)[i].cast("double") * F.lit(
+                float(_rp_sign(i, j))
+            )
+            expr = term if expr is None else expr + term
+        cols.append(F.round(expr * F.lit(_RP_SCALE), 6).alias(f"p{j}"))
+    return emb.select(*cols)
+
+
+def sql_random_projection(
+    in_dim: int = EMB_DIM, out_dim: int = RP_DIM
+) -> str:
+    outs = []
+    for j in range(out_dim):
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * "
+            f"CAST({float(_rp_sign(i, j))!r} AS DOUBLE)"
+            for i in range(in_dim)
+        )
+        outs.append(
+            f"round(({chain}) * CAST({_RP_SCALE!r} AS DOUBLE), 6) AS p{j}"
+        )
+    sel = ",\n               ".join(outs)
+    return f"""
+        SELECT vec_id,
+               {sel}
+        FROM embeddings
+    """
+
+
+# ---------------------------------------------------------------------------
+# T126 — Gram / covariance matrix (the distributed half of PCA)
+# ---------------------------------------------------------------------------
+#
+# PCA over 10^12 embeddings is a d x d Gram matrix aggregation (d
+# small) + a driver-side eigendecomposition (numpy on 64x64) — the
+# MLlib RowMatrix pattern.  The aggregation here is FIXED-POINT:
+# coordinates quantize once to integer millis, products accumulate as
+# exact bigints, so the partial aggregation is order-independent and
+# the result bit-reproducible under any partitioning (the same trick
+# as T46's integer micro-nats).  At larger scales the bigint
+# accumulator widens to DECIMAL(38,0); the shape is unchanged.
+
+GRAM_SCALE = 1000  # fixed-point millis per coordinate
+
+
+def gram_matrix(
+    emb: DataFrame,
+    dim: int = EMB_DIM,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(i, j, s_scaled, value) for the upper triangle i <= j:
+    s_scaled = sum over rows of round(x_i*1000) * round(x_j*1000)
+    (exact bigint); value = s_scaled / 1000^2 rounded to 6dp."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * GRAM_SCALE).cast("bigint"),
+    )
+    rows = emb.select(q.alias("q"))
+    expl = rows.select(
+        F.posexplode("q").alias("i", "xi"), F.col("q")
+    ).select(
+        "i", "xi", F.explode(F.sequence(F.col("i"), F.lit(dim - 1))).alias("j"),
+        F.col("q"),
+    )
+    terms = expl.select(
+        "i", "j", (F.col("xi") * F.col("q")[F.col("j")]).alias("t")
+    )
+    return (
+        terms.groupBy("i", "j")
+        .agg(F.sum("t").alias("s_scaled"))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            F.col("s_scaled").cast("bigint").alias("s_scaled"),
+            F.round(
+                F.col("s_scaled").cast("double")
+                / F.lit(float(GRAM_SCALE * GRAM_SCALE)),
+                6,
+            ).alias("value"),
+        )
+    )
+
+
+def sql_gram_matrix(dim: int = EMB_DIM) -> str:
+    return f"""
+        WITH q AS (
+            SELECT list_transform(
+                       embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * {GRAM_SCALE})
+                                 AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT i.i AS i, j.j AS j, q.q[i.i + 1] * q.q[j.j + 1] AS t
+            FROM q,
+                 (SELECT unnest(range(0, {dim})) AS i) i,
+                 (SELECT unnest(range(0, {dim})) AS j) j
+            WHERE j.j >= i.i
+        )
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               CAST(sum(t) AS BIGINT) AS s_scaled,
+               round(CAST(sum(t) AS DOUBLE)
+                     / {float(GRAM_SCALE * GRAM_SCALE)!r}, 6) AS value
+        FROM pairs GROUP BY i, j
+    """

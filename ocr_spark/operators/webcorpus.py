@@ -2879,3 +2879,143 @@ def sql_url_dedup() -> str:
                CAST(count(*) AS BIGINT) AS n_variants
         FROM c GROUP BY canon_url
     """
+
+
+# ---------------------------------------------------------------------------
+# T123 — politeness schedule (per-host fetch slots)
+# ---------------------------------------------------------------------------
+#
+# A frontier that respects crawl-delay must serialize fetches per
+# host: the slot sequence IS the politeness contract.  Per-host
+# serialization is inherent to the problem, so the per-host window
+# here is not a scalability smell — the shuffle carries (doc_id,
+# host, 8-byte order hash) only, giant hosts are bounded upstream by
+# the per-host quota (T44), and hosts are spread over workers by a
+# stable hash so no worker inherits a head-of-line host by accident.
+
+CRAWL_DELAY_MS = 1000
+N_CRAWL_WORKERS = 16
+
+
+def politeness_schedule(
+    docs: DataFrame,
+    delay_ms: int = CRAWL_DELAY_MS,
+    n_workers: int = N_CRAWL_WORKERS,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, host, worker, slot, fetch_ms): deterministic fetch
+    plan — per-host slots in md5 order (stable, seedable shuffle of
+    the host's queue), fetch_ms = slot * delay_ms, worker = stable
+    host hash mod n_workers (all of a host's fetches land on ONE
+    worker, the invariant politeness needs)."""
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators.dedup import _hash60
+
+    key = F.col(key_col)
+    url = plant_url_col(key, F.col("source"))
+    host = canonicalize_url(url)["host"]
+    base = docs.select(
+        key.alias("doc_id"),
+        host.alias("host"),
+        F.md5(F.concat(F.lit("pol:"), key.cast("string"))).alias("ord"),
+    )
+    w = W.partitionBy("host").orderBy("ord", "doc_id")
+    return base.select(
+        "doc_id",
+        "host",
+        (_hash60(F.concat(F.lit("w:"), F.col("host"))) % n_workers)
+        .cast("bigint")
+        .alias("worker"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("slot"),
+        ((F.row_number().over(w) - 1) * delay_ms)
+        .cast("bigint")
+        .alias("fetch_ms"),
+    )
+
+
+def sql_politeness_schedule(
+    delay_ms: int = CRAWL_DELAY_MS, n_workers: int = N_CRAWL_WORKERS
+) -> str:
+    url = sql_plant_url()
+    re = _URL_RE.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+        WITH u AS (SELECT doc_id, {url} AS url FROM documents),
+        hosts AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_extract(
+                           lower(regexp_extract(url, '{re}', 2)),
+                           '^([^:]+)', 1),
+                       '^www\\.', '') AS host,
+                   md5('pol:' || CAST(doc_id AS VARCHAR)) AS ord
+            FROM u
+        )
+        SELECT doc_id, host,
+               CAST(CAST('0x' || substr(md5('w:' || host), 1, 15) AS BIGINT)
+                    % {n_workers} AS BIGINT) AS worker,
+               CAST(row_number() OVER (PARTITION BY host
+                                       ORDER BY ord, doc_id) - 1
+                    AS BIGINT) AS slot,
+               CAST((row_number() OVER (PARTITION BY host
+                                        ORDER BY ord, doc_id) - 1)
+                    * {delay_ms} AS BIGINT) AS fetch_ms
+        FROM hosts
+    """
+
+
+# ---------------------------------------------------------------------------
+# T124 — URL path-template mining
+# ---------------------------------------------------------------------------
+#
+# Collapsing numeric path segments ("/Articles/8231" -> "/Articles/{n}")
+# exposes a site's URL structure: which templates dominate a host
+# decides crawl budgets (list pages vs article pages) and powers
+# pattern-level blocklists.  One narrow regex projection + one
+# map-side-combined agg; nothing but (host, template) strings shuffle.
+
+def url_templates(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """(host, template, n_urls, min_doc_id): per-host URL path
+    templates with numeric runs collapsed to ``{n}``."""
+    key = F.col(key_col)
+    url = plant_url_col(key, F.col("source"))
+    parts = canonicalize_url(url)
+    path = F.regexp_extract(parts["canon_url"], _URL_RE, 3)
+    template = F.regexp_replace(path, r"[0-9]+", "{n}")
+    return (
+        docs.select(
+            parts["host"].alias("host"),
+            template.alias("template"),
+            key.alias("doc_id"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+    )
+
+
+def sql_url_templates() -> str:
+    url = sql_plant_url()
+    re = _URL_RE.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+        WITH u AS (SELECT doc_id, {url} AS url FROM documents),
+        parts AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_extract(
+                           lower(regexp_extract(url, '{re}', 2)),
+                           '^([^:]+)', 1),
+                       '^www\\.', '') AS host,
+                   CASE WHEN regexp_extract(url, '{re}', 3) = ''
+                        THEN '/' ELSE regexp_extract(url, '{re}', 3)
+                   END AS path
+            FROM u
+        )
+        SELECT host,
+               regexp_replace(path, '[0-9]+', '{{n}}', 'g') AS template,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        FROM parts GROUP BY host, template
+    """

@@ -1,0 +1,213 @@
+"""Behavioral and plan tests for the sketch/graph/window operators
+(T117-T122): HLL accuracy, quantile-sketch bounds, JL distance
+preservation, triangle closed-form, chunk coverage, planted bursts —
+plus the no-shuffle plan guarantees the narrow ops claim."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_hll_within_five_pct_of_exact(spark):
+    from ocr_spark.operators.dedup import shingles_col
+    from ocr_spark.operators.sketches import hll_distinct
+
+    docs = _docs(spark)
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.select(
+            "lang", F.explode(F.array_distinct(shingles_col(F.col("text")))).alias("sh")
+        )
+        .groupBy("lang")
+        .agg(F.countDistinct("sh").alias("n"))
+        .collect()
+    }
+    est = {r["lang"]: r["est"] for r in hll_distinct(docs).collect()}
+    assert set(est) == set(exact)
+    for lang, n in exact.items():
+        # 1024 registers -> ~3.25% relative standard error
+        assert abs(est[lang] - n) / n < 0.05, (lang, est[lang], n)
+
+
+def test_quantile_sketch_bounds_contain_exact(spark):
+    from ocr_spark.operators.sketches import quantile_sketch
+
+    docs = _docs(spark)
+    vals = sorted(r["n_chars"] for r in docs.select("n_chars").collect())
+    rows = quantile_sketch(docs).collect()
+    assert len(rows) == 4
+    for r in rows:
+        exact = vals[int(r["rank"]) - 1]  # rank = ceil(q*n), 1-based
+        assert r["est_lo"] <= exact <= r["est_hi"], (r, exact)
+        # bounded relative error: one sub-bucket of the octave
+        assert r["est_hi"] <= r["est_lo"] * (1 + 1 / 8), r
+
+
+def test_random_projection_is_narrow_and_preserves_distance(spark):
+    from ocr_spark.operators.sketches import RP_DIM, random_projection
+
+    proj = random_projection(_emb(spark))
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = proj.limit(40).collect()
+    assert len(rows[0]) == RP_DIM + 1
+    # JL with +-1 signs preserves E[||x||^2]; check the projected
+    # norms are within a loose factor of each other's spread, i.e.
+    # the projection did not collapse (all-zero) or blow up
+    norms = [sum(r[f"p{j}"] ** 2 for j in range(RP_DIM)) for r in rows]
+    assert min(norms) > 0
+    assert max(norms) / min(norms) < 100
+
+
+def test_chunk_windows_cover_text_without_gaps(spark):
+    from ocr_spark.operators.curation import CHUNK_S, CHUNK_W, chunk_windows
+
+    full = _docs(spark)
+    plan = chunk_windows(full)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    docs = full.limit(50)
+    lens = {r["doc_id"]: len(r["text"]) for r in docs.collect()}
+    rows = chunk_windows(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(lens)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = lens[doc_id]
+        # consecutive starts differ by the stride; last chunk reaches EOF
+        for i, c in enumerate(chunks):
+            assert c["start"] == i * CHUNK_S
+            assert c["chunk_len"] == min(CHUNK_W, n - c["start"])
+        last = chunks[-1]
+        assert last["start"] + last["chunk_len"] == n
+        # one chunk for short docs, overlap otherwise
+        if n <= CHUNK_W:
+            assert len(chunks) == 1
+
+
+def test_burst_detection_flags_planted_burst(spark):
+    from ocr_spark.operators.events import burst_detection
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: 10 quiet hours of 2 events, one hour with 30 -> burst
+    for h in range(10):
+        for i in range(30 if h == 7 else 2):
+            rows.append((1, base + datetime.timedelta(hours=h, minutes=i)))
+    # user 2: perfectly flat -> variance 0, never flagged
+    for h in range(5):
+        rows.append((2, base + datetime.timedelta(hours=h)))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = burst_detection(df).collect()
+    assert [(r["user_id"], r["hour_s"]) for r in out] == [
+        (1, "2024-01-01 07:00:00")
+    ]
+    assert out[0]["n_events"] == 30
+    assert out[0]["z"] > 2
+
+
+def test_triangle_stats_closed_form(spark):
+    from ocr_spark.operators.graph import triangle_stats
+
+    # K3 triangle (1,2,3) + pendant (3,4); duplicate + reversed +
+    # self-loop edges must be ignored
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 3), (3, 4), (4, 3)],
+        ["src", "dst"],
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 4
+    # degrees: 1:2, 2:2, 3:3, 4:1 -> wedges = 1+1+3+0 = 5
+    assert row["n_wedges"] == 5
+    assert row["n_triangles"] == 1
+    assert row["clustering"] == pytest.approx(3.0 / 5.0)
+
+
+def test_politeness_schedule_invariants(spark):
+    from ocr_spark.operators.webcorpus import (
+        CRAWL_DELAY_MS,
+        N_CRAWL_WORKERS,
+        politeness_schedule,
+    )
+
+    rows = politeness_schedule(_docs(spark)).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, hr in by_host.items():
+        # one worker per host; dense slots 0..n-1; delay honored
+        assert len({r["worker"] for r in hr}) == 1, host
+        slots = sorted(r["slot"] for r in hr)
+        assert slots == list(range(len(hr))), host
+        for r in hr:
+            assert r["fetch_ms"] == r["slot"] * CRAWL_DELAY_MS
+            assert 0 <= r["worker"] < N_CRAWL_WORKERS
+
+
+def test_transition_matrix_row_stochastic(spark):
+    from ocr_spark.operators.events import transition_matrix
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = transition_matrix(ev).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["from_type"], []).append(r)
+    for src, rs in by_src.items():
+        assert sum(r["p"] for r in rs) == pytest.approx(1.0, abs=1e-4), src
+        assert all(r["n"] > 0 for r in rs)
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from ocr_spark.operators.sketches import GRAM_SCALE, gram_matrix
+
+    emb = _emb(spark)
+    mat = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    q = np.rint(mat * GRAM_SCALE)
+    expected = q.T @ q
+    for r in gram_matrix(emb).collect():
+        assert r["s_scaled"] == int(expected[r["i"], r["j"]]), (r["i"], r["j"])
+
+
+def test_hits_star_graph_closed_form(spark):
+    from ocr_spark.operators.graph import hits_scores
+
+    # star: 1,2,3 all point at 0 -> node 0 is the sole authority,
+    # nodes 1-3 are the (equal) hubs, node 0 has hub 0
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], ["src", "dst"]
+    )
+    got = {r["node"]: r for r in hits_scores(edges, 4).collect()}
+    assert got[0]["authority"] == pytest.approx(1.0)
+    assert got[0]["hub"] == 0.0
+    for n in (1, 2, 3):
+        assert got[n]["hub"] == pytest.approx(1.0)
+        assert got[n]["authority"] == 0.0
+
+
+def test_url_templates_collapse(spark):
+    from ocr_spark.operators.webcorpus import url_templates
+
+    rows = url_templates(_docs(spark)).collect()
+    assert sum(r["n_urls"] for r in rows) == _docs(spark).count()
+    templates = {r["template"] for r in rows}
+    # numeric article ids all collapse to one template; roots stay
+    assert "/Articles/{n}" in templates
+    assert "/" in templates
+    assert not any(
+        any(c.isdigit() for c in t.replace("{n}", "")) for t in templates
+    )
