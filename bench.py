@@ -125,6 +125,14 @@ HEADLINE_QUERIES = [
     "quality_ensemble",
     "html_metadata",
     "link_spam_score",
+    # sketch / graph-census ops (mergeable sketches, degree-ordered
+    # triangles, narrow projections)
+    "hll_distinct",
+    "quantile_sketch",
+    "triangle_count",
+    "random_projection",
+    "chunk_windows",
+    "transition_matrix",
 ]
 
 

@@ -211,3 +211,51 @@ def test_url_templates_collapse(spark):
     assert not any(
         any(c.isdigit() for c in t.replace("{n}", "")) for t in templates
     )
+
+
+def test_frontier_job_end_to_end(spark, tmp_path):
+    """The frontier job chains admission -> robots -> host cap ->
+    politeness into a worker-partitioned fetch plan whose per-host
+    invariants hold (one worker per host, dense slots, monotone
+    funnel)."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "plan")
+    rep = str(tmp_path / "report")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/jobs/frontier.py",
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", out,
+            "--report", rep,
+            "--host-cap", "40",
+            "--workers", "4",
+            "--cores", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    plan = spark.read.parquet(out)
+    rows = plan.collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, hr in by_host.items():
+        assert len({r["worker"] for r in hr}) == 1, host
+        assert sorted(r["slot"] for r in hr) == list(range(len(hr))), host
+        assert len(hr) <= 40, host
+    report = {
+        r["stage"]: r["rows"] for r in spark.read.parquet(rep).collect()
+    }
+    assert report["input"] >= report["url_admission"] >= report["robots"]
+    assert report["robots"] >= report["host_cap_40"] == report["fetch_plan"]
+    # worker partitioning on disk: each worker dir self-contained
+    import os as _os
+
+    dirs = [d for d in _os.listdir(out) if d.startswith("worker=")]
+    assert 1 <= len(dirs) <= 4
