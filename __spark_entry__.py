@@ -2293,6 +2293,38 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_detection(_t(spark, sf_dir, "events"))
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T129: deflate-ratio quality signal (templated/spam pages
+    compress far below organic prose) — stdlib zlib at a fixed level
+    through the accepted Arrow-batched pandas_udf seam; narrow plan.
+    zlib is not SQL-expressible, so rows+pytest-gated."""
+    from ocr_spark.operators.curation import compression_ratio
+
+    return compression_ratio(_tw(spark, sf_dir, "documents"))
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T128: distributed PCA — covariance from T126's exact-integer
+    Gram partials (2080 bounded rows to the driver), 64x64 numpy
+    eigendecomposition driver-side, projection returns to the cluster
+    as a literal fixed-order dot product (narrow plan).  The
+    eigendecomposition is not SQL-expressible, so this op is
+    rows+pytest-gated; its numeric inputs are oracle-gated via
+    gram_matrix (T126)."""
+    from ocr_spark.operators.sketches import pca_project
+
+    return pca_project(_tw(spark, sf_dir, "embeddings"))
+
+
+def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T128b: explained-variance scree table for the top-k principal
+    components (the dataset-card summary of embedding intrinsic
+    dimensionality).  Rows+pytest-gated like T128."""
+    from ocr_spark.operators.sketches import pca_variance
+
+    return pca_variance(_tw(spark, sf_dir, "embeddings"))
+
+
 def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T123: deterministic per-host fetch slots (crawl-delay
     politeness) — per-host serialization is the CONTRACT, so the
@@ -2420,6 +2452,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": q_transition_matrix,
         "gram_matrix": q_gram_matrix,
         "hits_scores": q_hits_scores,
+        # rows+pytest-gated (eigendecomposition / zlib not
+        # SQL-expressible)
+        "pca_project": q_pca_project,
+        "pca_variance": q_pca_variance,
+        "compression_ratio": q_compression_ratio,
         # --- banked in CORRECTNESS_r03.json ---
         "extract_spans_roundtrip": q_extract_spans_roundtrip,
         "mixture_sample": q_mixture_sample,

@@ -1200,3 +1200,62 @@ def sql_chunk_windows(width: int = CHUNK_W, stride: int = CHUNK_S) -> str:
                           {width})) AS chunk_md5
         FROM exploded
     """
+
+
+# ---------------------------------------------------------------------------
+# T129 — compression-ratio quality signal
+# ---------------------------------------------------------------------------
+#
+# The deflate ratio is the classic cheap spam/template detector
+# (used alongside repetition rules in Gopher/RefinedWeb-class
+# pipelines): machine-generated and templated pages compress far
+# below organic prose.  zlib is stdlib and deterministic at a fixed
+# level, but not SQL-expressible — so this op is Arrow-batched
+# (``pandas_udf``, the accepted Python seam) and pytest-gated with
+# planted compressible/incompressible rows; the surrounding plan is a
+# narrow projection.
+
+COMPRESS_LEVEL = 6
+COMPRESS_SPAM_MAX_RATIO = 0.35   # below this, flag as templated/spammy
+
+
+def compression_ratio(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = COMPRESS_LEVEL,
+    spam_max_ratio: float = COMPRESS_SPAM_MAX_RATIO,
+) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, ratio, templated): deflate
+    ratio of the UTF-8 text at a fixed level; ``templated`` flags
+    ratios below ``spam_max_ratio``.  Empty docs get ratio 1.0."""
+    import pandas as pd
+
+    @F.pandas_udf("bigint")
+    def _zlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    n_bytes = F.octet_length(F.col(text_col)).cast("bigint")
+    out = docs.select(
+        F.col(key_col).alias("doc_id"),
+        n_bytes.alias("n_bytes"),
+        _zlen(F.col(text_col)).alias("n_compressed"),
+    )
+    ratio = F.when(F.col("n_bytes") == 0, F.lit(1.0)).otherwise(
+        F.round(
+            F.col("n_compressed").cast("double")
+            / F.col("n_bytes").cast("double"),
+            6,
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        ratio.alias("ratio"),
+        (ratio < spam_max_ratio).alias("templated"),
+    )

@@ -470,3 +470,105 @@ def sql_gram_matrix(dim: int = EMB_DIM) -> str:
                      / {float(GRAM_SCALE * GRAM_SCALE)!r}, 6) AS value
         FROM pairs GROUP BY i, j
     """
+
+
+# ---------------------------------------------------------------------------
+# T128 — PCA projection (completing the Gram-matrix pattern)
+# ---------------------------------------------------------------------------
+#
+# The second half of distributed PCA: the d x d covariance assembles
+# on the driver from T126's exact-bigint partials (d = 64 -> 2080
+# bounded rows collected, the SAME shape MLlib's RowMatrix uses), the
+# eigendecomposition is a driver-side numpy call on a 64x64 matrix,
+# and the projection returns to the cluster as a LITERAL matrix
+# applied in fixed-order multiply-add chains — a pure narrow plan,
+# like T122.  Eigenvector sign is fixed (largest-|component| positive)
+# so the output is deterministic.  Not SQL-expressible (the
+# eigendecomposition), so this op is pytest- and rows-gated rather
+# than oracle-gated; every numeric input to it IS oracle-gated via
+# T126.
+
+PCA_K = 4
+
+
+def _pca_components(emb: DataFrame, k: int, dim: int):
+    """Top-k eigenvectors (rows) of the sample covariance, via the
+    exact-integer Gram partials + per-dim sums. Returns (components
+    [k x dim], explained_ratio [k], n, milli-sums [dim])."""
+    import numpy as np
+
+    gram_rows = gram_matrix(emb, dim=dim).collect()
+    n = emb.count()
+    sums = (
+        emb.select(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * GRAM_SCALE).cast(
+                    "bigint"
+                ),
+            ).alias("q")
+        )
+        .select(
+            *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)]
+        )
+        .collect()[0]
+    )
+    s = np.array([sums[f"s{i}"] for i in range(dim)], dtype=np.float64)
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["s_scaled"]
+    scale2 = float(GRAM_SCALE * GRAM_SCALE)
+    cov = g / (n * scale2) - np.outer(s, s) / (n * n * scale2)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T                  # k x dim
+    # deterministic sign: largest-|component| coordinate positive
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1
+    total = float(vals.sum())
+    ratio = [float(vals[i]) / total for i in order]
+    return comps, ratio, n, s
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = PCA_K,
+    dim: int = EMB_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, pc0..pc{k-1}): mean-centered projection onto the top-k
+    principal components (6dp).  Centering is folded into a literal
+    per-component offset (the projected mean, derived from the SAME
+    exact-integer sums as the covariance), so the per-row expression
+    stays one fixed-order dot product — deterministic and narrow."""
+    comps, _, n, s = _pca_components(emb, k, dim)
+
+    cols = [F.col(id_col)]
+    for ki in range(k):
+        # offset = <mean, component>, from exact integer milli-sums
+        offset = sum(
+            float(comps[ki, i]) * (float(s[i]) / (n * GRAM_SCALE))
+            for i in range(dim)
+        )
+        expr = None
+        for i in range(dim):
+            term = F.col(vec_col)[i].cast("double") * F.lit(
+                float(comps[ki, i])
+            )
+            expr = term if expr is None else expr + term
+        cols.append(F.round(expr - F.lit(offset), 6).alias(f"pc{ki}"))
+    return emb.select(*cols)
+
+
+def pca_variance(emb: DataFrame, k: int = PCA_K, dim: int = EMB_DIM) -> DataFrame:
+    """(component, explained_ratio): top-k explained-variance shares
+    (6dp) — the scree table a dataset card prints."""
+    _, ratio, _, _ = _pca_components(emb, k, dim)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, round(r, 6)) for i, r in enumerate(ratio)],
+        ["component", "explained_ratio"],
+    )

@@ -259,3 +259,88 @@ def test_frontier_job_end_to_end(spark, tmp_path):
 
     dirs = [d for d in _os.listdir(out) if d.startswith("worker=")]
     assert 1 <= len(dirs) <= 4
+
+
+def test_pca_project_matches_numpy_reference(spark):
+    """The Spark projection must equal the numpy replication of the
+    SAME quantized pipeline: integer-milli covariance -> eigh ->
+    fixed-sign components -> raw-float projection minus the quantized
+    mean."""
+    import numpy as np
+
+    from ocr_spark.operators.sketches import (
+        GRAM_SCALE,
+        PCA_K,
+        pca_project,
+        pca_variance,
+    )
+
+    emb = _emb(spark)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = np.rint(mat * GRAM_SCALE)
+    n = len(rows)
+    s = q.sum(axis=0)
+    cov = (q.T @ q) / (n * GRAM_SCALE**2) - np.outer(s, s) / (
+        n * n * GRAM_SCALE**2
+    )
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    comps = vecs[:, order].T
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1
+    mean = s / (n * GRAM_SCALE)
+    expected = (mat - mean) @ comps.T
+    got = {r["vec_id"]: r for r in pca_project(emb).collect()}
+    for idx, vid in enumerate(ids):
+        for ki in range(PCA_K):
+            assert got[vid][f"pc{ki}"] == pytest.approx(
+                expected[idx, ki], abs=2e-6
+            ), (vid, ki)
+    # variance shares: descending, in (0, 1], nonincreasing
+    ratios = [
+        r["explained_ratio"]
+        for r in sorted(
+            pca_variance(emb).collect(), key=lambda r: r["component"]
+        )
+    ]
+    assert all(0 < x <= 1 for x in ratios)
+    assert ratios == sorted(ratios, reverse=True)
+    # component means are ~0 (centered)
+    for ki in range(PCA_K):
+        m = sum(got[v][f"pc{ki}"] for v in ids) / n
+        assert abs(m) < 1e-3
+
+
+def test_compression_ratio_separates_templated_from_prose(spark):
+    import zlib
+
+    from ocr_spark.operators.curation import (
+        COMPRESS_LEVEL,
+        compression_ratio,
+    )
+
+    spam = "buy now click here " * 200
+    # high-entropy stand-in for organic text (hash words): the signal
+    # under test is REPETITION, and hashes are maximally unrepetitive
+    import hashlib
+
+    prose = " ".join(
+        hashlib.md5(f"w{i}".encode()).hexdigest() for i in range(150)
+    )
+    df = spark.createDataFrame(
+        [(1, spam), (2, prose), (3, "")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    # exact agreement with local zlib at the same level
+    for doc_id, text in [(1, spam), (2, prose)]:
+        expected = len(zlib.compress(text.encode(), COMPRESS_LEVEL))
+        assert got[doc_id]["n_compressed"] == expected
+    assert got[1]["templated"] and got[1]["ratio"] < 0.1
+    assert not got[2]["templated"]
+    assert got[3]["ratio"] == 1.0 and got[3]["n_bytes"] == 0
+    plan = compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
