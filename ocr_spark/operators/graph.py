@@ -599,6 +599,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     ``n_wedges`` = sum over nodes of C(deg, 2); ``clustering`` =
     3 * triangles / wedges (6dp).
     """
+    # und / deg / fwd are each referenced by SEVERAL downstream
+    # subtrees; without truncation Catalyst re-derives the edge
+    # extraction + distinct once per reference (the T36 PageRank
+    # lesson — the audit found 38 exchanges in the naive plan).  A
+    # lazy localCheckpoint materializes each once on first use; at
+    # production scale you'd write the canonical edge table to
+    # storage once instead — the join shape is identical.
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -606,12 +613,14 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.greatest("src", "dst").alias("v"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     # orient each edge from lower (deg, node) rank to higher
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
@@ -625,7 +634,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         )
         .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
         .alias("e")
-    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+    ).select(
+        F.col("e.a").alias("a"), F.col("e.b").alias("b")
+    ).localCheckpoint(eager=False)
     # wedges at a: unordered pairs of a's oriented out-neighbors
     lhs = fwd.select(F.col("a"), F.col("b").alias("x"))
     rhs = fwd.select(F.col("a"), F.col("b").alias("y"))
