@@ -2293,6 +2293,17 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_detection(_t(spark, sf_dir, "events"))
 
 
+def q_quote_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T130: asymmetric near-dup — containment |Sq∩Sa|/|Sq| vs
+    symmetric Jaccard over planted quote-inclusion pairs (Broder's
+    distinction): the short-passage-in-long-page duplication shape
+    Jaccard dilutes away.  In-row array set math; one adjacent-id
+    join for the planted pair."""
+    from ocr_spark.operators.dedup import quote_containment
+
+    return quote_containment(_tw(spark, sf_dir, "documents"))
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T129: deflate-ratio quality signal (templated/spam pages
     compress far below organic prose) — stdlib zlib at a fixed level
@@ -2452,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix": q_transition_matrix,
         "gram_matrix": q_gram_matrix,
         "hits_scores": q_hits_scores,
+        "quote_containment": q_quote_containment,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible)
         "pca_project": q_pca_project,
@@ -2984,6 +2996,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
+        "quote_containment": _dedup_sql.sql_quote_containment(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),
         "transition_matrix": _events_sql.sql_transition_matrix(),

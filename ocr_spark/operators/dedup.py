@@ -747,3 +747,106 @@ def sql_lsh_precision(
                           AS DOUBLE) / count(*), 6) AS precision
         FROM ver
     """
+
+
+# ---------------------------------------------------------------------------
+# T130 — containment (asymmetric near-dup / quote inclusion)
+# ---------------------------------------------------------------------------
+#
+# Symmetric Jaccard misses the commonest web-duplication shape:
+# a SHORT passage quoted inside a LONG aggregator page (Jaccard is
+# diluted by the host page's size; containment |Sq ∩ Sa| / |Sq| is
+# not — Broder's original distinction).  The operator plants a
+# partially-quoted passage (doc d's leading words inside doc d+1's
+# page, planted length varying by doc_id) and measures both metrics
+# side by side; the flags column shows containment catching what
+# Jaccard cannot.  Construction is test scaffolding — the MEASUREMENT
+# is per-pair column math over shingle arrays, the same shape the
+# verify stage of T2/T4 runs on real candidate pairs.
+#
+# Scale shape: one equi-join on adjacent ids for the planted pair
+# (at scale the aggregator pages already exist in the corpus; real
+# use verifies LSH candidates, T115's path); the set math is
+# in-row array expressions — no extra shuffle.
+
+QUOTE_WORDS = 20
+QUOTE_MIN_PLANT = 10
+CONTAIN_THRESH = 0.6
+JACCARD_THRESH = 0.5
+
+
+def quote_containment(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_quote_sh, jaccard, containment, jaccard_flag,
+    containment_flag): doc d's leading QUOTE_WORDS words planted
+    (truncated to 10 + d%11 words) inside doc d+1's page."""
+    words = words_col(F.col("text"))
+    quote_text = F.concat_ws(" ", F.slice(words, 1, QUOTE_WORDS))
+    plant_n = (F.col("doc_id") % 11 + QUOTE_MIN_PLANT).cast("int")
+    planted_text = F.concat_ws(" ", F.slice(words, F.lit(1), plant_n))
+    a = docs.select("doc_id", "text", quote_text.alias("quote"),
+                    planted_text.alias("planted"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("text").alias("next_text"),
+    )
+    paired = a.join(b, "doc_id")
+    agg_page = F.concat(F.col("next_text"), F.lit(" "), F.col("planted"))
+    sq = F.array_distinct(shingles_col(F.col("quote")))
+    sa = F.array_distinct(shingles_col(agg_page))
+    so = F.array_distinct(shingles_col(F.col("text")))
+    inter_qa = F.size(F.array_intersect(sq, sa))
+    inter_oa = F.size(F.array_intersect(so, sa))
+    containment = F.round(
+        inter_qa.cast("double") / F.size(sq).cast("double"), 6
+    )
+    jaccard = F.round(
+        inter_oa.cast("double")
+        / (F.size(so) + F.size(sa) - inter_oa).cast("double"),
+        6,
+    )
+    return paired.select(
+        "doc_id",
+        F.size(sq).cast("bigint").alias("n_quote_sh"),
+        jaccard.alias("jaccard"),
+        containment.alias("containment"),
+        (jaccard >= JACCARD_THRESH).alias("jaccard_flag"),
+        (containment >= CONTAIN_THRESH).alias("containment_flag"),
+    )
+
+
+def sql_quote_containment() -> str:
+    w = sql_words("o.text")
+    quote = f"array_to_string(({w})[1:{QUOTE_WORDS}], ' ')"
+    plant = (
+        f"array_to_string(({w})[1:CAST(o.doc_id % 11 + {QUOTE_MIN_PLANT} "
+        f"AS INT)], ' ')"
+    )
+    return f"""
+        WITH paired AS (
+            SELECT o.doc_id, o.text,
+                   {quote} AS quote,
+                   n.text || ' ' || {plant} AS agg_page
+            FROM documents o JOIN documents n ON n.doc_id = o.doc_id + 1
+        ),
+        sets AS (
+            SELECT doc_id,
+                   list_distinct({sql_shingles("quote")}) AS sq,
+                   list_distinct({sql_shingles("agg_page")}) AS sa,
+                   list_distinct({sql_shingles("text")}) AS so
+            FROM paired
+        )
+        SELECT doc_id,
+               CAST(len(sq) AS BIGINT) AS n_quote_sh,
+               round(CAST(len(list_intersect(so, sa)) AS DOUBLE)
+                     / (len(so) + len(sa) - len(list_intersect(so, sa))),
+                     6) AS jaccard,
+               round(CAST(len(list_intersect(sq, sa)) AS DOUBLE)
+                     / CAST(len(sq) AS DOUBLE), 6) AS containment,
+               round(CAST(len(list_intersect(so, sa)) AS DOUBLE)
+                     / (len(so) + len(sa) - len(list_intersect(so, sa))),
+                     6) >= {JACCARD_THRESH!r} AS jaccard_flag,
+               round(CAST(len(list_intersect(sq, sa)) AS DOUBLE)
+                     / CAST(len(sq) AS DOUBLE), 6) >= {CONTAIN_THRESH!r}
+                   AS containment_flag
+        FROM sets
+    """

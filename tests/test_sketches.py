@@ -344,3 +344,20 @@ def test_compression_ratio_separates_templated_from_prose(spark):
     assert got[3]["ratio"] == 1.0 and got[3]["n_bytes"] == 0
     plan = compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_quote_containment_catches_what_jaccard_misses(spark):
+    from ocr_spark.operators.dedup import quote_containment
+
+    rows = quote_containment(_docs(spark)).collect()
+    assert rows
+    n_contain = sum(1 for r in rows if r["containment_flag"])
+    n_jaccard = sum(1 for r in rows if r["jaccard_flag"])
+    # every planted quote is a true inclusion; containment must catch
+    # a large majority while symmetric jaccard (diluted by the host
+    # page) catches almost none
+    assert n_contain > 0.5 * len(rows)
+    assert n_jaccard < 0.05 * len(rows)
+    for r in rows:
+        assert 0.0 <= r["containment"] <= 1.0
+        assert r["jaccard"] <= r["containment"] + 1e-9
