@@ -2293,6 +2293,16 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_detection(_t(spark, sf_dir, "events"))
 
 
+def q_line_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T131: RefinedWeb-style corpus-wide line dedup — lines occurring
+    in >= 5 distinct docs (planted per-host nav/footer) removed from
+    every page at once; frequency agg and rebuild keyed on the line's
+    60-bit hash, per-doc reassembly sorts only the doc's own lines."""
+    from ocr_spark.operators.curation import line_dedup_scrub
+
+    return line_dedup_scrub(_tw(spark, sf_dir, "documents"))
+
+
 def q_quote_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T130: asymmetric near-dup — containment |Sq∩Sa|/|Sq| vs
     symmetric Jaccard over planted quote-inclusion pairs (Broder's
@@ -2464,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix": q_gram_matrix,
         "hits_scores": q_hits_scores,
         "quote_containment": q_quote_containment,
+        "line_dedup_scrub": q_line_dedup_scrub,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible)
         "pca_project": q_pca_project,
@@ -2997,6 +3008,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
         "quote_containment": _dedup_sql.sql_quote_containment(),
+        "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),
         "transition_matrix": _events_sql.sql_transition_matrix(),

@@ -1259,3 +1259,106 @@ def compression_ratio(
         ratio.alias("ratio"),
         (ratio < spam_max_ratio).alias("templated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T131 — corpus-wide boilerplate-line scrub (line-level dedup)
+# ---------------------------------------------------------------------------
+#
+# RefinedWeb-style line-level dedup: navigation/footer lines repeat
+# across a host's every page ("Home | About | Contact") and survive
+# per-document heuristics because each page contains them once.  The
+# corpus-wide rule — drop any line occurring in >= LINE_DUP_MIN
+# distinct documents — removes them everywhere at once.  The synthetic
+# corpus is single-line, so the operator plants a deterministic nav +
+# subscribe header per host (every branch gets real work) and the
+# oracle replays the identical construction.
+#
+# Scale shape (same as T82's chunk rewrite): the frequency agg and
+# the rebuild join are keyed on the line's 60-bit hash — the exchange
+# carries (h, doc_id, pos) plus each line's text ONCE for the
+# rebuild; the per-doc reassembly sorts each doc's own lines only
+# (array_sort over collect_list, no global sort).
+
+LINE_DUP_MIN = 5
+
+
+def _planted_page(docs: DataFrame) -> DataFrame:
+    """(doc_id, page): text prefixed with two per-host boilerplate
+    lines — column expressions shared with the SQL mirror."""
+    page = F.concat(
+        F.lit("Home | About | "), F.col("source"), F.lit("\n"),
+        F.lit("Subscribe to "), F.col("source"), F.lit("\n"),
+        F.col("text"),
+    )
+    return docs.select("doc_id", page.alias("page"))
+
+
+def line_dedup_scrub(docs: DataFrame, min_docs: int = LINE_DUP_MIN) -> DataFrame:
+    """(doc_id, n_lines, n_removed, clean_md5): every line occurring
+    in >= min_docs distinct documents removed, remaining lines
+    rejoined in order; md5 of the cleaned text keeps the result row
+    narrow."""
+    from ocr_spark.operators.dedup import _hash60
+
+    lines = _planted_page(docs).select(
+        "doc_id",
+        F.posexplode(F.split(F.col("page"), "\n")).alias("pos", "line"),
+    ).withColumn("h", _hash60(F.col("line")))
+    freq = lines.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    tagged = lines.join(freq, "h")
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("n_docs") < min_docs,
+                        F.struct(F.col("pos"), F.col("line")),
+                    )
+                )
+            ),
+            lambda s: s.line,
+        ),
+        "\n",
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum((F.col("n_docs") >= min_docs).cast("bigint")).alias(
+            "n_removed"
+        ),
+        F.md5(kept_text).alias("clean_md5"),
+    )
+
+
+def sql_line_dedup_scrub(min_docs: int = LINE_DUP_MIN) -> str:
+    return f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   'Home | About | ' || source || chr(10) ||
+                   'Subscribe to ' || source || chr(10) || text AS page
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id,
+                   unnest(range(1, len(string_split(page, chr(10))) + 1))
+                       - 1 AS pos,
+                   unnest(string_split(page, chr(10))) AS line
+            FROM pages
+        ),
+        freq AS (
+            SELECT line, count(DISTINCT doc_id) AS n_docs
+            FROM lines GROUP BY line
+        )
+        SELECT l.doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN f.n_docs >= {min_docs} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               md5(COALESCE(array_to_string(
+                   list(l.line ORDER BY l.pos)
+                       FILTER (WHERE f.n_docs < {min_docs}),
+                   chr(10)), '')) AS clean_md5
+        FROM lines l JOIN freq f USING (line)
+        GROUP BY l.doc_id
+    """

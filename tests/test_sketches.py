@@ -361,3 +361,23 @@ def test_quote_containment_catches_what_jaccard_misses(spark):
     for r in rows:
         assert 0.0 <= r["containment"] <= 1.0
         assert r["jaccard"] <= r["containment"] + 1e-9
+
+
+def test_line_dedup_scrub_recovers_original_text(spark):
+    """The planted nav/footer lines are EXACTLY what the corpus-wide
+    rule removes, so each doc's cleaned text must hash back to its
+    original (pre-planting) text — and nothing organic is lost."""
+    import hashlib
+
+    from ocr_spark.operators.curation import line_dedup_scrub
+
+    docs = _docs(spark)
+    orig = {
+        r["doc_id"]: hashlib.md5(r["text"].encode()).hexdigest()
+        for r in docs.collect()
+    }
+    rows = line_dedup_scrub(docs).collect()
+    assert len(rows) == len(orig)
+    for r in rows:
+        assert r["n_removed"] == 2, r["doc_id"]
+        assert r["clean_md5"] == orig[r["doc_id"]], r["doc_id"]
