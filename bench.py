@@ -133,6 +133,8 @@ HEADLINE_QUERIES = [
     "random_projection",
     "chunk_windows",
     "transition_matrix",
+    "quote_containment",
+    "line_dedup_scrub",
 ]
 
 

@@ -152,3 +152,73 @@ def test_flate_bomb_resistance(junk):
         + b"\nendstream\nendobj\n"
     )
     assert isinstance(pdf_extract_pages(payload), list)
+
+
+# ---------------------------------------------------------------------------
+# sketch math invariants (pure replicas of the column expressions)
+# ---------------------------------------------------------------------------
+
+
+def _qsk_bucket_py(x: int, sub: int = 16) -> int:
+    """Python replica of sketches._qsk_bucket's integer math."""
+    e = x.bit_length()
+    lo = 1 << (e - 1)
+    return (e - 1) * sub + (x - lo) * sub // lo
+
+
+def _qsk_bounds_py(bucket: int, sub: int = 16):
+    e = bucket // sub + 1
+    s = bucket % sub
+    lo_oct = 1 << (e - 1)
+    return lo_oct + s * lo_oct // sub, lo_oct + (s + 1) * lo_oct // sub
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=1, max_value=1 << 50))
+def test_quantile_bucket_bounds_contain_value(x):
+    b = _qsk_bucket_py(x)
+    lo, hi = _qsk_bounds_py(b)
+    assert lo <= x < max(hi, lo + 1)
+    # relative width bounded by one sub-bucket of the octave
+    assert hi - lo <= (1 << (x.bit_length() - 1)) // 16 + 1
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=1, max_value=1 << 49))
+def test_quantile_bucket_monotone(x):
+    assert _qsk_bucket_py(x) <= _qsk_bucket_py(x + 1)
+    assert _qsk_bucket_py(x) <= _qsk_bucket_py(2 * x)
+
+
+def _chunk_spans_py(n: int, w: int = 400, s: int = 300):
+    extra = (n - w + s - 1) // s if n > w else 0
+    return [(i * s, min(w, n - i * s)) for i in range(extra + 1)]
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=1, max_value=100_000))
+def test_chunk_spans_cover_without_gaps(n):
+    spans = _chunk_spans_py(n)
+    # full coverage: first starts at 0, last reaches n, consecutive
+    # windows overlap (stride < width) or touch exactly
+    assert spans[0][0] == 0
+    assert spans[-1][0] + spans[-1][1] == n
+    for (a, la), (b, _) in zip(spans, spans[1:]):
+        assert b <= a + la  # no gap
+        assert b == a + 300  # exact stride
+    assert all(1 <= ln <= 400 for _, ln in spans)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=(1 << 60) - 1))
+def test_hll_rho_matches_definition(h):
+    """rho = 51 - bit_length(w) == 1 + leading zeros of the 50-bit
+    suffix (the textbook definition)."""
+    w = h >> 10
+    rho = 51 if w == 0 else 51 - w.bit_length()
+    # definition: position of first 1 from the MSB side of 50 bits
+    lead = next(
+        (i for i in range(50) if (w >> (49 - i)) & 1), 50
+    )
+    assert rho == lead + 1
+    assert 1 <= rho <= 51
