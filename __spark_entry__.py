@@ -2293,6 +2293,22 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_detection(_t(spark, sf_dir, "events"))
 
 
+def q_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T132: crawl-graph health audit — reciprocity (link-exchange
+    farms sit high) and Newman degree assortativity (the web is
+    disassortative; positive shifts flag synthetic link blocks), both
+    from exact bigint edge/degree sums + one fixed-shape float
+    formula."""
+    from ocr_spark.operators.graph import (
+        extract_links,
+        graph_health,
+        linked_pages,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return graph_health(extract_links(linked_pages(docs, docs.count())))
+
+
 def q_line_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T131: RefinedWeb-style corpus-wide line dedup — lines occurring
     in >= 5 distinct docs (planted per-host nav/footer) removed from
@@ -2475,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "quote_containment": q_quote_containment,
         "line_dedup_scrub": q_line_dedup_scrub,
+        "graph_health": q_graph_health,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible)
         "pca_project": q_pca_project,
@@ -3009,6 +3026,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _webcorpus_sql.sql_contamination(),
         "quote_containment": _dedup_sql.sql_quote_containment(),
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
+        "graph_health": _graph_sql.sql_graph_health(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),
         "transition_matrix": _events_sql.sql_transition_matrix(),

@@ -818,3 +818,148 @@ def sql_hits_scores(n_iter: int = 3) -> str:
         JOIN a{n_iter} a ON a.node = n.node
     """)
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# T132 — graph health: reciprocity + degree assortativity
+# ---------------------------------------------------------------------------
+#
+# Two one-number audits a crawl-graph release reports next to its
+# degree histogram: RECIPROCITY (fraction of directed edges whose
+# reverse also exists — organic webs sit low, link-exchange farms
+# high) and degree ASSORTATIVITY (Newman 2002: Pearson correlation of
+# endpoint degrees over edges — the web is famously disassortative;
+# a positive shift flags synthetic link blocks).  Both reduce to
+# EXACT bigint sums over the edge list (a left-semi self-join for
+# reciprocal pairs, degree joins for the moment sums) followed by one
+# fixed-shape float formula — deterministic under any partitioning
+# and mirrored verbatim in SQL.
+
+def graph_health(edges: DataFrame) -> DataFrame:
+    """One row: (n_edges, n_reciprocal, reciprocity, assortativity)
+    over the simple directed graph (self-loops and duplicate edges
+    dropped).  Assortativity uses total degree in the undirected
+    sense, correlated across both orientations of each edge."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    und = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))
+    # both orientations of every undirected edge -> symmetric moments
+    pairs = und.join(du, "u").join(dv, "v")
+    both = pairs.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionAll(pairs.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    m = both.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") / n - sx / n * (sy / n)
+    vx = F.col("sxx").cast("double") / n - sx / n * (sx / n)
+    vy = F.col("syy").cast("double") / n - sy / n * (sy / n)
+    assort = F.when(
+        (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
+    )
+    return (
+        n_edges.crossJoin(n_recip)
+        .crossJoin(m)
+        .select(
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_reciprocal").cast("bigint").alias("n_reciprocal"),
+            F.round(
+                F.col("n_reciprocal").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            ).alias("reciprocity"),
+            assort.alias("assortativity"),
+        )
+    )
+
+
+def sql_graph_health() -> str:
+    return f"""
+        WITH raw AS ({sql_edges()}),
+        e AS (
+            SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e
+        ),
+        deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+            ) GROUP BY node
+        ),
+        pairs AS (
+            SELECT x.deg AS dx, y.deg AS dy
+            FROM und JOIN deg x ON x.node = und.u
+                     JOIN deg y ON y.node = und.v
+        ),
+        edge_ends AS (
+            SELECT dx AS x, dy AS y FROM pairs
+            UNION ALL SELECT dy AS x, dx AS y FROM pairs
+        ),
+        m AS (
+            SELECT count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM edge_ends
+        ),
+        r AS (
+            SELECT (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT count(*) FROM e a
+                    WHERE EXISTS (SELECT 1 FROM e b
+                                  WHERE b.src = a.dst AND b.dst = a.src))
+                       AS n_reciprocal
+        )
+        SELECT CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+               round(CAST(n_reciprocal AS DOUBLE)
+                     / CAST(n_edges AS DOUBLE), 6) AS reciprocity,
+               CASE WHEN (CAST(sxx AS DOUBLE) / n
+                          - CAST(sx AS DOUBLE) / n * (CAST(sx AS DOUBLE) / n))
+                         > 0
+                     AND (CAST(syy AS DOUBLE) / n
+                          - CAST(sy AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))
+                         > 0
+                    THEN round(
+                        (CAST(sxy AS DOUBLE) / n
+                         - CAST(sx AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))
+                        / sqrt((CAST(sxx AS DOUBLE) / n
+                                - CAST(sx AS DOUBLE) / n
+                                  * (CAST(sx AS DOUBLE) / n))
+                               * (CAST(syy AS DOUBLE) / n
+                                  - CAST(sy AS DOUBLE) / n
+                                    * (CAST(sy AS DOUBLE) / n))), 6)
+               END AS assortativity
+        FROM r, m
+    """

@@ -381,3 +381,25 @@ def test_line_dedup_scrub_recovers_original_text(spark):
     for r in rows:
         assert r["n_removed"] == 2, r["doc_id"]
         assert r["clean_md5"] == orig[r["doc_id"]], r["doc_id"]
+
+
+def test_graph_health_closed_form(spark):
+    from ocr_spark.operators.graph import graph_health
+
+    # 2-cycle (1<->2) + pendant (2->3): reciprocity 2/3; the
+    # undirected path 1-2-3 is perfectly disassortative (r = -1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], ["src", "dst"]
+    )
+    row = graph_health(edges).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_reciprocal"] == 2
+    assert row["reciprocity"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["assortativity"] == pytest.approx(-1.0)
+    # uniform-degree graph (a pure cycle): degenerate variance -> NULL
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    row2 = graph_health(cyc).collect()[0]
+    assert row2["assortativity"] is None
+    assert row2["reciprocity"] == 0.0
