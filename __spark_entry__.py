@@ -2293,6 +2293,21 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_detection(_t(spark, sf_dir, "events"))
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T133: streaming HyperLogLog — the register merge (max over
+    (g, j)) runs as a complete-mode streaming aggregation with state
+    bounded at n_groups x 1024 rows FOREVER (mergeability is the
+    sketch's point; no watermark needed, replay-safe).  Oracle = the
+    batch HLL SQL over the same rows: streamed merge == batch merge."""
+    import os
+
+    from ocr_spark.streaming.metrics import hll_stream_estimate
+
+    return hll_stream_estimate(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+
+
 def q_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T132: crawl-graph health audit — reciprocity (link-exchange
     farms sit high) and Newman degree assortativity (the web is
@@ -2492,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_containment": q_quote_containment,
         "line_dedup_scrub": q_line_dedup_scrub,
         "graph_health": q_graph_health,
+        "stream_hll": q_stream_hll,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible)
         "pca_project": q_pca_project,
@@ -3027,6 +3043,7 @@ def oracle_sql() -> dict[str, str]:
         "quote_containment": _dedup_sql.sql_quote_containment(),
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "graph_health": _graph_sql.sql_graph_health(),
+        "stream_hll": _sketches_sql.sql_hll_distinct(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),
         "transition_matrix": _events_sql.sql_transition_matrix(),

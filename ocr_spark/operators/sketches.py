@@ -68,39 +68,23 @@ def _rho_col(w: Column) -> Column:
     )
 
 
-def hll_distinct(
-    docs: DataFrame,
-    group_col: str = "lang",
-    text_col: str = "text",
-) -> DataFrame:
-    """(lang, v_empty, z_scaled, est): HLL distinct-shingle estimate
-    per language.
+def hll_rho_cols(group_col: str = "g", sh_col: str = "sh") -> list:
+    """(g, j, rho) projection columns over a (group, shingle) frame —
+    shared by the batch operator and the streaming register merge."""
+    from ocr_spark.operators.dedup import _hash60
 
-    ``z_scaled`` is the harmonic denominator carried exactly:
-    ``sum(2^(51 - M_j))`` over all m registers (empty registers
-    contribute ``2^51``) — a BIGINT sum, so the merge is
-    order-independent and the estimate reproducible bit-for-bit.
-    ``est`` applies linear counting below the 2.5m small-range
-    threshold (the only branch with a transcendental; rounded to 4dp).
-    """
-    from ocr_spark.operators.dedup import _hash60, shingles_col
+    h = _hash60(F.concat(F.lit("hll:"), F.col(sh_col)))
+    return [
+        F.col(group_col).alias("g"),
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("j"),
+        _rho_col(F.shiftright(h, HLL_P)).alias("rho"),
+    ]
 
-    h = _hash60(F.concat(F.lit("hll:"), F.col("sh")))
-    regs = (
-        docs.select(
-            F.col(group_col).alias("g"),
-            F.explode(shingles_col(F.col(text_col))).alias("sh"),
-        )
-        .select(
-            "g",
-            h.bitwiseAND(F.lit(HLL_M - 1)).alias("j"),
-            _rho_col(F.shiftright(h, HLL_P)).alias("rho"),
-        )
-        .groupBy("g", "j")
-        .agg(F.max("rho").alias("m_j"))
-    )
-    # exact integer harmonic sum: present registers contribute
-    # 2^(51-M); the (m - n_present) empty ones contribute 2^51 each
+
+def hll_estimate(regs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """(group, v_empty, z_scaled, est) from a register table
+    (g, j, m_j) — the merge-then-estimate half, identical for batch
+    and streamed registers (mergeability IS the sketch's point)."""
     agg = regs.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(
@@ -128,6 +112,35 @@ def hll_distinct(
         z_scaled.alias("z_scaled"),
         F.round(est, 4).alias("est"),
     )
+
+
+def hll_distinct(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, v_empty, z_scaled, est): HLL distinct-shingle estimate
+    per language.
+
+    ``z_scaled`` is the harmonic denominator carried exactly:
+    ``sum(2^(51 - M_j))`` over all m registers (empty registers
+    contribute ``2^51``) — a BIGINT sum, so the merge is
+    order-independent and the estimate reproducible bit-for-bit.
+    ``est`` applies linear counting below the 2.5m small-range
+    threshold (the only branch with a transcendental; rounded to 4dp).
+    """
+    from ocr_spark.operators.dedup import shingles_col
+
+    regs = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(shingles_col(F.col(text_col))).alias("sh"),
+        )
+        .select(*hll_rho_cols())
+        .groupBy("g", "j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    return hll_estimate(regs, group_col=group_col)
 
 
 def sql_hll_distinct(group_col: str = "lang") -> str:

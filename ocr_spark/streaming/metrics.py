@@ -197,3 +197,75 @@ def run_stream_to_memory(stream_df: DataFrame, name: str | None = None) -> DataF
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# T133 — streaming HyperLogLog (mergeable sketch over an unbounded stream)
+# ---------------------------------------------------------------------------
+#
+# Mergeability is the POINT of the HLL sketch: max() over registers is
+# associative, commutative, and idempotent, so the streaming state is
+# exactly the 1024-row-per-group register table — bounded forever, no
+# watermark needed, and replay-safe (re-seeing a document cannot move
+# a register down).  The streaming query IS the batch register merge
+# in complete mode; the estimator then runs as an ordinary batch agg
+# over the materialized registers.  The oracle is the BATCH HLL SQL
+# over the same data — streamed merge == batch merge, the equivalence
+# that proves the sketch streams.
+
+def hll_register_stream(
+    spark: SparkSession,
+    docs_path: str,
+    group_col: str = "lang",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming (g, j, m_j) register table over a growing documents
+    directory — groupBy(g, j).max(rho) in complete mode; state is
+    bounded at n_groups x 1024 rows regardless of stream length."""
+    import os
+
+    from ocr_spark.operators.dedup import shingles_col
+    from ocr_spark.operators.sketches import hll_rho_cols
+
+    schema = f"doc_id bigint, text string, {group_col} string"
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(docs_path):
+        reader = reader.option(
+            "pathGlobFilter", os.path.basename(docs_path)
+        )
+        docs_path = os.path.dirname(docs_path)
+    stream = reader.load(docs_path)
+    return (
+        stream.select(
+            F.col(group_col).alias("g"),
+            F.explode(shingles_col(F.col("text"))).alias("sh"),
+        )
+        .select(*hll_rho_cols())
+        .groupBy("g", "j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_stream_estimate(
+    spark: SparkSession,
+    docs_path: str,
+    group_col: str = "lang",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain the register stream (availableNow), then run the batch
+    estimator over the materialized registers: (lang, v_empty,
+    z_scaled, est) — hash-identical to the batch HLL over the same
+    rows."""
+    from ocr_spark.operators.sketches import hll_estimate
+
+    regs = run_stream_to_memory(
+        hll_register_stream(
+            spark,
+            docs_path,
+            group_col=group_col,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    )
+    return hll_estimate(regs, group_col=group_col)

@@ -403,3 +403,27 @@ def test_graph_health_closed_form(spark):
     row2 = graph_health(cyc).collect()[0]
     assert row2["assortativity"] is None
     assert row2["reciprocity"] == 0.0
+
+
+def test_stream_hll_merges_across_batches(spark, tmp_path):
+    """Split the corpus into 4 parquet files, drain them 1 file per
+    micro-batch: the streamed register merge must reproduce the batch
+    HLL bit-for-bit (max is associative/commutative/idempotent)."""
+    from ocr_spark.operators.sketches import hll_distinct
+    from ocr_spark.streaming.metrics import hll_stream_estimate
+
+    docs = _docs(spark)
+    stream_dir = str(tmp_path / "stream_docs")
+    docs.select("doc_id", "text", "lang").repartition(4).write.parquet(
+        stream_dir
+    )
+    streamed = {
+        r["lang"]: tuple(r)
+        for r in hll_stream_estimate(
+            spark, stream_dir, max_files_per_trigger=1
+        ).collect()
+    }
+    batch = {
+        r["lang"]: tuple(r) for r in hll_distinct(docs).collect()
+    }
+    assert streamed == batch
