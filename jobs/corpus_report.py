@@ -7,6 +7,8 @@ the release-review tables for a (curated) documents table in one pass:
   <report>/cluster_sizes/  near-dup cluster size histogram (T107)
   <report>/balance/        shard token-skew audit (T95)
   <report>/quality/        quality-ensemble vote rollup (T97)
+  <report>/vocab/          per-language HLL distinct-shingle estimate (T117)
+  <report>/length/         doc-length quantile sketch p50/p75/p90/p99 (T118)
   <report>/drift/          per-language share drift vs --old-input (T111)
 
 Usage (cluster):
@@ -49,6 +51,7 @@ def main() -> None:
         neardup_clusters,
     )
     from ocr_spark.operators.corpus_ops import dataset_card, shard_balance
+    from ocr_spark.operators.sketches import hll_distinct, quantile_sketch
     from ocr_spark.operators.webcorpus import lang_drift, quality_ensemble
     from ocr_spark.plans import spread_cpu
     from ocr_spark.session import get_spark
@@ -96,6 +99,11 @@ def main() -> None:
                 .alias("n_kept"),
             ),
         )
+
+    if "lang" in docs.columns:
+        emit("vocab", hll_distinct(docs, text_col=text))
+    if "n_chars" in docs.columns:
+        emit("length", quantile_sketch(docs))
 
     corpus = docs.select(
         F.col(key).alias("doc_id"), F.col(text).alias("text")

@@ -427,3 +427,52 @@ def test_stream_hll_merges_across_batches(spark, tmp_path):
         r["lang"]: tuple(r) for r in hll_distinct(docs).collect()
     }
     assert streamed == batch
+
+
+def test_hll_plan_is_two_hash_exchanges(spark):
+    """The mergeable-sketch shape: register max then per-group
+    estimator — exactly two hash exchanges, all aggregates
+    hash-aggregable (bigint state), never SortAggregate."""
+    from ocr_spark.operators.sketches import hll_distinct
+
+    plan = (
+        hll_distinct(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_politeness_shuffles_only_narrow_columns(spark):
+    """The per-host window is the politeness contract itself; the
+    exchange must carry (doc_id, host, ord hash) — never text."""
+    from ocr_spark.operators.webcorpus import politeness_schedule
+
+    plan = (
+        politeness_schedule(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning(host#") == 1, plan
+    assert "text#" not in plan.split("Exchange", 1)[1].split("Scan")[0], plan
+
+
+def test_transition_matrix_two_exchanges(spark):
+    """One user-window pass + one pair-count agg; the per-source
+    probability rides the pair table's own window."""
+    from ocr_spark.operators.events import transition_matrix
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = (
+        transition_matrix(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 3, plan

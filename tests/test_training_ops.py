@@ -2744,6 +2744,15 @@ def test_corpus_report_job_end_to_end(spark, tmp_path):
     drift = spark.read.parquet(f"{rep}/drift")
     # identical snapshots: every delta is zero
     assert all(r.delta_share == 0.0 for r in drift.collect())
+    vocab = spark.read.parquet(f"{rep}/vocab")
+    assert {r.lang for r in vocab.collect()} == {
+        r.lang for r in card.collect()
+    }
+    assert all(r.est > 0 for r in vocab.collect())
+    length = spark.read.parquet(f"{rep}/length")
+    qs = {r.q: r for r in length.collect()}
+    assert set(qs) == {0.5, 0.75, 0.9, 0.99}
+    assert all(r.est_lo <= r.est_hi for r in qs.values())
 
 
 # ---------------------------------------------------------------------------
