@@ -423,30 +423,10 @@ def sql_random_projection(
 GRAM_SCALE = 1000  # fixed-point millis per coordinate
 
 
-def gram_matrix(
-    emb: DataFrame,
-    dim: int = EMB_DIM,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(i, j, s_scaled, value) for the upper triangle i <= j:
-    s_scaled = sum over rows of round(x_i*1000) * round(x_j*1000)
-    (exact bigint); value = s_scaled / 1000^2 rounded to 6dp."""
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * GRAM_SCALE).cast("bigint"),
-    )
-    rows = emb.select(q.alias("q"))
-    expl = rows.select(
-        F.posexplode("q").alias("i", "xi"), F.col("q")
-    ).select(
-        "i", "xi", F.explode(F.sequence(F.col("i"), F.lit(dim - 1))).alias("j"),
-        F.col("q"),
-    )
-    terms = expl.select(
-        "i", "j", (F.col("xi") * F.col("q")[F.col("j")]).alias("t")
-    )
+def _gram_finish(partials: DataFrame) -> DataFrame:
+    """(i, j, t) partials -> the (i, j, s_scaled, value) result."""
     return (
-        terms.groupBy("i", "j")
+        partials.groupBy("i", "j")
         .agg(F.sum("t").alias("s_scaled"))
         .select(
             F.col("i").cast("bigint").alias("i"),
@@ -459,6 +439,76 @@ def gram_matrix(
             ).alias("value"),
         )
     )
+
+
+def gram_matrix(
+    emb: DataFrame,
+    dim: int = EMB_DIM,
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+) -> DataFrame:
+    """(i, j, s_scaled, value) for the upper triangle i <= j:
+    s_scaled = sum over rows of round(x_i*1000) * round(x_j*1000)
+    (exact bigint); value = s_scaled / 1000^2 rounded to 6dp.
+
+    Two implementations, BIT-IDENTICAL by construction because the
+    per-row terms are exact integers (order of summation cannot
+    matter):
+
+    * ``impl="arrow"`` (default, the 10^12-row path): one
+      ``mapInPandas`` pass emits each Arrow batch's d(d+1)/2 partial
+      sums via a numpy matmul — the shuffle carries ~2080 rows PER
+      BATCH instead of 2080 rows per document, and the double explode
+      disappears entirely.
+    * ``impl="explode"`` (the pure-column-expression mirror): double
+      explode + map-side-combined sum — what the arrow path is
+      verified against in pytest, and the plan the SQL oracle states.
+    """
+    if impl == "explode":
+        q = F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * GRAM_SCALE).cast("bigint"),
+        )
+        rows = emb.select(q.alias("q"))
+        expl = rows.select(
+            F.posexplode("q").alias("i", "xi"), F.col("q")
+        ).select(
+            "i",
+            "xi",
+            F.explode(F.sequence(F.col("i"), F.lit(dim - 1))).alias("j"),
+            F.col("q"),
+        )
+        terms = expl.select(
+            "i", "j", (F.col("xi") * F.col("q")[F.col("j")]).alias("t")
+        )
+        return _gram_finish(terms)
+
+    iu_i, iu_j = [], []
+    for i in range(dim):
+        for j in range(i, dim):
+            iu_i.append(i)
+            iu_j.append(j)
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        ii = np.array(iu_i, dtype=np.int32)
+        jj = np.array(iu_j, dtype=np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q = np.rint(mat * GRAM_SCALE).astype(np.int64)
+            g = q.T @ q  # exact: |q| <= ~GRAM_SCALE * |x|, int64 safe
+            yield pd.DataFrame(
+                {"i": ii, "j": jj, "t": g[ii, jj]}
+            )
+
+    partials = emb.select(vec_col).mapInPandas(
+        _partials, schema="i int, j int, t bigint"
+    )
+    return _gram_finish(partials)
 
 
 def sql_gram_matrix(dim: int = EMB_DIM) -> str:

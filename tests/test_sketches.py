@@ -476,3 +476,26 @@ def test_transition_matrix_two_exchanges(spark):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_gram_matrix_arrow_explode_bit_identical(spark):
+    """The Arrow matmul path and the pure-column explode path must
+    agree EXACTLY (integer partials make summation order irrelevant)
+    — and the arrow plan must contain no explode."""
+    from ocr_spark.operators.sketches import gram_matrix
+
+    emb = _emb(spark)
+    arrow = {
+        (r["i"], r["j"]): r["s_scaled"]
+        for r in gram_matrix(emb, impl="arrow").collect()
+    }
+    explode = {
+        (r["i"], r["j"]): r["s_scaled"]
+        for r in gram_matrix(emb, impl="explode").collect()
+    }
+    assert arrow == explode
+    plan = (
+        gram_matrix(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan, plan  # no explode
+    assert "MapInPandas" in plan
