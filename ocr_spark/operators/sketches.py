@@ -31,6 +31,17 @@ operators:
   fixed-order chain of multiply-adds inside whole-stage codegen.
   Zero shuffle, zero Python; the standard cheap first stage before
   LSH / clustering on reduced vectors.
+* ``gram_matrix`` / ``pca_project`` / ``pca_variance`` — distributed
+  PCA in the RowMatrix shape: a fixed-point (integer-milli) d x d
+  Gram aggregation whose partials are exact bigints (default impl:
+  one Arrow matmul per batch, bit-identical to the pure-column
+  explode mirror the oracle states), a 64x64 numpy eigendecomposition
+  on the driver, and a literal-matrix projection back on the cluster.
+
+The HLL register merge also runs as a streaming aggregation with
+forever-bounded state (``streaming/metrics.py::hll_register_stream``)
+— max over registers is associative, commutative, and idempotent, so
+mergeability IS the streaming story.
 
 Reference parity: the reference has no sketch surface; these extend
 its stats endpoints (``main.py:3741-3787``) to corpus scale as SURVEY

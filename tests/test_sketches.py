@@ -1,7 +1,10 @@
-"""Behavioral and plan tests for the sketch/graph/window operators
-(T117-T122): HLL accuracy, quantile-sketch bounds, JL distance
-preservation, triangle closed-form, chunk coverage, planted bursts —
-plus the no-shuffle plan guarantees the narrow ops claim."""
+"""Behavioral and plan tests for the round-4 sketch/graph/frontier
+operators (T117-T133): HLL accuracy + streaming bit-identity,
+quantile-sketch bounds, JL distance preservation, triangle and
+graph-health closed forms, chunk coverage, planted bursts, politeness
+invariants, PCA numpy parity, containment asymmetry, line-dedup exact
+recovery, the frontier job end-to-end — plus the shuffle-shape plan
+guarantees each op claims."""
 
 import datetime
 
