@@ -2298,14 +2298,26 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (g, j)) runs as a complete-mode streaming aggregation with state
     bounded at n_groups x 1024 rows FOREVER (mergeability is the
     sketch's point; no watermark needed, replay-safe).  Oracle = the
-    batch HLL SQL over the same rows: streamed merge == batch merge."""
+    batch HLL SQL over the same rows: streamed merge == batch merge.
+    The source is re-split into two files drained one per trigger, so
+    the verified row is the CROSS-micro-batch state merge, not a
+    single-batch degenerate run (register max is order-independent, so
+    the split cannot change the answer)."""
     import os
+    import tempfile
 
     from ocr_spark.streaming.metrics import hll_stream_estimate
 
-    return hll_stream_estimate(
-        spark, os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, "documents.parquet")
+    split_dir = tempfile.mkdtemp(prefix="hll_stream_")
+    (
+        spark.read.parquet(src)
+        .select("doc_id", "text", "lang")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(split_dir)
     )
+    return hll_stream_estimate(spark, split_dir, max_files_per_trigger=1)
 
 
 def q_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2441,10 +2453,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS harness verifies a
     # prefix window of this dict, so queries without a banked green row in a
     # prior round's CORRECTNESS_r*.json come FIRST; queries already green in
-    # CORRECTNESS_r01/r02/r03.json follow.  All entries pass the identical
+    # CORRECTNESS_r01–r04.json follow.  All entries pass the identical
     # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
     return {
-        # --- unbanked (round-4 additions, no driver row yet) ---
+        # --- unbanked (round-4 overflow, rotated into the round-5
+        # --- window after CORRECTNESS_r04 banked the previous 50) ---
+        "politeness_schedule": q_politeness_schedule,
+        "url_templates": q_url_templates,
+        "transition_matrix": q_transition_matrix,
+        "gram_matrix": q_gram_matrix,
+        "hits_scores": q_hits_scores,
+        "quote_containment": q_quote_containment,
+        "line_dedup_scrub": q_line_dedup_scrub,
+        "graph_health": q_graph_health,
+        "stream_hll": q_stream_hll,
+        # rows+pytest-gated (eigendecomposition / zlib not
+        # SQL-expressible — the driver records a rows-only row)
+        "pca_project": q_pca_project,
+        "pca_variance": q_pca_variance,
+        "compression_ratio": q_compression_ratio,
+        # --- banked in CORRECTNESS_r04.json ---
         "hll_distinct": q_hll_distinct,
         "quantile_sketch": q_quantile_sketch,
         "random_projection": q_random_projection,
@@ -2485,7 +2513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "domain_stats": q_domain_stats,
         "recrawl_priority": q_recrawl_priority,
-        # --- unbanked (round-3 additions, no driver row yet) ---
         "blocklist_phrases": q_blocklist_phrases,
         "epoch_shuffle": q_epoch_shuffle,
         "bpe_train": q_bpe_train,
@@ -2496,23 +2523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_contamination": q_fuzzy_contamination,
         "bpe_fertility": q_bpe_fertility,
         "chunk_rewrite": q_chunk_rewrite,
-        # --- unbanked overflow (positions 51+): will not fit this
-        # --- round's 50-query window; first in line for the next
-        # --- round's rotation (still parity-gated in-repo) ---
-        "politeness_schedule": q_politeness_schedule,
-        "url_templates": q_url_templates,
-        "transition_matrix": q_transition_matrix,
-        "gram_matrix": q_gram_matrix,
-        "hits_scores": q_hits_scores,
-        "quote_containment": q_quote_containment,
-        "line_dedup_scrub": q_line_dedup_scrub,
-        "graph_health": q_graph_health,
-        "stream_hll": q_stream_hll,
-        # rows+pytest-gated (eigendecomposition / zlib not
-        # SQL-expressible)
-        "pca_project": q_pca_project,
-        "pca_variance": q_pca_variance,
-        "compression_ratio": q_compression_ratio,
         # --- banked in CORRECTNESS_r03.json ---
         "extract_spans_roundtrip": q_extract_spans_roundtrip,
         "mixture_sample": q_mixture_sample,

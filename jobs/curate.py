@@ -132,6 +132,15 @@ def main() -> None:
         "source column)",
     )
     ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="if the hygiene staging dir (<output>.stage0) exists and "
+        "is complete (_SUCCESS), skip recomputing the 0-block and "
+        "resume the corpus-wide stages from the staged copy — the "
+        "same partition-granular recovery contract as plans.lineage "
+        "(trusts the staging dir to match the current hygiene flags)",
+    )
+    ap.add_argument(
         "--audit",
         action="store_true",
         help="count survivors after every stage (recomputes the chain "
@@ -161,35 +170,8 @@ def main() -> None:
     # expressions): rewriting a stage as a self-join back onto its own
     # source doubles the plan subtree, and a chain of such self-joins
     # ahead of the corpus-wide stages grows the lineage exponentially.
-
-    # 0a. encoding repair (opt-in): fix text BEFORE any stage that
-    # hashes or tokenizes it, so a mojibake variant can't evade dedup
-    if args.fix_mojibake:
-        from ocr_spark.operators.curation import repair_mojibake_col
-
-        docs = docs.withColumn(text, repair_mojibake_col(F.col(text)))
-        audit("fix_mojibake", docs)
-
-    # 0b. local line rules (opt-in): the cheapest text scrub — purely
-    # in-row, so it runs before everything corpus-wide
-    if args.line_rules:
-        from ocr_spark.operators.curation import clean_lines_col
-
-        docs = docs.withColumn(text, clean_lines_col(F.col(text))).filter(
-            F.length(F.col(text)) > 0
-        )
-        audit("line_rules", docs)
-
-    # 0c. URL admission (opt-in): reject on the URL alone
-    if args.url_filter and "source" in docs.columns:
-        from ocr_spark.operators.webcorpus import url_filter_cols
-
-        docs = docs.filter(
-            url_filter_cols(F.col(key), F.col("source"))["admitted"]
-        )
-        audit("url_filter", docs)
-
-    # Stage the 0-block's result to parquet and re-read before the
+    #
+    # The 0-block's result is staged to parquet and re-read before the
     # corpus-wide stages.  The downstream chain contains several
     # self-joins (repetition, chunk-dedup, nb floor, decontamination),
     # each of which duplicates its source subtree on both sides; with
@@ -198,16 +180,62 @@ def main() -> None:
     # 87 s -> 9+ min at sf0.01).  One write/read of the corpus is the
     # standard materialization point a production pipeline puts after
     # a whole-text rewrite/admission phase; it also makes the 0-block
-    # resumable on its own.
+    # resumable on its own: --resume picks up from a complete staging
+    # dir after a mid-run kill (the job-level form of the
+    # plans.lineage partition-granular recovery contract).
     # The staging path is a SIBLING of the output dir, never inside it:
     # the final write's overwrite mode deletes the whole output path
     # before its job runs, and a staging dir underneath it would be
     # deleted out from under the plan that still reads it.
-    stage0 = None
-    if args.fix_mojibake or args.line_rules or args.url_filter:
-        stage0 = args.output.rstrip("/") + ".stage0"
-        docs.write.mode("overwrite").parquet(stage0)
+    hygiene = args.fix_mojibake or args.line_rules or args.url_filter
+    stage0 = args.output.rstrip("/") + ".stage0" if hygiene else None
+    resumed0 = (
+        args.resume
+        and stage0 is not None
+        and os.path.exists(os.path.join(stage0, "_SUCCESS"))
+    )
+    if resumed0:
         docs = spread_cpu(spark.read.parquet(stage0))
+        audit("stage0_resumed", docs)
+    else:
+        # 0a. encoding repair (opt-in): fix text BEFORE any stage that
+        # hashes or tokenizes it, so a mojibake variant can't evade
+        # dedup
+        if args.fix_mojibake:
+            from ocr_spark.operators.curation import repair_mojibake_col
+
+            docs = docs.withColumn(text, repair_mojibake_col(F.col(text)))
+            audit("fix_mojibake", docs)
+
+        # 0b. local line rules (opt-in): the cheapest text scrub —
+        # purely in-row, so it runs before everything corpus-wide
+        if args.line_rules:
+            from ocr_spark.operators.curation import clean_lines_col
+
+            docs = docs.withColumn(
+                text, clean_lines_col(F.col(text))
+            ).filter(F.length(F.col(text)) > 0)
+            audit("line_rules", docs)
+
+        # 0c. URL admission (opt-in): reject on the URL alone
+        if args.url_filter and "source" in docs.columns:
+            from ocr_spark.operators.webcorpus import url_filter_cols
+
+            docs = docs.filter(
+                url_filter_cols(F.col(key), F.col("source"))["admitted"]
+            )
+            audit("url_filter", docs)
+
+        if stage0 is not None:
+            docs.write.mode("overwrite").parquet(stage0)
+            docs = spread_cpu(spark.read.parquet(stage0))
+
+    # test seam for the kill-during-curate recovery pytest: die at the
+    # barrier between hygiene staging and the corpus-wide stages, the
+    # exact point --resume recovers from
+    if os.environ.get("OCR_SPARK_CURATE_KILL_AFTER") == "stage0":
+        print(json.dumps({"killed_after": "stage0"}))
+        raise SystemExit(17)
 
     # 1. blocklist (broadcast anti)
     if "source" in docs.columns:

@@ -52,7 +52,9 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from ocr_spark.operators.webcorpus import (
+        canonicalize_url,
         host_cap,
+        plant_url_col,
         politeness_schedule,
         recrawl_priority,
         robots_filter,
@@ -105,10 +107,25 @@ def main() -> None:
         docs, delay_ms=args.delay_ms, n_workers=args.workers
     )
 
-    # 5. optional recrawl tiers from the previous snapshot
+    # 5. optional recrawl tiers from the previous snapshot.  The tier
+    # table must be keyed on the SAME host derivation the politeness
+    # plan uses (canonicalize_url over the planted URL), not the raw
+    # ``source`` column — otherwise the left join never matches and
+    # every host silently falls back to 'hot'.
     if args.prev_input:
+
+        def _with_canon_host(df):
+            url = plant_url_col(F.col("doc_id"), F.col("source"))
+            return df.select(
+                "doc_id", "text", canonicalize_url(url)["host"].alias("host")
+            )
+
         prev = spark.read.parquet(args.prev_input)
-        tiers = recrawl_priority(prev, docs.select("doc_id", "text", "source"))
+        tiers = recrawl_priority(
+            _with_canon_host(prev),
+            _with_canon_host(docs.select("doc_id", "text", "source")),
+            host_col="host",
+        )
         plan = plan.join(
             F.broadcast(tiers.select("host", "tier")), "host", "left"
         ).withColumn("tier", F.coalesce("tier", F.lit("hot")))

@@ -27,16 +27,16 @@ the oracle can express the whole K-round training loop as K generated
 CTE layers.  Self-merges ("e e") are pathological for natural text;
 real tokenizers rarely learn them early.
 
-Ties break on (count DESC, lhs ASC, rhs ASC) so the learned table is
-deterministic.  Caveat (BMP-only guarantee): Spark compares strings by
-UTF-16 code unit while the driver-local loop (Python) and DuckDB
-compare by code point / UTF-8 byte — the three orders agree for all
-Basic-Multilingual-Plane symbols but diverge when a tie pits a
-supplementary-plane symbol (>= U+10000) against a BMP symbol >= U+E000.
-Natural-language corpora never exercise this (early merges are
-letter pairs); for corpora dense in emoji/rare-CJK-extension symbols,
-pre-filter such codepoints or switch the tie-break to a byte-hash of
-the pair in all three paths.
+Ties break on (count DESC, hash60(lhs || US || rhs) ASC) — a 60-bit
+md5 prefix over the UTF-8 bytes of the pair (unit-separator joined so
+("ab","c") and ("a","bc") never alias).  md5-over-UTF-8 is computed
+identically by Spark, DuckDB and Python's hashlib, so the learned
+table is deterministic ACROSS ENGINES for every codepoint, including
+supplementary-plane symbols where raw string order diverges (Spark
+compares UTF-16 code units, Python/DuckDB code points — a tie pitting
+a symbol >= U+10000 against one >= U+E000 sorted differently under
+the old lexicographic tie-break).  (lhs, rhs) remains as a final
+fallback key; it can only fire on an md5-prefix collision.
 """
 
 from __future__ import annotations
@@ -62,6 +62,31 @@ END_OF_WORD = "</w>"
 # the threshold the loop runs distributed.
 DICT_LOCAL_TYPES = 65_536
 
+# Unit separator joining (lhs, rhs) before hashing the tie-break key,
+# so ("ab","c") and ("a","bc") hash differently.  A collision would
+# need U+001F inside a corpus word; even then the (lhs, rhs) fallback
+# keys keep the argmax deterministic within each engine.
+_TIE_SEP = "\x1f"
+
+
+def _tie_hash_local(lhs: str, rhs: str) -> int:
+    """60-bit md5 prefix of the pair — the Python replica of
+    ``_tie_hash_col`` / the DuckDB expression in ``_sql_bpe_ctes``."""
+    import hashlib
+
+    return int(
+        hashlib.md5(f"{lhs}{_TIE_SEP}{rhs}".encode()).hexdigest()[:15], 16
+    )
+
+
+def _tie_hash_col() -> "F.Column":
+    """Spark column form of the tie-break hash over (lhs, rhs)."""
+    from ocr_spark.operators.dedup import _hash60
+
+    return _hash60(
+        F.concat(F.col("lhs"), F.lit(_TIE_SEP), F.col("rhs"))
+    )
+
 
 def _initial_dict(docs: DataFrame, text_col: str) -> DataFrame:
     """(syms, cnt): per distinct word, its character symbols + the
@@ -73,8 +98,14 @@ def _initial_dict(docs: DataFrame, text_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     # Spark's split can emit a leading '' for zero-width patterns;
-    # characters are never empty, so drop them.
-    chars = F.filter(F.split(F.col("w"), r"(?!^)"), lambda x: x != "")
+    # characters are never empty, so drop them.  The zero-width split
+    # must NOT fire inside a UTF-16 surrogate pair (Spark strings are
+    # UTF-16 under java.util.regex): the (?![\uDC00-\uDFFF]) guard
+    # keeps supplementary-plane symbols (emoji, CJK extensions) whole,
+    # matching Python's and DuckDB's code-point alphabets.
+    chars = F.filter(
+        F.split(F.col("w"), r"(?!^)(?![\uDC00-\uDFFF])"), lambda x: x != ""
+    )
     syms = F.concat(chars, F.array(F.lit(END_OF_WORD)))
     return words.select(syms.alias("syms"), "cnt")
 
@@ -115,7 +146,7 @@ def _local_merge_loop(
 ) -> List[Tuple[int, str, str, str, int]]:
     """The merge loop over a driver-local {symbol-tuple: count} dict —
     bit-identical semantics to the distributed loop (self-pairs
-    excluded, greedy non-overlapping apply, (count DESC, lhs, rhs)
+    excluded, greedy non-overlapping apply, (count DESC, pair-hash)
     tie-break)."""
     out: List[Tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -127,7 +158,13 @@ def _local_merge_loop(
         if not counts:
             break
         (lhs, rhs), cnt = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            counts.items(),
+            key=lambda kv: (
+                -kv[1],
+                _tie_hash_local(kv[0][0], kv[0][1]),
+                kv[0][0],
+                kv[0][1],
+            ),
         )
         out.append((rank, lhs, rhs, lhs + rhs, int(cnt)))
         nxt: dict = {}
@@ -178,7 +215,10 @@ def train_bpe(
                 top = (
                     _pair_counts(d)
                     .orderBy(
-                        F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+                        F.desc("pair_count"),
+                        F.asc(_tie_hash_col()),
+                        F.asc("lhs"),
+                        F.asc("rhs"),
                     )
                     .limit(1)
                     .collect()
@@ -247,7 +287,11 @@ def _sql_bpe_ctes(n_merges: int, text_expr: str) -> List[str]:
             FROM d{p}, UNNEST(range(1, len(syms))) AS t(i)
             WHERE syms[CAST(i AS INTEGER)] <> syms[CAST(i AS INTEGER) + 1]
             GROUP BY 1, 2
-            ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+            ORDER BY pair_count DESC,
+                     CAST('0x' || substr(md5(lhs || chr(31) || rhs), 1, 15)
+                          AS BIGINT),
+                     lhs, rhs
+            LIMIT 1
         )"""
         )
         ctes.append(
@@ -366,7 +410,10 @@ def encode_bpe(
         .select(
             "doc_id",
             F.concat(
-                F.filter(F.split(F.col("w"), r"(?!^)"), lambda x: x != ""),
+                F.filter(
+                    F.split(F.col("w"), r"(?!^)(?![\uDC00-\uDFFF])"),
+                    lambda x: x != "",
+                ),
                 F.array(F.lit(END_OF_WORD)),
             ).alias("syms"),
         )

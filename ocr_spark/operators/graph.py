@@ -726,7 +726,11 @@ def hits_scores(
 ) -> DataFrame:
     """(node, hub, authority) after ``n_iter`` max-normalized HITS
     iterations over nodes 0..n_nodes-1 (6dp output, ITER_ROUND
-    internal)."""
+    internal).  ``n_iter`` must be >= 1: with zero iterations there is
+    no authority vector to report (the SQL mirror has the same
+    floor)."""
+    if n_iter < 1:
+        raise ValueError(f"hits_scores needs n_iter >= 1, got {n_iter}")
     spark = edges.sparkSession
     e = edges.localCheckpoint(eager=False)
     nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
@@ -779,6 +783,8 @@ def hits_scores(
 
 def sql_hits_scores(n_iter: int = 3) -> str:
     """The same fixed max-normalized iterations as chained CTEs."""
+    if n_iter < 1:
+        raise ValueError(f"sql_hits_scores needs n_iter >= 1, got {n_iter}")
     parts = [
         f"WITH edges AS ({sql_edges()}),",
         "nodes AS (SELECT doc_id AS node FROM documents),",

@@ -510,7 +510,14 @@ def gram_matrix(
             if not len(pdf):
                 continue
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            q = np.rint(mat * GRAM_SCALE).astype(np.int64)
+            # HALF_UP (round half away from zero) to stay bit-identical
+            # with the explode mirror's F.round and the oracle's DuckDB
+            # round — np.rint is half-to-even and diverges on exact
+            # .5 milli values (12.5 -> 12 instead of 13).
+            s = mat * GRAM_SCALE
+            q = np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(
+                np.int64
+            )
             g = q.T @ q  # exact: |q| <= ~GRAM_SCALE * |x|, int64 safe
             yield pd.DataFrame(
                 {"i": ii, "j": jj, "t": g[ii, jj]}
@@ -601,8 +608,14 @@ def _pca_components(emb: DataFrame, k: int, dim: int):
         j = int(np.argmax(np.abs(row)))
         if row[j] < 0:
             row *= -1
-    total = float(vals.sum())
-    ratio = [float(vals[i]) / total for i in order]
+    # Clamp tiny negative eigenvalues (numerical noise in the sample
+    # covariance) so ratios never exceed 1; a degenerate corpus
+    # (constant embeddings) has total == 0 -> all ratios 0.0.
+    vals_c = np.clip(vals, 0.0, None)
+    total = float(vals_c.sum())
+    ratio = [
+        (float(vals_c[i]) / total) if total > 0.0 else 0.0 for i in order
+    ]
     return comps, ratio, n, s
 
 

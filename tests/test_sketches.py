@@ -263,6 +263,43 @@ def test_frontier_job_end_to_end(spark, tmp_path):
     dirs = [d for d in _os.listdir(out) if d.startswith("worker=")]
     assert 1 <= len(dirs) <= 4
 
+    # --prev-input: tier table must join on the plan's canonical host
+    # derivation (round-4 ADVICE: raw `source` never matched, every
+    # host silently fell back to 'hot').  prev == exactly the surviving
+    # docs, so change_frac is 0 for every host -> all tiers 'cold';
+    # any 'hot' row would mean the join missed again.
+    prev_path = str(tmp_path / "prev")
+    survivors = plan.select("doc_id")
+    (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .join(survivors, "doc_id", "left_semi")
+        .write.mode("overwrite")
+        .parquet(prev_path)
+    )
+    out2 = str(tmp_path / "plan2")
+    rep2 = str(tmp_path / "report2")
+    proc2 = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/jobs/frontier.py",
+            "--input", f"{SF_DIR}/documents.parquet",
+            "--output", out2,
+            "--report", rep2,
+            "--host-cap", "40",
+            "--workers", "4",
+            "--cores", "4",
+            "--prev-input", prev_path,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    plan2 = spark.read.parquet(out2)
+    assert "tier" in plan2.columns
+    tiers_seen = {r["tier"] for r in plan2.select("tier").distinct().collect()}
+    assert tiers_seen == {"cold"}, tiers_seen
+
 
 def test_pca_project_matches_numpy_reference(spark):
     """The Spark projection must equal the numpy replication of the
@@ -282,7 +319,9 @@ def test_pca_project_matches_numpy_reference(spark):
     rows = emb.select("vec_id", "embedding").collect()
     ids = [r["vec_id"] for r in rows]
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    q = np.rint(mat * GRAM_SCALE)
+    # same HALF_UP quantization as the kernel (matches F.round/DuckDB)
+    _s = mat * GRAM_SCALE
+    q = np.where(_s >= 0, np.floor(_s + 0.5), np.ceil(_s - 0.5))
     n = len(rows)
     s = q.sum(axis=0)
     cov = (q.T @ q) / (n * GRAM_SCALE**2) - np.outer(s, s) / (
@@ -502,3 +541,78 @@ def test_gram_matrix_arrow_explode_bit_identical(spark):
     )
     assert "Generate" not in plan, plan  # no explode
     assert "MapInPandas" in plan
+
+
+def test_gram_matrix_half_up_tie_identity(spark):
+    """Embedding components whose milli value lands EXACTLY on .5 are
+    where np.rint (half-to-even) and F.round/DuckDB (half away from
+    zero) diverge — the arrow kernel must round HALF_UP so both impls
+    stay bit-identical on ties too (round-4 ADVICE)."""
+    from ocr_spark.operators.sketches import gram_matrix
+
+    # 12.5/1000 and -11.5/1000 are exactly representable products:
+    # x * 1000 reproduces the .5 tie in float64.
+    ties = [12.5 / 1000.0, -11.5 / 1000.0, 0.5 / 1000.0, -0.5 / 1000.0]
+    assert all(abs(x * 1000.0 % 1.0) == 0.5 for x in ties)
+    vecs = [
+        (i, [ties[(i + j) % len(ties)] for j in range(4)])
+        for i in range(6)
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    arrow = {
+        (r["i"], r["j"]): r["s_scaled"]
+        for r in gram_matrix(emb, dim=4, impl="arrow").collect()
+    }
+    explode = {
+        (r["i"], r["j"]): r["s_scaled"]
+        for r in gram_matrix(emb, dim=4, impl="explode").collect()
+    }
+    assert arrow == explode
+    # and HALF_UP really fired: 12.5 -> 13 (not 12), -11.5 -> -12
+    # per-row term for (0,0) of vec 0: 13*13; sum over the 6 rows is
+    # determined by the tie layout, so just pin one value exactly.
+    import numpy as np
+
+    qrows = np.array(
+        [
+            [
+                np.floor(x * 1000.0 + 0.5)
+                if x >= 0
+                else np.ceil(x * 1000.0 - 0.5)
+                for x in v
+            ]
+            for _, v in vecs
+        ]
+    )
+    g = qrows.T @ qrows
+    assert arrow[(0, 0)] == int(g[0, 0])
+    assert {13.0, -12.0, 1.0, -1.0} == set(np.unique(qrows))
+
+
+def test_hits_scores_rejects_zero_iterations(spark):
+    from ocr_spark.operators.graph import hits_scores, sql_hits_scores
+
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    with pytest.raises(ValueError, match="n_iter >= 1"):
+        hits_scores(edges, n_nodes=2, n_iter=0)
+    with pytest.raises(ValueError, match="n_iter >= 1"):
+        sql_hits_scores(0)
+
+
+def test_pca_variance_degenerate_corpus(spark):
+    """Constant embeddings -> zero covariance -> all eigenvalues 0:
+    ratios must come back 0.0, not ZeroDivisionError; and on the real
+    corpus no ratio may exceed 1 even with negative-noise eigenvalues
+    in the spectrum (round-4 ADVICE: clamp before summing)."""
+    from ocr_spark.operators.sketches import pca_variance
+
+    const = spark.createDataFrame(
+        [(i, [0.25] * 8) for i in range(5)], ["vec_id", "embedding"]
+    )
+    rows = pca_variance(const, k=3, dim=8).collect()
+    assert [r["explained_ratio"] for r in rows] == [0.0, 0.0, 0.0]
+    real = [
+        r["explained_ratio"] for r in pca_variance(_emb(spark)).collect()
+    ]
+    assert all(0.0 <= x <= 1.0 for x in real)
+    assert sum(real) <= 1.0 + 1e-9

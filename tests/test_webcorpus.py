@@ -177,6 +177,67 @@ def test_bloom_contamination_no_false_negatives(spark):
     assert extra / len(bloom) < 0.05  # fp rate bounded at 2^16 bits
 
 
+def test_bloom_broadcast_matches_literal_and_keeps_plan_small(spark):
+    """The broadcast-bytes variant (the 10^10-bit scale path) must
+    produce EXACTLY the literal-closure demo's rows at the same
+    bloom_bits — same hash family, same positions, same false
+    positives — while keeping the bitset OUT of the query plan: the
+    literal plan embeds a 2,048-word array literal, the broadcast plan
+    must stay O(1) in bloom_bits (round-4 VERDICT item 3)."""
+    docs = _docs(spark)
+    lit_rows = sorted(
+        tuple(r) for r in wc.bloom_contamination(docs).collect()
+    )
+    bc_df = wc.bloom_contamination_broadcast(docs)
+    bc_rows = sorted(tuple(r) for r in bc_df.collect())
+    assert lit_rows == bc_rows
+
+    lit_plan = (
+        wc.bloom_contamination(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # fresh (unexecuted) plan so AQE's final-plan rendering doesn't
+    # skew the size comparison vs the bloom_bits-scaled plan below
+    bc_plan = (
+        wc.bloom_contamination_broadcast(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the literal plan carries the word array (even truncated for
+    # display it dwarfs the broadcast plan); the broadcast plan must
+    # stay O(1) in bloom_bits — growing the filter 16x may not grow
+    # the plan at all
+    assert len(bc_plan) < len(lit_plan) / 2, (len(bc_plan), len(lit_plan))
+    assert "ArrowEvalPython" in bc_plan  # vectorized pandas_udf probe
+    bc_plan_big = (
+        wc.bloom_contamination_broadcast(docs, bloom_bits=1 << 20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert abs(len(bc_plan_big) - len(bc_plan)) < 200, (
+        len(bc_plan_big),
+        len(bc_plan),
+    )
+
+    # bloom_bits is a real parameter now: a smaller filter over-flags
+    # more but still never misses the exact screen's hits
+    small = {
+        r.doc_id: r.contaminated
+        for r in wc.bloom_contamination_broadcast(
+            docs, bloom_bits=1 << 10
+        ).collect()
+    }
+    exact = {r.doc_id: r.contaminated for r in wc.contamination(docs).collect()}
+    assert [d for d, c in exact.items() if c and not small[d]] == []
+
+    with pytest.raises(ValueError, match="multiple of 8"):
+        wc.bloom_contamination_broadcast(docs, bloom_bits=12)
+
+
 def test_bloom_contamination_no_join_on_corpus_side(spark):
     """The probe side must test against closure literals — the only
     join in the plan is the final per-doc hit reattach, never a join
