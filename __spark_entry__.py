@@ -2320,6 +2320,62 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_stream_estimate(spark, split_dir, max_files_per_trigger=1)
 
 
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T134: Levenshtein verification of MinHash-LSH candidate pairs —
+    the sequence-aware gate set measures can't provide (a doc and its
+    word-shuffle verify identical under Jaccard).  Per-pair cost is
+    bounded by prefix truncation; only the LSH-bounded candidate set
+    is ever verified, and the attach joins carry 400-char prefixes."""
+    from ocr_spark.operators.dedup import edit_verify_pairs, neardup_corpus
+
+    return edit_verify_pairs(neardup_corpus(_tw(spark, sf_dir, "documents")))
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T135: corpus-health power-law fit — OLS slope of ln(freq) on
+    ln(rank) over the top-200 terms, moments as exact integer
+    micro-nat sums (order-free, cross-engine bit-identical)."""
+    from ocr_spark.operators.corpus_ops import zipf_slope
+
+    return zipf_slope(_tw(spark, sf_dir, "documents"))
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T136: per-doc sentence census (count / mean words / max words)
+    — segmentation-quality audit; pure in-row expressions, zero
+    exchanges."""
+    from ocr_spark.operators.corpus_ops import sentence_stats
+
+    return sentence_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T138: Flesch reading ease with vowel-group syllables — the
+    dictionary-free readability member of the quality ensemble; exact
+    integer counts, one fixed-shape double formula, in-row only."""
+    from ocr_spark.operators.corpus_ops import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T139: power-of-two doc-length histogram — bucket index from
+    binary-string length (pure integer log2, no float boundary risk);
+    one map-side-combined agg."""
+    from ocr_spark.operators.corpus_ops import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"))
+
+
+def q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T137: per-host Wilson lower bound on the Gopher-keep rate —
+    the small-sample-safe quality prior crawl admission ranks hosts
+    by; in-row verdict + one two-bigint groupBy(host)."""
+    from ocr_spark.operators.webcorpus import host_reputation
+
+    return host_reputation(_tw(spark, sf_dir, "documents"))
+
+
 def q_graph_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T132: crawl-graph health audit — reciprocity (link-exchange
     farms sit high) and Newman degree assortativity (the web is
@@ -2467,6 +2523,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_scrub": q_line_dedup_scrub,
         "graph_health": q_graph_health,
         "stream_hll": q_stream_hll,
+        # --- unbanked (round-5 additions T134-T139) ---
+        "edit_verify": q_edit_verify,
+        "zipf_slope": q_zipf_slope,
+        "sentence_stats": q_sentence_stats,
+        "host_reputation": q_host_reputation,
+        "readability": q_readability,
+        "length_histogram": q_length_histogram,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver records a rows-only row)
         "pca_project": q_pca_project,
@@ -3051,6 +3114,12 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": _webcorpus_sql.sql_host_cap(cap=5),
         "contamination": _webcorpus_sql.sql_contamination(),
         "quote_containment": _dedup_sql.sql_quote_containment(),
+        "edit_verify": _dedup_sql.sql_edit_verify(),
+        "zipf_slope": _corpus_sql.sql_zipf_slope(),
+        "sentence_stats": _corpus_sql.sql_sentence_stats(),
+        "readability": _corpus_sql.sql_readability(),
+        "length_histogram": _corpus_sql.sql_length_histogram(),
+        "host_reputation": _webcorpus_sql.sql_host_reputation(),
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "graph_health": _graph_sql.sql_graph_health(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),

@@ -135,6 +135,14 @@ HEADLINE_QUERIES = [
     "transition_matrix",
     "quote_containment",
     "line_dedup_scrub",
+    # round-5 ops (edit-verify join, micro-nat OLS, in-row scans,
+    # two-bigint host rollup)
+    "edit_verify",
+    "zipf_slope",
+    "sentence_stats",
+    "readability",
+    "host_reputation",
+    "length_histogram",
 ]
 
 

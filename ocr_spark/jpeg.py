@@ -1,19 +1,25 @@
-"""Baseline JPEG codec — pure stdlib + numpy, no external libraries.
+"""JPEG codec — pure stdlib + numpy, no external libraries.
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
-with arbitrary sampling factors, optional restart markers. Returns
-(width, height, mean_luma) from the luma channel only — exactly what
-the multimodal decode stage extracts (operators/multimodal.py). The
-chroma components are entropy-decoded (the bitstream cannot be
-advanced otherwise) but not reconstructed.
+Decoder: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2)
+— spectral selection, successive approximation (DC and AC first +
+refinement scans, EOB run-length symbols, T.81 §G), 8-bit, grayscale
+or YCbCr with arbitrary sampling factors, optional restart markers.
+Returns (width, height, mean_luma) from the luma channel only —
+exactly what the multimodal decode stage extracts
+(operators/multimodal.py). The chroma components are entropy-decoded
+(the bitstream cannot be advanced otherwise) but not reconstructed.
 
-Encoder: minimal baseline encoder (grayscale, quality-fixed Annex K
-tables, no subsampling) used by the tests to produce real JPEG bytes
-with known pixel content — no imaging library exists in this sandbox
-to make fixtures with.
+Encoders: minimal baseline encoder (grayscale, quality-fixed Annex K
+tables, no subsampling) plus a progressive (SOF2) encoder emitting
+DC-first/DC-refine/AC-first/AC-refine scans over two spectral bands —
+both used by the tests to produce real JPEG bytes with known pixel
+content (no imaging library exists in this sandbox to make fixtures
+with). The two encoders carry bit-identical quantized coefficients,
+so decoding either stream must give the same pixels — the pinned
+cross-mode invariant.
 
-Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
-raise NotImplementedError — that remains the PIL/libjpeg seam.
+Arithmetic coding, 12-bit, lossless, and hierarchical modes raise
+NotImplementedError — that remains the PIL/libjpeg seam.
 
 Format reference: ITU-T T.81 (public spec); tables from its Annex K.
 """
@@ -213,6 +219,245 @@ def encode_gray(pixels: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (grayscale, for test fixtures)
+# ---------------------------------------------------------------------------
+#
+# Annex K's AC table has no EOBn symbols (progressive streams normally
+# ship optimized tables), so progressive scans use a flat custom AC
+# table: every symbol the scans can emit — EOB0..EOB14 (r<<4, s=0),
+# ZRL (0xF0), and (r<<4)|s for s=1..10 — as an 8-bit canonical code
+# (176 symbols, Kraft sum 176/256 < 1, so the table is valid).
+
+_PROG_AC_VALS = sorted(
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[7] = len(_PROG_AC_VALS)  # all codes 8 bits long
+
+
+def _quant_zz_blocks(pixels: np.ndarray):
+    """Row-major list of zigzag-order quantized coefficient lists —
+    the same DCT/Q50 math as ``encode_gray`` so a progressive stream
+    carries bit-identical coefficients to the baseline one."""
+    h, w = pixels.shape
+    q = np.empty(64)
+    for i, z in enumerate(_ZIGZAG):
+        q[z] = _Q50_ZZ[i]
+    qtab = q.reshape(8, 8)
+    bh, bwn = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(
+        pixels.astype(np.float64),
+        ((0, bh * 8 - h), (0, bwn * 8 - w)),
+        mode="edge",
+    )
+    blocks = []
+    for by in range(bh):
+        for bx in range(bwn):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            quant = np.round((_C @ block @ _C.T) / qtab).astype(int)
+            blocks.append([int(quant.flat[z]) for z in _ZIGZAG])
+    return blocks
+
+
+def _encode_ac_first(blocks, ss, se, al, ac_codes) -> bytes:
+    """Progressive AC first scan (T.81 G.1.2.2): point-transformed
+    magnitudes with EOBn run aggregation."""
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        vals = [
+            (abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+            for k in range(ss, se + 1)
+        ]
+        last = max((i for i, v in enumerate(vals) if v), default=-1)
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                r -= 16
+            size, bits = _magnitude(v)
+            code, length = ac_codes[(r << 4) | size]
+            bw.write(code, length)
+            bw.write(bits, size)
+            r = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    bw.flush()
+    return bytes(bw.buf)
+
+
+def _encode_ac_refine(blocks, ss, se, al, ac_codes) -> bytes:
+    """Progressive AC refinement scan (T.81 G.1.2.3, fig. G.7):
+    newly-significant coefficients as (run<<4)|1 + sign bit;
+    correction bits for already-nonzero coefficients buffered and
+    emitted after the symbol (or EOBn flush) they ride with."""
+    bw = _BitWriter()
+    eobrun = 0
+    pending = []  # correction bits deferred with the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            bw.write(code, length)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+
+    for zz in blocks:
+        vals = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        eob_i = -1
+        for i, v in enumerate(vals):
+            if v == 1:
+                eob_i = i
+        r = 0
+        br = []  # this block's buffered correction bits
+        for i, v in enumerate(vals):
+            if v == 0:
+                r += 1
+                continue
+            # emit required ZRLs before ANY nonzero position (fig.
+            # G.7) — unless they can fold into the EOB run; a ZRL here
+            # splits the buffered correction bits exactly where the
+            # decoder's 16-zero walk stops consuming them
+            while r > 15 and i <= eob_i:
+                flush_eob()
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                r -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+            if v > 1:
+                br.append(v & 1)
+                continue
+            # newly significant
+            flush_eob()
+            code, length = ac_codes[(r << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if zz[ss + i] >= 0 else 0, 1)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF or len(pending) > 900:
+                flush_eob()
+    flush_eob()
+    bw.flush()
+    return bytes(bw.buf)
+
+
+def encode_gray_progressive(pixels: np.ndarray) -> bytes:
+    """Encode an 8-bit grayscale array as a progressive (SOF2) JPEG
+    carrying the exact coefficients of ``encode_gray``: DC first
+    (Al=1) → DC refine → AC first in two spectral bands (Al=1) → AC
+    refine in the same bands — so decode_luma of the two streams is
+    bit-identical."""
+    h, w = pixels.shape
+    dc_codes = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    blocks = _quant_zz_blocks(pixels)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(_Q50_ZZ[i]) for i in range(64)
+    )
+    out += (
+        b"\xff\xc2"
+        + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + bytes([1, 0x11, 0])
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_DC_LUM_VALS))
+        + b"\x00"
+        + bytes(_DC_LUM_BITS)
+        + bytes(_DC_LUM_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_PROG_AC_VALS))
+        + b"\x11"
+        + bytes(_PROG_AC_BITS)
+        + bytes(_PROG_AC_VALS)
+    )
+
+    def sos(ss, se, ah, al, ta):
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + bytes([1, ta, ss, se, (ah << 4) | al])
+        )
+
+    # DC first, point transform Al=1 (arithmetic shift per G.1.2.1)
+    bw = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        v = zz[0] >> 1
+        size, bits = _magnitude(v - prev)
+        prev = v
+        code, length = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+    bw.flush()
+    out += sos(0, 0, 0, 1, 0x00) + bw.buf
+
+    # DC refine: one raw bit per block
+    bw = _BitWriter()
+    for zz in blocks:
+        bw.write(zz[0] & 1, 1)
+    bw.flush()
+    out += sos(0, 0, 1, 0, 0x00) + bw.buf
+
+    bands = ((1, 5), (6, 63))
+    for ss, se in bands:
+        out += sos(ss, se, 0, 1, 0x01) + _encode_ac_first(
+            blocks, ss, se, 1, ac_codes
+        )
+    for ss, se in bands:
+        out += sos(ss, se, 1, 0, 0x01) + _encode_ac_refine(
+            blocks, ss, se, 0, ac_codes
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -278,10 +523,182 @@ def _huff_decode(reader, table):
     raise ValueError("invalid Huffman code")
 
 
+def _decode_block_sequential(blk, reader, dc_tab, ac_tab, preds, cid):
+    """One baseline block: DC diff + AC run/size, T.81 F.2.2."""
+    s = _huff_decode(reader, dc_tab)
+    preds[cid] += _extend(reader.receive(s), s)
+    blk[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if rs == 0x00:
+            break
+        if rs == 0xF0:
+            k += 16
+            continue
+        k += r
+        if k > 63:
+            raise ValueError("AC run overflow")
+        blk[k] = _extend(reader.receive(s), s)
+        k += 1
+
+
+def _decode_block_ac_first(blk, reader, ac_tab, ss, se, al, eobrun):
+    """Progressive AC first scan for one block (T.81 G.2, fig. G.3):
+    run/size with EOBn run-length symbols; values stored << Al.
+    Returns the updated end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run = 2^r + appended bits (incl. this block)
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run overflow")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_block_ac_refine(blk, reader, ac_tab, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (T.81 G.1.2.3, fig.
+    G.7 decode side): newly-significant coefficients arrive as
+    (run<<4)|1 + sign bit; every already-nonzero coefficient passed
+    over consumes one correction bit. Returns the updated EOB run."""
+    bit = 1 << al
+
+    def _correct(k):
+        if reader.read_bit():
+            if not (int(blk[k]) & bit):
+                blk[k] += bit if blk[k] > 0 else -bit
+
+    if eobrun > 0:
+        for k in range(ss, se + 1):
+            if blk[k]:
+                _correct(k)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        newval = 0
+        if s == 0:
+            if r < 15:  # EOBn
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            # ZRL: skip 16 zero-history slots, correcting as we pass
+        elif s == 1:
+            newval = bit if reader.read_bit() else -bit
+        else:
+            raise ValueError("bad refinement magnitude")
+        while k <= se:
+            if blk[k]:
+                _correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if k <= se and newval:
+            blk[k] = newval
+        k += 1
+    # after an EOB the rest of this block's nonzero history still
+    # receives correction bits
+    while k <= se:
+        if blk[k]:
+            _correct(k)
+        k += 1
+    return eobrun
+
+
+def _run_scan(scan_data, scan_comps, ss, se, ah, al, progressive, comps,
+              coefs, grids, huff_dc, huff_ac, restart_interval):
+    """Entropy-decode one scan into the coefficient arrays; returns
+    the number of scan-data bytes consumed."""
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+    reader = _BitReader(scan_data)
+    preds = {cid: 0 for cid, *_ in comps}
+    by_id = {cid: (h, v) for cid, h, v, _tq in comps}
+    eobrun = 0
+    if len(scan_comps) == 1:
+        cid0 = scan_comps[0][0]
+        _by, _bx, nby, nbx = grids[cid0]
+        units = nby * nbx
+    else:
+        mcux, mcuy = grids["__mcu__"]
+        units = mcux * mcuy
+
+    def _one(blk, td, ta):
+        nonlocal eobrun
+        if not progressive:
+            _decode_block_sequential(
+                blk, reader, huff_dc[td], huff_ac[ta], preds, cid
+            )
+        elif ss == 0:
+            if ah == 0:
+                s = _huff_decode(reader, huff_dc[td])
+                preds[cid] += _extend(reader.receive(s), s)
+                blk[0] = preds[cid] << al
+            elif reader.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+        elif ah == 0:
+            eobrun = _decode_block_ac_first(
+                blk, reader, huff_ac[ta], ss, se, al, eobrun
+            )
+        else:
+            eobrun = _decode_block_ac_refine(
+                blk, reader, huff_ac[ta], ss, se, al, eobrun
+            )
+
+    for unit in range(units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align()
+            while (reader.pos + 1 < len(reader.data)
+                   and reader.data[reader.pos] == 0xFF):
+                m = reader.data[reader.pos + 1]
+                if 0xD0 <= m <= 0xD7:
+                    reader.pos += 2
+                    break
+                reader.pos += 1
+            preds = {c: 0 for c in preds}
+            eobrun = 0
+        if len(scan_comps) == 1:
+            cid, td, ta = scan_comps[0]
+            byi, bxi = divmod(unit, nbx)
+            _one(coefs[cid][byi, bxi], td, ta)
+        else:
+            my, mx = divmod(unit, mcux)
+            for cid, td, ta in scan_comps:
+                ch, cv = by_id[cid]
+                for v in range(cv):
+                    for hblk in range(ch):
+                        _one(coefs[cid][my * cv + v, mx * ch + hblk], td, ta)
+    return reader.pos
+
+
 def decode_luma(payload: bytes) -> tuple:
-    """Decode a baseline JPEG's luma channel: returns
-    (width, height, mean_luma). Raises NotImplementedError for
-    progressive/arithmetic/12-bit streams."""
+    """Decode a JPEG's luma channel: returns (width, height,
+    mean_luma). Handles baseline sequential (SOF0/1) and progressive
+    (SOF2) streams — spectral selection, successive approximation,
+    EOB runs, restart markers. Raises NotImplementedError for
+    arithmetic/lossless/hierarchical/12-bit streams (the libjpeg
+    seam); ValueError on malformed data."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -290,20 +707,29 @@ def decode_luma(payload: bytes) -> tuple:
     width = height = None
     comps = []  # (id, h, v, tq)
     restart_interval = 0
-    scan = None
-    scan_comps = []
-    while pos + 4 <= len(payload):
+    progressive = False
+    coefs = {}  # cid -> int64 (block_rows, block_cols, 64) zigzag order
+    grids = {}  # cid -> (mcu-aligned by, bx, exact nby, nbx)
+    saw_scan = False
+    n = len(payload)
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
             break
+        if pos + 2 > n:
+            break
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
+        nxt = pos + seglen
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -316,7 +742,8 @@ def decode_luma(payload: bytes) -> tuple:
                     tab[_ZIGZAG[i]] = seg[p + i]
                 qtabs[tq] = tab.reshape(8, 8)
                 p += 64
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             precision, height, width, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -324,11 +751,24 @@ def decode_luma(payload: bytes) -> tuple:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            grids["__mcu__"] = (mcux, mcuy)
+            for cid, ch, cv, _tq in comps:
+                cw = (width * ch + hmax - 1) // hmax
+                chh = (height * cv + vmax - 1) // vmax
+                nbx = (cw + 7) // 8
+                nby = (chh + 7) // 8
+                by, bx = mcuy * cv, mcux * ch
+                grids[cid] = (by, bx, nby, nbx)
+                coefs[cid] = np.zeros((by, bx, 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/arithmetic) needs a real "
-                "codec library at this seam"
+                "arithmetic/lossless/hierarchical JPEG needs a real codec "
+                "library at this seam"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -342,75 +782,36 @@ def decode_luma(payload: bytes) -> tuple:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg)
         elif marker == 0xDA:  # SOS
+            if width is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_comps = []
             for i in range(ns):
                 cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_comps.append((cs, tds >> 4, tds & 0xF))
-            scan = payload[pos + seglen :]
-            break
-        pos += seglen
-    if scan is None or width is None:
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            consumed = _run_scan(
+                payload[nxt:], scan_comps, ss, se, a >> 4, a & 0xF,
+                progressive, comps, coefs, grids, huff_dc, huff_ac,
+                restart_interval,
+            )
+            saw_scan = True
+            pos = nxt + consumed
+            continue
+        pos = nxt
+    if not saw_scan or width is None:
         raise ValueError("JPEG missing SOS/SOF")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-
-    reader = _BitReader(scan)
-    preds = {cid: 0 for cid, *_ in comps}
-    luma_id = comps[0][0]
-    lh, lv = comps[0][1], comps[0][2]
-    luma = np.zeros((mcuy * lv * 8, mcux * lh * 8))
-    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align()
-                # skip the RSTn marker
-                while reader.pos + 1 < len(reader.data) and reader.data[reader.pos] == 0xFF:
-                    m = reader.data[reader.pos + 1]
-                    if 0xD0 <= m <= 0xD7:
-                        reader.pos += 2
-                        break
-                    reader.pos += 1
-                preds = {cid: 0 for cid in preds}
-            for cs, td, ta in scan_comps:
-                ch, cv, tq = by_id[cs]
-                for v in range(cv):
-                    for hblk in range(ch):
-                        zz = np.zeros(64)
-                        s = _huff_decode(reader, huff_dc[td])
-                        diff = _extend(reader.receive(s), s)
-                        preds[cs] += diff
-                        zz[0] = preds[cs]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, huff_ac[ta])
-                            r, s = rs >> 4, rs & 0xF
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            zz[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        if cs == luma_id:
-                            coef = np.empty(64)
-                            coef[_ZIGZAG] = zz
-                            block = (
-                                _C.T
-                                @ (coef.reshape(8, 8) * qtabs[tq])
-                                @ _C
-                            ) + 128.0
-                            y0 = (my * lv + v) * 8
-                            x0 = (mx * lh + hblk) * 8
-                            luma[y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
+    luma_cid, _lh, _lv, ltq = comps[0]
+    by, bx = grids[luma_cid][0], grids[luma_cid][1]
+    zzc = coefs[luma_cid].reshape(by * bx, 64).astype(np.float64)
+    nat = np.empty_like(zzc)
+    nat[:, _ZIGZAG] = zzc
+    blocks = nat.reshape(-1, 8, 8) * qtabs[ltq]
+    px = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C) + 128.0
+    luma = (
+        px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    )
     visible = np.clip(luma[:height, :width], 0, 255)
     return width, height, float(visible.mean())

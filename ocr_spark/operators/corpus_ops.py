@@ -1969,3 +1969,327 @@ def sql_phrase_query(phrase: tuple = PHRASE_QUERY) -> str:
         WHERE t0.word = '{phrase[0]}'
         GROUP BY t0.doc
     """
+
+
+# ---------------------------------------------------------------------------
+# T135 — Zipf slope (corpus-health power-law fit)
+# ---------------------------------------------------------------------------
+#
+# A healthy natural-language corpus has term frequencies following a
+# power law with slope ~ -1 on a log-log rank/frequency plot (Zipf's
+# law); machine-generated or templated spam flattens or steepens the
+# curve, so dataset cards report the fitted slope next to the vocab
+# size.  The fit is ordinary least squares of ln(freq) on ln(rank)
+# over the top-N terms.  Determinism across engines: ln values are
+# quantized to integer MICRO-NATS (round(ln * 1e6) as bigint) before
+# the sums, so the OLS moments are EXACT integer sums (order-free) and
+# the slope is one fixed-shape double formula over six bigints —
+# bit-identical in Spark and DuckDB.
+#
+# Scale shape: one map-side-combined word count (the only corpus-scale
+# stage), one top-N (bounded at ZIPF_TOP rows after the agg), then a
+# single-row closed-form reduce.  Nothing but (word, count) ever
+# shuffles.
+
+ZIPF_TOP = 200
+
+
+def zipf_slope(
+    docs: DataFrame, top_n: int = ZIPF_TOP, text_col: str = "text"
+) -> DataFrame:
+    """(n_terms, slope, intercept): OLS fit of ln(freq) on ln(rank)
+    over the corpus's ``top_n`` most frequent terms (ties broken by
+    word so the rank sequence is deterministic); intercept in nats,
+    both 6dp."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # top-N via orderBy().limit() compiles to TakeOrderedAndProject —
+    # per-partition top-N + a bounded driver merge — NOT a global
+    # single-partition sort of the full vocabulary (which at web scale
+    # is billions of distinct terms).  The row_number window then runs
+    # over <= top_n rows.
+    top = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(top_n)
+    w = W.orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = top.select("cnt", F.row_number().over(w).alias("r"))
+    x = F.round(F.log(F.col("r").cast("double")) * 1e6).cast("bigint")
+    y = F.round(F.log(F.col("cnt").cast("double")) * 1e6).cast("bigint")
+    m = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n / F.lit(1e6)
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+def sql_zipf_slope(top_n: int = ZIPF_TOP, text_expr: str = "text") -> str:
+    words = _sql_words(text_expr)
+    return f"""
+        WITH counts AS (
+            SELECT w, count(*) AS cnt
+            FROM (SELECT unnest({words}) AS w FROM documents)
+            WHERE len(w) > 0 GROUP BY w
+        ),
+        ranked AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS r
+            FROM counts QUALIFY r <= {top_n}
+        ),
+        q AS (
+            SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+            FROM ranked
+        ),
+        m AS (
+            SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM q
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+               round((sy - ((CAST(n AS DOUBLE) * sxy
+                             - CAST(sx AS DOUBLE) * sy)
+                            / (CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)) * sx)
+                     / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
+        FROM m
+    """
+
+
+# ---------------------------------------------------------------------------
+# T136 — sentence statistics (segmentation-quality audit)
+# ---------------------------------------------------------------------------
+#
+# Extraction quality shows up in sentence shape: boilerplate-heavy or
+# badly-segmented pages produce floods of 1-3-word "sentences" (nav
+# crumbs) or single 500-word run-ons (stripped punctuation).  The
+# per-doc sentence census is the audit a curation report prints and
+# the input to rules like "drop docs whose mean sentence length < 3
+# words".  Pure in-row column expressions — zero exchanges, zero
+# Python; the cheapest kind of 10^12-row scan.
+
+
+def sentence_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_sentences, avg_sentence_words, max_sentence_words):
+    sentences split on [.!?]+ runs, word counts per trimmed non-empty
+    sentence; avg 6dp over exact integer sums."""
+    sents = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.!?]+"), F.trim),
+        lambda s: F.length(s) > 0,
+    )
+    wc = F.transform(
+        sents, lambda s: F.size(F.filter(_words(s), lambda t: t != ""))
+    )
+    n = F.size(wc)
+    total = F.aggregate(wc, F.lit(0).cast("bigint"), lambda a, c: a + c)
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_sentences"),
+        F.when(n > 0, F.round(total.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("avg_sentence_words"),
+        F.coalesce(F.array_max(wc), F.lit(0)).cast("bigint").alias(
+            "max_sentence_words"
+        ),
+    )
+
+
+def sql_sentence_stats(text_expr: str = "text") -> str:
+    words_of = _sql_words("s")
+    return f"""
+        WITH sents AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           string_split_regex({text_expr}, '[.!?]+'),
+                           x -> trim(x)),
+                       x -> len(x) > 0) AS ss
+            FROM documents
+        ),
+        wc AS (
+            SELECT doc_id,
+                   list_transform(
+                       ss,
+                       s -> len(list_filter({words_of}, t -> t <> ''))
+                   ) AS wcs
+            FROM sents
+        )
+        SELECT doc_id,
+               CAST(len(wcs) AS BIGINT) AS n_sentences,
+               CASE WHEN len(wcs) > 0
+                    THEN round(CAST(list_sum(wcs) AS DOUBLE) / len(wcs), 6)
+                    ELSE 0.0 END AS avg_sentence_words,
+               CAST(COALESCE(list_max(wcs), 0) AS BIGINT)
+                   AS max_sentence_words
+        FROM wc
+    """
+
+
+# ---------------------------------------------------------------------------
+# T138 — readability score (Flesch reading ease, vowel-group syllables)
+# ---------------------------------------------------------------------------
+#
+# Readability joins the quality-signal ensemble (Gopher rules, LM
+# perplexity, NB class score): reference-grade prose sits in a known
+# Flesch band, while OCR damage, keyword stuffing and template spam
+# fall far outside it.  The syllable counter is the standard
+# vowel-GROUP approximation ([aeiouy]+ runs per lowercased word,
+# floored at 1) — deterministic, dictionary-free, and the same regex
+# semantics in Java and RE2.  All counts are exact integers; the score
+# is one fixed-shape double formula — cross-engine bit-identical.
+# In-row only: zero exchanges, zero Python.
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch): Flesch
+    reading ease 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), 6dp; sentence floor 1 so empty-punctuation
+    docs stay finite."""
+    words = F.filter(_words(F.col(text_col)), lambda t: t != "")
+    n_words = F.size(words)
+    n_syll = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(F.lower(w), F.lit("[aeiouy]+")), F.lit(1)),
+    )
+    sents = F.filter(
+        F.transform(F.split(F.col(text_col), r"[.!?]+"), F.trim),
+        lambda s: F.length(s) > 0,
+    )
+    n_sents = F.greatest(F.size(sents), F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6)
+        * (
+            n_syll.cast("double")
+            / F.greatest(n_words, F.lit(1)).cast("double")
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sents.cast("bigint").alias("n_sentences"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+    )
+
+
+def sql_readability(text_expr: str = "text") -> str:
+    words = _sql_words(text_expr)
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter({words}, t -> t <> '') AS ws,
+                   greatest(len(list_filter(
+                       list_transform(
+                           string_split_regex({text_expr}, '[.!?]+'),
+                           x -> trim(x)),
+                       x -> len(x) > 0)), 1) AS n_sents
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   n_sents,
+                   list_sum(list_transform(
+                       ws,
+                       x -> greatest(len(regexp_extract_all(lower(x),
+                                                            '[aeiouy]+')),
+                                     1))) AS n_syll
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sents AS BIGINT) AS n_sentences,
+               CAST(COALESCE(n_syll, 0) AS BIGINT) AS n_syllables,
+               round(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE)
+                                / CAST(n_sents AS DOUBLE))
+                     - 84.6 * (CAST(COALESCE(n_syll, 0) AS DOUBLE)
+                               / CAST(greatest(n_words, 1) AS DOUBLE)),
+                     6) AS flesch
+        FROM c
+    """
+
+
+# ---------------------------------------------------------------------------
+# T139 — document length histogram (power-of-two buckets)
+# ---------------------------------------------------------------------------
+#
+# The length distribution is the first chart on any corpus card, and
+# the operational input to packing (shard sizing) and filtering (the
+# "tiny fragment" and "mega-page" tails).  Buckets are powers of two;
+# the bucket index is derived from the BINARY STRING length of
+# n_chars+1 (length(bin(x)) - 1 == floor(log2(x))) — pure integer
+# arithmetic, immune to the floating-point log2 boundary misrounding
+# that plagues floor(log2(2^k)) on some libms.  One map-side-combined
+# agg over an integer column the scan already carries; the pct join is
+# a window over <= ~40 bucket rows.
+
+
+def length_histogram(docs: DataFrame, len_col: str = "n_chars") -> DataFrame:
+    """(bucket, lo_chars, n_docs, pct): docs per power-of-two length
+    bucket — bucket b = floor(log2(n_chars + 1)) holds lengths in
+    [2^b - 1, 2^(b+1) - 1), lo_chars = that inclusive lower edge; pct
+    6dp of the corpus."""
+    from pyspark.sql import Window as W
+
+    b = (F.length(F.bin(F.col(len_col).cast("bigint") + 1)) - 1).cast(
+        "bigint"
+    )
+    agg = docs.select(b.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = F.sum("n_docs").over(W.partitionBy())
+    return agg.select(
+        "bucket",
+        (
+            F.expr("shiftleft(cast(1 as bigint), cast(bucket as int))")
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("lo_chars"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("n_docs").cast("double") / total, 6).alias("pct"),
+    )
+
+
+def sql_length_histogram(len_expr: str = "n_chars") -> str:
+    return f"""
+        WITH b AS (
+            SELECT length(bin(CAST({len_expr} AS BIGINT) + 1)) - 1
+                       AS bucket
+            FROM documents
+        ),
+        agg AS (
+            SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST((1 << CAST(bucket AS INTEGER)) - 1 AS BIGINT)
+                   AS lo_chars,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               round(CAST(n_docs AS DOUBLE)
+                     / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS pct
+        FROM agg
+    """

@@ -850,3 +850,89 @@ def sql_quote_containment() -> str:
                    AS containment_flag
         FROM sets
     """
+
+
+# ---------------------------------------------------------------------------
+# T134 — edit-distance verification of LSH candidate pairs
+# ---------------------------------------------------------------------------
+#
+# The missing middle of the MinHash pipeline: LSH emits CANDIDATES
+# (band collisions), Jaccard verifies set overlap — but set measures
+# are blind to ORDER, so "a b c ... z" and its reversal verify as
+# near-identical.  Production dedup (Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" uses exact substrings;
+# SimHash/MinHash pipelines typically add an edit-ratio gate) confirms
+# candidates with a sequence-aware measure.  Levenshtein is O(len_a *
+# len_b) per pair, so the verify stage (a) only ever runs on the
+# LSH-bounded candidate set, never all pairs, and (b) compares fixed
+# PREFIXES (EDIT_VERIFY_PREFIX chars) — the standard truncation that
+# bounds per-pair cost at a constant while preserving the decision for
+# documents that are near-dups end-to-end.  The joins that attach text
+# to the pair list carry only the truncated prefixes (<= 400 bytes
+# per row), never whole documents.
+
+EDIT_VERIFY_PREFIX = 400
+EDIT_SIM_THRESHOLD = 0.8
+
+
+def edit_verify_pairs(
+    corpus: DataFrame,
+    pairs: DataFrame | None = None,
+    prefix: int = EDIT_VERIFY_PREFIX,
+    threshold: float = EDIT_SIM_THRESHOLD,
+) -> DataFrame:
+    """(doc_a, doc_b, edit_dist, edit_sim, is_dup): Levenshtein verify
+    of each candidate pair over ``prefix``-truncated texts.
+    edit_sim = 1 - dist / max(len_a, len_b) (6dp)."""
+    if pairs is None:
+        pairs = minhash_candidate_pairs(corpus)
+    t = corpus.select(
+        F.col("doc_id"), F.substring("text", 1, prefix).alias("t")
+    )
+    j = (
+        pairs.join(
+            t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            t.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")),
+            "doc_b",
+        )
+    )
+    dist = F.levenshtein("ta", "tb")
+    denom = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
+    sim = F.round(
+        F.lit(1.0) - dist.cast("double") / denom.cast("double"), 6
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        dist.cast("bigint").alias("edit_dist"),
+        sim.alias("edit_sim"),
+        (sim >= threshold).alias("is_dup"),
+    )
+
+
+def sql_edit_verify(
+    prefix: int = EDIT_VERIFY_PREFIX, threshold: float = EDIT_SIM_THRESHOLD
+) -> str:
+    return f"""
+        WITH corpus AS ({sql_neardup_corpus()}),
+        pairs AS ({sql_minhash_pairs()}),
+        t AS (SELECT doc_id, substr(text, 1, {prefix}) AS t FROM corpus),
+        j AS (
+            SELECT p.doc_a, p.doc_b,
+                   levenshtein(a.t, b.t) AS d,
+                   greatest(length(a.t), length(b.t), 1) AS m
+            FROM pairs p
+            JOIN t a ON a.doc_id = p.doc_a
+            JOIN t b ON b.doc_id = p.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(d AS BIGINT) AS edit_dist,
+               round(1.0 - CAST(d AS DOUBLE) / CAST(m AS DOUBLE), 6)
+                   AS edit_sim,
+               round(1.0 - CAST(d AS DOUBLE) / CAST(m AS DOUBLE), 6)
+                   >= {threshold!r} AS is_dup
+        FROM j
+    """

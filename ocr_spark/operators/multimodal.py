@@ -9,10 +9,14 @@ resize running as vectorized batch UDFs near the end of the plan.
 
 Real formats: PNG (8-bit grayscale/RGB, zlib + manual chunk/filter
 parsing — stdlib only), WAV (PCM 8/16-bit via the stdlib ``wave``
-parser), and baseline-sequential JPEG (numpy + stdlib Huffman/DCT
-codec, ``ocr_spark/jpeg.py``) are genuinely decoded; progressive
-JPEG and MP4 remain clearly marked ``NotImplementedError`` seams
-(PIL / ffmpeg plug in there in production).  Everything Spark-side — schema,
+parser), and JPEG — baseline sequential AND progressive (SOF2,
+spectral selection + successive approximation) via the numpy + stdlib
+Huffman/DCT codec in ``ocr_spark/jpeg.py`` — are genuinely decoded;
+MP4 demux covers both classic (stbl) and fragmented (moof/traf/trun)
+layouts (``ocr_spark/mp4.py``). Arithmetic-coded JPEG and
+codec-payload decode (H.264) remain clearly marked
+``NotImplementedError`` seams (PIL / ffmpeg plug in there in
+production).  Everything Spark-side — schema,
 Arrow batch shape, mapInPandas signatures, metadata struct, partition
 behavior — is additionally tested against a deterministic fake format
 whose decode output is closed-form SQL-predictable:
@@ -161,16 +165,17 @@ def _png_decode(payload: bytes) -> tuple:
 def decode_image(payload: bytes) -> tuple:
     """(width, height, n_pixels, mean_luma) for one payload.
 
-    PNG and baseline JPEG decode for real (``_png_decode`` /
-    ``jpeg.decode_luma``); progressive JPEG is the remaining seam
-    where PIL/libvips would plug in on a production image.
+    PNG and JPEG — baseline sequential AND progressive (SOF2) —
+    decode for real (``_png_decode`` / ``jpeg.decode_luma``);
+    arithmetic/lossless JPEG is the remaining seam where PIL/libvips
+    would plug in on a production image.
     """
     if payload.startswith(_PNG_MAGIC):
         return _png_decode(payload)
     if payload.startswith(_JPEG_MAGIC):
-        # baseline sequential JPEG decodes for real (numpy + stdlib,
-        # ocr_spark/jpeg.py); progressive/arithmetic streams raise
-        # NotImplementedError inside — that is the remaining PIL seam
+        # baseline and progressive JPEG decode for real (numpy +
+        # stdlib, ocr_spark/jpeg.py); arithmetic/lossless streams
+        # raise NotImplementedError inside — the remaining PIL seam
         from ocr_spark.jpeg import decode_luma
 
         w, h, mean = decode_luma(payload)

@@ -3129,3 +3129,90 @@ def sql_url_templates() -> str:
                CAST(min(doc_id) AS BIGINT) AS min_doc_id
         FROM parts GROUP BY host, template
     """
+
+
+# ---------------------------------------------------------------------------
+# T137 — host reputation (Wilson lower bound on per-host quality)
+# ---------------------------------------------------------------------------
+#
+# Crawl schedulers and admission rules need a PER-HOST quality prior,
+# but a raw good-doc rate is useless at the tail: a host with 2/2 good
+# docs would outrank one with 980/1000.  The standard fix is the
+# Wilson score interval's lower bound (the "how to not sort by average
+# rating" estimator): rank hosts by the LOWER confidence bound of
+# their good rate, which discounts small samples automatically.  The
+# per-doc verdict is the Gopher keep rule (T9/T16) the curation
+# pipeline already applies, so the reputation table is consistent with
+# what curation will actually do to the host's pages.
+#
+# Scale shape: the verdict is an in-row expression, the rollup is one
+# map-side-combined groupBy(host) carrying two bigints; the Wilson
+# formula is a fixed-shape double expression over exact (k, n) — no
+# joins, no Python, cross-engine bit-identical.
+
+WILSON_Z = 1.96
+
+
+def host_reputation(docs: DataFrame, host_col: str = "source") -> DataFrame:
+    """(host, n_docs, n_good, good_rate, wilson_lb): per-host doc
+    count, Gopher-keep count, raw rate and Wilson lower bound (both
+    6dp), z = 1.96 (95%)."""
+    from ocr_spark.operators.corpus_ops import quality_features, quality_keep
+
+    keep = quality_keep(quality_features(F.col("text")))
+    agg = (
+        docs.select(F.col(host_col).alias("host"), keep.alias("k"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("k").cast("bigint")).alias("n_good"),
+        )
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_good").cast("double") / n
+    z = F.lit(float(WILSON_Z))
+    z2 = z * z
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = z * F.sqrt(
+        (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n
+    )
+    lb = (center - margin) / (F.lit(1.0) + z2 / n)
+    return agg.select(
+        "host",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_good").cast("bigint").alias("n_good"),
+        F.round(p, 6).alias("good_rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )
+
+
+def sql_host_reputation(host_expr: str = "source") -> str:
+    from ocr_spark.operators.corpus_ops import sql_quality_query
+
+    z = float(WILSON_Z)
+    return f"""
+        WITH verdicts AS ({sql_quality_query()}),
+        agg AS (
+            SELECT d.{host_expr} AS host,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_good
+            FROM documents d JOIN verdicts v ON v.doc_id = d.doc_id
+            GROUP BY d.{host_expr}
+        ),
+        w AS (
+            SELECT host, n_docs, n_good,
+                   CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p,
+                   CAST(n_docs AS DOUBLE) AS n
+            FROM agg
+        )
+        SELECT host,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               n_good,
+               round(p, 6) AS good_rate,
+               round(((p + {z!r} * {z!r} / (2.0 * n))
+                      - {z!r} * sqrt((p * (1.0 - p)
+                                      + {z!r} * {z!r} / (4.0 * n)) / n))
+                     / (1.0 + {z!r} * {z!r} / n), 6) AS wilson_lb
+        FROM w
+    """

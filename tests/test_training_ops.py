@@ -281,7 +281,7 @@ def test_multimodal_real_formats_are_explicit_stubs():
     from ocr_spark.operators import multimodal as M
 
     # baseline JPEG decodes for real now; malformed bytes are a
-    # ValueError, progressive streams the NotImplementedError seam
+    # ValueError, arithmetic streams the NotImplementedError seam
     # (test_multimodal_jpeg_decodes_for_real)
     with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff\xe0fakejpeg")
@@ -1846,14 +1846,48 @@ def test_multimodal_jpeg_decodes_for_real():
     _, _, _, mean = M.decode_image(encode_gray(px))
     assert abs(mean - px.mean()) < 1.5
 
-    # progressive SOF2 stays a seam
-    blob = bytearray(encode_gray(px))
-    sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2
+    # arithmetic-coded SOF10 stays a seam; a baseline stream whose
+    # SOF marker is flipped to SOF2 is now *parsed* as progressive and
+    # must be rejected as malformed (its scan says Ss=0,Se=63 — illegal
+    # for a progressive DC scan), not silently mis-decoded
     import pytest as _pt
 
+    blob = bytearray(encode_gray(px))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xCA
     with _pt.raises(NotImplementedError):
         M.decode_image(bytes(blob))
+    blob[sof + 1] = 0xC2
+    with _pt.raises(ValueError):
+        M.decode_image(bytes(blob))
+
+
+def test_multimodal_jpeg_progressive_decodes_for_real():
+    """Progressive (SOF2) JPEG decodes through the same seam and is
+    BIT-IDENTICAL to the baseline stream of the same pixels — both
+    encoders carry the same quantized coefficients, so spectral
+    selection + successive approximation must reassemble them exactly
+    (DC/AC first + refinement scans, EOB runs, ZRL-split correction
+    bits all exercised by the noise fixture)."""
+    import numpy as np
+
+    from ocr_spark.jpeg import encode_gray, encode_gray_progressive
+    from ocr_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(11)
+    fixtures = [rng.randint(0, 256, (h, w)).astype(np.uint8)
+                for (h, w) in [(8, 8), (17, 23), (40, 56)]]
+    y, x = np.mgrid[0:24, 0:40]
+    fixtures.append(((x * 3 + y * 5) % 256).astype(np.uint8))  # gradient
+    fixtures.append(np.full((32, 32), 77, np.uint8))  # flat: pure EOB runs
+    spike = np.full((40, 48), 128, np.uint8)
+    spike[7, 11] = 255
+    spike[30, 40] = 0
+    fixtures.append(spike)  # sparse: long zero runs (ZRL paths)
+    for px in fixtures:
+        assert M.decode_image(encode_gray_progressive(px)) == M.decode_image(
+            encode_gray(px)
+        )
 
 
 def test_mp4_demux_real_box_structure():
@@ -1881,12 +1915,49 @@ def test_mp4_demux_real_box_structure():
     assert [p[0] for p in plan] == [0, 5, 10]
     assert all(blob[off] == i % 256 for i, off, _, _ in plan)
 
-    # fragmented MP4 seam
+    # a stray empty moof makes the file fragmented but sample-less
     from ocr_spark.mp4 import _box
 
     frag = blob + _box(b"moof", b"")
-    with _pt.raises(NotImplementedError):
+    with _pt.raises(ValueError):
         demux_video(frag)
+
+
+def test_mp4_fragmented_demux():
+    """T13/fMP4: moof/traf/trun walking with trex/tfhd default
+    inheritance — offsets land on the right payload bytes across
+    fragments, first-of-fragment keyframes, trex-default durations."""
+    import pytest as _pt
+
+    from ocr_spark.mp4 import (
+        build_fragmented_mp4,
+        demux_video,
+        sample_stride_frames,
+    )
+
+    frags = [[10, 20, 15], [30, 25], [12, 18, 22, 9]]
+    flat = [s for f in frags for s in f]
+    blob = build_fragmented_mp4(frags, timescale=600, sample_delta=25)
+    t = demux_video(blob)
+    assert t.sizes == flat and t.n_samples == len(flat)
+    assert t.timescale == 600
+    for i, off in enumerate(t.offsets):
+        assert blob[off] == i % 256, i
+        assert blob[off + t.sizes[i] - 1] == i % 256, i
+    # first sample of each fragment is sync, rest inherit non-sync
+    want_keys = []
+    for f in frags:
+        want_keys += [True] + [False] * (len(f) - 1)
+    assert t.keyframes == want_keys
+    assert t.durations == [25] * len(flat)
+    assert t.duration_ms() == len(flat) * 25 * 1000.0 / 600
+    plan = sample_stride_frames(blob, stride=4)
+    assert [p[0] for p in plan] == [0, 4, 8]
+    assert all(blob[off] == i % 256 for i, off, _, _ in plan)
+
+    # truncated mid-moof must raise, not mis-demux
+    with _pt.raises(ValueError):
+        demux_video(blob[: len(blob) - 30])
 
 
 def test_video_demux_stats_through_spark(spark):
@@ -1904,6 +1975,14 @@ def test_video_demux_stats_through_spark(spark):
 
     n, k, dur, tb = M.demux_video_info(build_minimal_mp4([5, 6, 7, 8]))
     assert (n, k, tb) == (4, 1, 26)
+
+    # fragmented layout routes through the same info stage
+    from ocr_spark.mp4 import build_fragmented_mp4
+
+    n, k, dur, tb = M.demux_video_info(
+        build_fragmented_mp4([[5, 6], [7, 8, 9]])
+    )
+    assert (n, k, tb) == (5, 2, 35)
 
 
 # ---------------------------------------------------------------------------
@@ -2021,7 +2100,15 @@ def test_boilerplate_scrub_rewrite(spark):
 def _bpe_reference(word_counts, n_merges):
     """Independent single-node BPE trainer (dict-of-tuples state, no
     shared code with the Spark path) implementing the same variant:
-    self-pairs excluded, ties broken (count desc, lhs, rhs)."""
+    self-pairs excluded, ties broken (count desc, 60-bit md5 prefix of
+    'lhs\\x1frhs', lhs, rhs) — the cross-engine order the trainer
+    adopted in round 5; the hash is recomputed here from hashlib, not
+    imported from the implementation."""
+    import hashlib as _hl
+
+    def _th(a, b):
+        return int(_hl.md5(f"{a}\x1f{b}".encode()).hexdigest()[:15], 16)
+
     seqs = {
         tuple(w) + ("</w>",): c for w, c in word_counts.items()
     }
@@ -2035,7 +2122,8 @@ def _bpe_reference(word_counts, n_merges):
         if not counts:
             break
         (a, b), cnt = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            counts.items(),
+            key=lambda kv: (-kv[1], _th(*kv[0]), kv[0][0], kv[0][1]),
         )
         merges.append((rank, a, b, a + b, cnt))
         new_seqs = {}
@@ -2091,8 +2179,11 @@ def test_train_bpe_run_safety(spark):
     )
     rows = sorted(tuple(r) for r in train_bpe(docs, n_merges=3).collect())
     assert all(r[1] != r[2] for r in rows)
-    # first merge is (a,b) with count 3 (two aaab + one ab)
-    assert rows[0][1:] == ("a", "b", "ab", 3)
+    # the run 'aaa' never yields an (a,a) merge, and the whole merge
+    # sequence (including the md5-tie-broken (b,</w>) vs (a,b) race at
+    # count 3) matches the independent trainer exactly
+    expect = _bpe_reference({"aaab": 2, "ab": 1}, 3)
+    assert rows == sorted(expect)
 
 
 def test_encode_bpe_known_merges(spark):
@@ -2947,3 +3038,176 @@ def test_dup_mass_by_host_accounts_members(spark):
     assert sum(r.n_docs for r in rows) == corpus.count()
     assert all(0 <= r.n_dups <= r.n_docs for r in rows)
     assert any(r.dup_frac > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# round-5 ops: T134 edit_verify, T135 zipf_slope, T136 sentence_stats,
+# T138 readability, T139 length_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_edit_verify_is_sequence_aware(spark):
+    """Jaccard verifies a doc and its word-reversal as identical (same
+    shingle SET at k=1... and even word-order measures dilute); the
+    edit gate must pass the true near-dup (prefix mutant) and fail the
+    reversal — the sequence-awareness that motivates the stage."""
+    from ocr_spark.operators.dedup import (
+        EDIT_SIM_THRESHOLD,
+        edit_verify_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    mutant = " ".join(f"tok{i}" for i in range(59)) + " tokX"
+    reverse = " ".join(f"tok{i}" for i in range(59, -1, -1))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, mutant), (3, reverse)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in edit_verify_pairs(corpus, pairs=pairs).collect()
+    }
+    assert got[(1, 2)].is_dup and got[(1, 2)].edit_sim > 0.9
+    # the shared 'tok' stems keep char-level sim well above zero for
+    # the reversal — the gate's job is only to hold it under threshold
+    assert not got[(1, 3)].is_dup
+    assert got[(1, 3)].edit_sim < EDIT_SIM_THRESHOLD
+    assert got[(1, 2)].edit_dist < got[(1, 3)].edit_dist
+
+
+def test_edit_verify_passes_planted_mutants(spark):
+    """Every planted ~90%-prefix mutant pair surviving LSH must verify
+    as a dup under the edit gate (no false negatives on the pairs the
+    pipeline exists to confirm)."""
+    from ocr_spark.operators.dedup import (
+        NEARDUP_OFFSET,
+        edit_verify_pairs,
+        neardup_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = edit_verify_pairs(neardup_corpus(docs)).collect()
+    planted = [
+        r for r in rows if r.doc_b == r.doc_a + NEARDUP_OFFSET
+    ]
+    assert planted
+    assert all(r.is_dup for r in planted)
+
+
+def test_zipf_slope_recovers_planted_power_law(spark):
+    """A corpus whose term counts are EXACTLY c/r must fit slope ~ -1;
+    a uniform corpus (all terms equal count) fits slope 0."""
+    from ocr_spark.operators.corpus_ops import zipf_slope
+
+    zipf_text = " ".join(
+        " ".join([f"w{r:03d}"] * max(1, round(600 / r)))
+        for r in range(1, 51)
+    )
+    z = zipf_slope(
+        spark.createDataFrame([(1, zipf_text)], "doc_id bigint, text string"),
+        top_n=50,
+    ).collect()[0]
+    assert z.n_terms == 50
+    assert -1.1 < z.slope < -0.9, z.slope
+
+    uni_text = " ".join(" ".join([f"u{r:03d}"] * 7) for r in range(1, 51))
+    u = zipf_slope(
+        spark.createDataFrame([(1, uni_text)], "doc_id bigint, text string"),
+        top_n=50,
+    ).collect()[0]
+    assert abs(u.slope) < 1e-6, u.slope
+
+
+def test_sentence_stats_closed_form(spark):
+    from ocr_spark.operators.corpus_ops import sentence_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three. four five! six?"),
+            (2, "no terminal punctuation here"),
+            (3, "..."),
+            (4, "a. b b. c c c."),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in sentence_stats(docs).collect()}
+    assert got[1].n_sentences == 3
+    assert got[1].avg_sentence_words == pytest.approx(2.0)
+    assert got[1].max_sentence_words == 3
+    assert got[2].n_sentences == 1 and got[2].max_sentence_words == 4
+    assert got[3].n_sentences == 0
+    assert got[3].avg_sentence_words == 0.0
+    assert got[4].avg_sentence_words == 2.0
+
+
+def test_readability_orders_prose_above_polysyllables(spark):
+    """Short common words score high Flesch; polysyllabic run-ons
+    score low — the discrimination the ensemble uses."""
+    from ocr_spark.operators.corpus_ops import readability
+
+    easy = "the cat sat. the dog ran. we go now."
+    hard = (
+        "organizational internationalization considerations "
+        "necessitate comprehensive epistemological reevaluation"
+    )
+    docs = spark.createDataFrame(
+        [(1, easy), (2, hard)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in readability(docs).collect()}
+    assert got[1].flesch > 90
+    assert got[2].flesch < 0
+    # vowel-group syllables: 'the'=1, 'cat'=1 ... easy doc is 9 words
+    assert got[1].n_words == 9 and got[1].n_sentences == 3
+    assert got[1].n_syllables == 9
+
+
+def test_length_histogram_buckets_exact(spark):
+    from ocr_spark.operators.corpus_ops import length_histogram
+
+    # lengths 0,1,2 -> buckets 0,1,1; 6,7 -> 2,3 (edges at 2^b - 1)
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([0, 1, 2, 6, 7, 100])],
+        "doc_id bigint, n_chars bigint",
+    )
+    got = {r.bucket: r for r in length_histogram(docs).collect()}
+    assert got[0].n_docs == 1 and got[0].lo_chars == 0
+    assert got[1].n_docs == 2 and got[1].lo_chars == 1
+    assert got[2].n_docs == 1 and got[2].lo_chars == 3
+    assert got[3].n_docs == 1 and got[3].lo_chars == 7
+    assert got[6].n_docs == 1 and got[6].lo_chars == 63
+    assert sum(r.pct for r in got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_host_reputation_wilson_discounts_small_samples(spark):
+    """A 2/2-good host must rank BELOW a 9/10-good host under the
+    Wilson lower bound even though its raw rate is higher — the
+    small-sample discount that motivates the estimator."""
+    from ocr_spark.operators.webcorpus import host_reputation
+
+    good = "the cat and the dog were here with " + " ".join(
+        ["apple banana cherry damson elder fig grape"] * 3
+    )
+    bad = "x"  # fails MIN_WORDS
+    rows = [("tiny", good)] * 2
+    rows += [("big", good)] * 9 + [("big", bad)]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    got = {r.host: r for r in host_reputation(docs).collect()}
+    assert got["tiny"].good_rate == 1.0 and got["tiny"].n_docs == 2
+    assert got["big"].good_rate == pytest.approx(0.9)
+    assert got["big"].wilson_lb > got["tiny"].wilson_lb
+    assert 0.0 < got["tiny"].wilson_lb < 1.0
+
+
+def test_new_scan_ops_are_narrow(spark):
+    """sentence_stats and readability must compile to zero-Exchange
+    in-row scans — these run first at 10^12 rows."""
+    from ocr_spark.operators.corpus_ops import readability, sentence_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op in (sentence_stats, readability):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Exchange" not in final, (op.__name__, final)
+        assert "Python" not in final, (op.__name__, final)
