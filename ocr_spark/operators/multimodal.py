@@ -7,9 +7,11 @@ pipeline instead needs the *plumbing*: binary media columns flowing
 through scans/shuffles untouched, with decode / feature-extract /
 resize running as vectorized batch UDFs near the end of the plan.
 
-Real formats: PNG (8-bit grayscale/RGB, zlib + manual chunk/filter
-parsing — stdlib only), WAV (PCM 8/16-bit via the stdlib ``wave``
-parser), and JPEG — baseline sequential AND progressive (SOF2,
+Real formats: PNG (FULL spec surface — every legal color-type/depth
+combination incl. palette/alpha/16-bit/sub-byte and Adam7 interlace;
+zlib + manual chunk/filter parsing, stdlib+numpy only), WAV (PCM
+8/16-bit via the stdlib ``wave`` parser), and JPEG — baseline
+sequential AND progressive (SOF2,
 spectral selection + successive approximation) via the numpy + stdlib
 Huffman/DCT codec in ``ocr_spark/jpeg.py`` — are genuinely decoded;
 MP4 demux covers both classic (stbl) and fragmented (moof/traf/trun)
@@ -78,57 +80,43 @@ def fake_image_bytes(doc_id: int) -> bytes:
     )
 
 
-def _png_decode(payload: bytes) -> tuple:
-    """Pure-stdlib PNG decode (RFC 2083): chunk walk, zlib inflate,
-    scanline de-filter (all five filter types), for 8-bit grayscale
-    (color type 0) and truecolor (type 2), non-interlaced.  Returns
-    (width, height, n_pixels, mean_luma); luma for RGB is ITU-R BT.601
-    (0.299 R + 0.587 G + 0.114 B).
+# PNG channel counts per color type, and the bit depths the spec
+# allows for each (RFC 2083 §6.1) — everything legal is decoded.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    The per-byte de-filter loop is driver-of-last-resort Python — fine
-    for metadata extraction on thumbnails/test assets; a production
-    image pipeline swaps this for PIL/libvips at the same seam."""
-    import zlib
 
-    pos = len(_PNG_MAGIC)
-    width = height = color_type = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
-                raise NotImplementedError(
-                    "PNG beyond 8-bit gray/RGB non-interlaced needs a real "
-                    "codec library (PIL/libvips) at this seam"
-                )
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + crc
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    ch = 1 if color_type == 0 else 3
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
+def _png_defilter(raw, src, h, rowbytes, bpp):
+    """De-filter ``h`` scanlines of ``rowbytes`` each starting at
+    ``raw[src]`` (all five filter types); returns (recon, new_src).
+
+    The per-byte loop is driver-of-last-resort Python — fine for
+    metadata extraction on thumbnails/test assets; a production image
+    pipeline swaps this for PIL/libvips at the same seam."""
+    if src + h * (rowbytes + 1) > len(raw):
         raise ValueError("truncated PNG pixel data")
-    recon = bytearray(height * stride)
-    src = 0
-    for y in range(height):
+    recon = bytearray(h * rowbytes)
+    for y in range(h):
         f = raw[src]
         src += 1
-        line = raw[src : src + stride]
-        src += stride
-        off = y * stride
-        for x in range(stride):
-            a = recon[off + x - ch] if x >= ch else 0
-            b = recon[off - stride + x] if y > 0 else 0
-            c = recon[off - stride + x - ch] if (y > 0 and x >= ch) else 0
+        line = raw[src : src + rowbytes]
+        src += rowbytes
+        off = y * rowbytes
+        for x in range(rowbytes):
+            a = recon[off + x - bpp] if x >= bpp else 0
+            b = recon[off - rowbytes + x] if y > 0 else 0
+            c = recon[off - rowbytes + x - bpp] if (y > 0 and x >= bpp) else 0
             v = line[x]
             if f == 0:
                 r = v
@@ -146,19 +134,117 @@ def _png_decode(payload: bytes) -> tuple:
             else:
                 raise ValueError(f"bad PNG filter type {f}")
             recon[off + x] = r & 0xFF
-    n = width * height
-    if ch == 1:
-        mean = sum(recon) / n if n else 0.0
-    else:
-        mean = (
-            sum(
-                0.299 * recon[i] + 0.587 * recon[i + 1] + 0.114 * recon[i + 2]
-                for i in range(0, len(recon), 3)
-            )
-            / n
-            if n
-            else 0.0
+    return recon, src
+
+
+def _png_unpack(recon, w, h, channels, depth):
+    """(h, w, channels) int array of raw sample values from
+    de-filtered scanline bytes (packed sub-byte depths, 8, or
+    big-endian 16 per RFC 2083 §7.2)."""
+    import numpy as np
+
+    rowbytes = (w * channels * depth + 7) // 8
+    rows = np.frombuffer(bytes(recon), np.uint8).reshape(h, rowbytes)
+    if depth == 8:
+        out = rows[:, : w * channels].astype(np.int64)
+    elif depth == 16:
+        out = (
+            rows.astype(np.int64)
+            .reshape(h, -1, 2)[:, : w * channels, :]
+            .dot([256, 1])
         )
+    else:  # 1/2/4-bit packed, MSB first
+        per = 8 // depth
+        shifts = (np.arange(per)[::-1] * depth).astype(np.uint8)
+        vals = (rows[:, :, None] >> shifts) & ((1 << depth) - 1)
+        out = vals.reshape(h, -1)[:, : w * channels].astype(np.int64)
+    return out.reshape(h, w, channels)
+
+
+def _png_decode(payload: bytes) -> tuple:
+    """Pure stdlib+numpy PNG decode (RFC 2083), full spec surface:
+    chunk walk, zlib inflate, scanline de-filter (all five filter
+    types), every legal color-type/bit-depth combination — grayscale
+    (0), truecolor (2), palette (3, via PLTE), gray+alpha (4), RGBA
+    (6) at 1/2/4/8/16 bits — and both interlace methods (none and
+    Adam7). Returns (width, height, n_pixels, mean_luma); luma is
+    ITU-R BT.601 (0.299 R + 0.587 G + 0.114 B) over samples scaled to
+    the 8-bit range; alpha is ignored (mean is over the raw image)."""
+    import zlib
+
+    import numpy as np
+
+    pos = len(_PNG_MAGIC)
+    width = height = color_type = None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if (color_type not in _PNG_CHANNELS
+                    or bit_depth not in _PNG_DEPTHS[color_type]
+                    or interlace > 1):
+                raise ValueError("illegal PNG color-type/depth/interlace")
+        elif ctype == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("bad PLTE length")
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad PNG pixel data: {exc}") from None
+    channels = _PNG_CHANNELS[color_type]
+    bpp = max(1, channels * bit_depth // 8)
+
+    def _rowbytes(w):
+        return (w * channels * bit_depth + 7) // 8
+
+    if interlace == 0:
+        recon, src = _png_defilter(raw, 0, height, _rowbytes(width), bpp)
+        if src != len(raw):
+            raise ValueError("trailing PNG pixel data")
+        img = _png_unpack(recon, width, height, channels, bit_depth)
+    else:  # Adam7: seven independent filtered sub-images, scattered
+        img = np.zeros((height, width, channels), np.int64)
+        src = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            recon, src = _png_defilter(raw, src, ph, _rowbytes(pw), bpp)
+            img[y0::dy, x0::dx] = _png_unpack(recon, pw, ph, channels, bit_depth)
+        if src != len(raw):
+            raise ValueError("trailing PNG pixel data")
+
+    n = width * height
+    if n == 0:
+        return width, height, 0, 0.0
+    if color_type == 3:
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        rgb = palette[idx].astype(np.float64)
+    else:
+        scale = 255.0 / ((1 << bit_depth) - 1)
+        if color_type in (0, 4):  # gray / gray+alpha: luma IS the sample
+            mean = float(img[:, :, 0].mean()) * scale
+            return width, height, n, mean
+        rgb = img[:, :, :3].astype(np.float64) * scale
+    mean = float(rgb.dot([0.299, 0.587, 0.114]).mean())
     return width, height, n, mean
 
 

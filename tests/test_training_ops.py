@@ -297,53 +297,98 @@ def test_multimodal_real_formats_are_explicit_stubs():
         M.sample_frames(b"garbage-bytes-long-enough")
 
 
-def _encode_png(width, height, pixels, color_type=0, filters=None):
-    """Minimal test-side PNG encoder (independent forward-filter
-    implementation; the decoder must invert it). ``pixels`` is a flat
-    row-major byte list; ``filters`` gives one filter type per row."""
+_PNG_TEST_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _encode_png(width, height, pixels, color_type=0, filters=None,
+                depth=8, interlace=0, palette=None):
+    """Test-side PNG encoder (independent forward-filter + bit-pack +
+    Adam7-split implementation; the decoder must invert it).
+    ``pixels`` is a flat row-major list of per-channel sample values
+    in the raw range of ``depth``; ``filters`` gives one filter type
+    per scanline (cycled for interlaced passes)."""
     import struct as st
     import zlib
 
-    ch = 1 if color_type == 0 else 3
-    stride = width * ch
-    filters = filters or [0] * height
+    ch = _PNG_TEST_CHANNELS[color_type]
+    bpp = max(1, ch * depth // 8)
+
+    def pack_row(vals):
+        if depth == 8:
+            return bytes(v & 0xFF for v in vals)
+        if depth == 16:
+            return b"".join(st.pack(">H", v & 0xFFFF) for v in vals)
+        per = 8 // depth
+        out = bytearray()
+        for i in range(0, len(vals), per):
+            b = 0
+            grp = vals[i : i + per]
+            for j in range(per):
+                v = grp[j] if j < len(grp) else 0
+                b |= (v & ((1 << depth) - 1)) << (8 - depth * (j + 1))
+            out.append(b)
+        return bytes(out)
+
+    def filter_image(rows, fseq):
+        raw = bytearray()
+        prev = bytes(len(rows[0])) if rows else b""
+        for y, row in enumerate(rows):
+            f = fseq[y % len(fseq)]
+            raw.append(f)
+            for x in range(len(row)):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    v = row[x]
+                elif f == 1:
+                    v = row[x] - a
+                elif f == 2:
+                    v = row[x] - b
+                elif f == 3:
+                    v = row[x] - (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c))
+                    v = row[x] - pred
+                raw.append(v & 0xFF)
+            prev = row
+        return raw
+
+    grid = [
+        [pixels[(y * width + x) * ch + k] for x in range(width)
+         for k in range(ch)]
+        for y in range(height)
+    ]
+    fseq = filters or [0]
+    raw = bytearray()
+    if interlace == 0:
+        raw = filter_image([pack_row(r) for r in grid], fseq)
+    else:
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        for x0, y0, dx, dy in passes:
+            sub = [
+                [grid[y][x * ch + k] for x in range(x0, width, dx)
+                 for k in range(ch)]
+                for y in range(y0, height, dy)
+            ]
+            if not sub or not sub[0]:
+                continue
+            raw += filter_image([pack_row(r) for r in sub], fseq)
 
     def chunk(ctype, data):
         c = st.pack(">I", len(data)) + ctype + data
         return c + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
 
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = bytes(pixels[y * stride : (y + 1) * stride])
-        f = filters[y]
-        raw.append(f)
-        for x in range(stride):
-            a = row[x - ch] if x >= ch else 0
-            b = prev[x]
-            c = prev[x - ch] if x >= ch else 0
-            if f == 0:
-                v = row[x]
-            elif f == 1:
-                v = row[x] - a
-            elif f == 2:
-                v = row[x] - b
-            elif f == 3:
-                v = row[x] - (a + b) // 2
-            else:  # Paeth
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                v = row[x] - pred
-            raw.append(v & 0xFF)
-        prev = row
-    ihdr = st.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = st.pack(">IIBBBBB", width, height, depth, color_type, 0, 0,
+                   interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
 def test_multimodal_png_decodes_for_real():
@@ -368,6 +413,7 @@ def test_multimodal_png_decodes_for_real():
     ) / (w * h)
     assert n_rgb == w * h and mean_rgb == pytest.approx(expect)
 
+    # missing pixel data is malformed, not silently empty
     import struct as st
     import zlib as zl
 
@@ -378,8 +424,78 @@ def test_multimodal_png_decodes_for_real():
         + c
         + st.pack(">I", zl.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_image(png16)
+
+
+def test_multimodal_png_full_spec_surface():
+    """Every legal PNG color-type/depth combination and both interlace
+    methods decode: palette via PLTE, alpha ignored, sub-byte and
+    16-bit samples scaled to the 8-bit range, Adam7 bit-identical to
+    the non-interlaced stream of the same pixels."""
+    from ocr_spark.operators import multimodal as M
+
+    w, h = 11, 9
+
+    # palette (type 3): indices -> PLTE RGB -> BT.601
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+    png = _encode_png(w, h, idx, color_type=3, palette=palette,
+                      filters=[0, 1, 2, 3, 4])
+    gw, gh, n, mean = M.decode_image(png)
+    expect = sum(
+        0.299 * palette[i][0] + 0.587 * palette[i][1] + 0.114 * palette[i][2]
+        for i in idx
+    ) / (w * h)
+    assert (gw, gh, n) == (w, h, w * h) and mean == pytest.approx(expect)
+
+    # 4-bit palette with packed indices
+    png = _encode_png(w, h, idx, color_type=3, depth=4, palette=palette)
+    assert M.decode_image(png)[3] == pytest.approx(expect)
+
+    # RGBA (type 6): alpha ignored
+    rgba = [v for p in range(w * h)
+            for v in ((p * 5) % 256, (p * 7) % 256, (p * 11) % 256, p % 256)]
+    png = _encode_png(w, h, rgba, color_type=6, filters=[4, 2])
+    expect = sum(
+        0.299 * rgba[i] + 0.587 * rgba[i + 1] + 0.114 * rgba[i + 2]
+        for i in range(0, len(rgba), 4)
+    ) / (w * h)
+    assert M.decode_image(png)[3] == pytest.approx(expect)
+
+    # gray+alpha (type 4), 16-bit: mean scales by 255/65535
+    ga16 = [v for p in range(w * h) for v in ((p * 999) % 65536, 7)]
+    png = _encode_png(w, h, ga16, color_type=4, depth=16, filters=[1, 3])
+    expect = sum(ga16[i] for i in range(0, len(ga16), 2)) / (w * h) * 255 / 65535
+    assert M.decode_image(png)[3] == pytest.approx(expect)
+
+    # 1-bit grayscale: 0/1 -> 0/255
+    bits = [(x ^ y) & 1 for y in range(h) for x in range(w)]
+    png = _encode_png(w, h, bits, color_type=0, depth=1)
+    assert M.decode_image(png)[3] == pytest.approx(
+        sum(bits) / (w * h) * 255
+    )
+
+    # Adam7 == non-interlaced, exactly, for RGB and 2-bit gray
+    rng_vals = [(p * 13 + 5) % 256 for p in range(w * h * 3)]
+    flat = M.decode_image(_encode_png(w, h, rng_vals, color_type=2,
+                                      filters=[0, 1, 2, 3, 4]))
+    adam = M.decode_image(_encode_png(w, h, rng_vals, color_type=2,
+                                      filters=[0, 1, 2, 3, 4], interlace=1))
+    assert flat == adam
+    g2 = [(x * y) % 4 for y in range(h) for x in range(w)]
+    assert M.decode_image(
+        _encode_png(w, h, g2, depth=2, interlace=1, filters=[2])
+    ) == M.decode_image(_encode_png(w, h, g2, depth=2, filters=[4]))
+
+    # malformed: palette PNG without PLTE; illegal depth/type combo
+    with pytest.raises(ValueError):
+        M.decode_image(_encode_png(w, h, idx, color_type=3))
+    bad = bytearray(_encode_png(w, h, bits, color_type=0, depth=1))
+    ihdr_at = bad.find(b"IHDR") + 4
+    bad[ihdr_at + 8] = 3  # depth 3 is illegal everywhere
+    with pytest.raises(ValueError):
+        M.decode_image(bytes(bad))
 
 
 def test_multimodal_wav_decodes_for_real():
