@@ -9,9 +9,9 @@ resize running as vectorized batch UDFs near the end of the plan.
 
 Real formats: PNG (FULL spec surface — every legal color-type/depth
 combination incl. palette/alpha/16-bit/sub-byte and Adam7 interlace;
-zlib + manual chunk/filter parsing, stdlib+numpy only), WAV (PCM
-8/16-bit via the stdlib ``wave`` parser), and JPEG — baseline
-sequential AND progressive (SOF2,
+zlib + manual chunk/filter parsing, stdlib+numpy only), WAV (PCM at
+every container width — 8/16/24/32-bit — via the stdlib ``wave``
+parser), and JPEG — baseline sequential AND progressive (SOF2,
 spectral selection + successive approximation) via the numpy + stdlib
 Huffman/DCT codec in ``ocr_spark/jpeg.py`` — are genuinely decoded;
 MP4 demux covers both classic (stbl) and fragmented (moof/traf/trun)
@@ -303,14 +303,17 @@ def fake_audio_bytes(doc_id: int) -> bytes:
 
 
 def _wav_decode(payload: bytes) -> tuple:
-    """Real WAV decode through the stdlib ``wave`` parser: PCM 8-bit
-    (unsigned) and 16-bit (signed LE), any channel count.  mean_amp is
-    normalized to the 8-bit scale (|s-128| for u8, |s|/256 for s16) so
-    the feature is commensurate with the fake format's. Compressed or
-    wider encodings stay a NotImplementedError seam (soundfile /
-    librosa in production)."""
+    """Real WAV decode through the stdlib ``wave`` parser: every PCM
+    width the container allows — 8-bit (unsigned), 16/24/32-bit
+    (signed LE) — any channel count. mean_amp is normalized to the
+    8-bit scale (|s-128| for u8, |s|/2^(8(w-1)) for wider) so the
+    feature is commensurate with the fake format's. Compressed
+    encodings (the ``wave`` parser rejects non-PCM WAVE forms) stay
+    the soundfile/librosa seam."""
     import io
     import wave
+
+    import numpy as np
 
     try:
         with wave.open(io.BytesIO(payload)) as w:
@@ -321,18 +324,23 @@ def _wav_decode(payload: bytes) -> tuple:
     except wave.Error as exc:
         raise ValueError(f"malformed WAV: {exc}") from exc
     if sw == 1:
-        vals = [abs(s - 128) for s in frames]
-    elif sw == 2:
-        vals = [
-            abs(v[0]) / 256.0
-            for v in struct.iter_unpack("<h", frames)
-        ]
-    else:
-        raise NotImplementedError(
-            f"{8 * sw}-bit WAV needs a real codec library "
-            "(soundfile/librosa) at this seam"
+        vals = np.abs(np.frombuffer(frames, np.uint8).astype(np.int64) - 128)
+        scale = 1.0
+    elif sw in (2, 4):
+        vals = np.abs(
+            np.frombuffer(frames, "<i2" if sw == 2 else "<i4").astype(np.int64)
         )
-    mean_amp = (sum(vals) / len(vals)) if vals else 0.0
+        scale = float(1 << (8 * (sw - 1)))
+    elif sw == 3:  # signed 24-bit LE: widen to i4 with sign byte
+        b = np.frombuffer(frames, np.uint8).reshape(-1, 3)
+        ext = np.where(b[:, 2] >= 128, 255, 0).astype(np.uint8)
+        vals = np.abs(
+            np.column_stack([b, ext]).view("<i4").astype(np.int64).ravel()
+        )
+        scale = float(1 << 16)
+    else:
+        raise ValueError(f"bad WAV sample width {sw}")
+    mean_amp = (float(vals.mean()) / scale) if len(vals) else 0.0
     duration_ms = round(n * 1000.0 / rate, 3) if rate else 0.0
     return rate, n, duration_ms, mean_amp
 

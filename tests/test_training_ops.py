@@ -499,8 +499,9 @@ def test_multimodal_png_full_spec_surface():
 
 
 def test_multimodal_wav_decodes_for_real():
-    """PCM WAV (8- and 16-bit) through the stdlib writer must decode
-    to exact rate/frames/duration and the 8-bit-scale mean amplitude."""
+    """PCM WAV at every container width (8/16/24/32-bit) through the
+    stdlib writer must decode to exact rate/frames/duration and the
+    8-bit-scale mean amplitude."""
     import io
     import struct as st
     import wave
@@ -516,7 +517,11 @@ def test_multimodal_wav_decodes_for_real():
             if sampwidth == 1:
                 w.writeframes(bytes(samples))
             else:
-                w.writeframes(b"".join(st.pack("<h", s) for s in samples))
+                w.writeframes(
+                    b"".join(
+                        st.pack("<i", s)[:sampwidth] for s in samples
+                    )
+                )
         return buf.getvalue()
 
     u8 = [(i * 37) % 256 for i in range(500)]
@@ -529,6 +534,16 @@ def test_multimodal_wav_decodes_for_real():
     rate, n, dur, amp = M.decode_audio(make_wav(8000, s16, 2))
     assert (rate, n) == (8000, 300)
     assert amp == pytest.approx(sum(abs(s) / 256.0 for s in s16) / 300)
+
+    s24 = [((i * 100003) % 1000000) - 500000 for i in range(200)]
+    rate, n, dur, amp = M.decode_audio(make_wav(44100, s24, 3))
+    assert (rate, n) == (44100, 200)
+    assert amp == pytest.approx(sum(abs(s) for s in s24) / 200 / (1 << 16))
+
+    s32 = [((i * 61234567) % 200000000) - 100000000 for i in range(200)]
+    rate, n, dur, amp = M.decode_audio(make_wav(22050, s32, 4))
+    assert (rate, n) == (22050, 200)
+    assert amp == pytest.approx(sum(abs(s) for s in s32) / 200 / (1 << 24))
 
 
 def test_multimodal_real_payloads_through_spark_stage(spark):
