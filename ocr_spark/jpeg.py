@@ -699,6 +699,14 @@ def decode_luma(payload: bytes) -> tuple:
     EOB runs, restart markers. Raises NotImplementedError for
     arithmetic/lossless/hierarchical/12-bit streams (the libjpeg
     seam); ValueError on malformed data."""
+    width, height, visible = decode_luma_grid(payload)
+    return width, height, float(visible.mean())
+
+
+def decode_luma_grid(payload: bytes) -> tuple:
+    """Like ``decode_luma`` but returns (width, height, luma) with
+    ``luma`` the full uint8 pixel grid — the input a resize /
+    frame-sample stage consumes."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -814,4 +822,4 @@ def decode_luma(payload: bytes) -> tuple:
         px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
     )
     visible = np.clip(luma[:height, :width], 0, 255)
-    return width, height, float(visible.mean())
+    return width, height, np.round(visible).astype(np.uint8)

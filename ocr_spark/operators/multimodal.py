@@ -161,15 +161,15 @@ def _png_unpack(recon, w, h, channels, depth):
     return out.reshape(h, w, channels)
 
 
-def _png_decode(payload: bytes) -> tuple:
+def _png_luma(payload: bytes) -> tuple:
     """Pure stdlib+numpy PNG decode (RFC 2083), full spec surface:
     chunk walk, zlib inflate, scanline de-filter (all five filter
     types), every legal color-type/bit-depth combination — grayscale
     (0), truecolor (2), palette (3, via PLTE), gray+alpha (4), RGBA
     (6) at 1/2/4/8/16 bits — and both interlace methods (none and
-    Adam7). Returns (width, height, n_pixels, mean_luma); luma is
-    ITU-R BT.601 (0.299 R + 0.587 G + 0.114 B) over samples scaled to
-    the 8-bit range; alpha is ignored (mean is over the raw image)."""
+    Adam7). Returns (width, height, luma) with ``luma`` the float
+    pixel grid: ITU-R BT.601 (0.299 R + 0.587 G + 0.114 B) over
+    samples scaled to the 8-bit range; alpha is ignored."""
     import zlib
 
     import numpy as np
@@ -232,20 +232,28 @@ def _png_decode(payload: bytes) -> tuple:
 
     n = width * height
     if n == 0:
-        return width, height, 0, 0.0
+        return width, height, np.zeros((0, 0))
     if color_type == 3:
         idx = img[:, :, 0]
         if int(idx.max()) >= len(palette):
             raise ValueError("palette index out of range")
-        rgb = palette[idx].astype(np.float64)
+        luma = palette[idx].astype(np.float64).dot([0.299, 0.587, 0.114])
     else:
         scale = 255.0 / ((1 << bit_depth) - 1)
         if color_type in (0, 4):  # gray / gray+alpha: luma IS the sample
-            mean = float(img[:, :, 0].mean()) * scale
-            return width, height, n, mean
-        rgb = img[:, :, :3].astype(np.float64) * scale
-    mean = float(rgb.dot([0.299, 0.587, 0.114]).mean())
-    return width, height, n, mean
+            luma = img[:, :, 0].astype(np.float64) * scale
+        else:
+            luma = (
+                img[:, :, :3].astype(np.float64) * scale
+            ).dot([0.299, 0.587, 0.114])
+    return width, height, luma
+
+
+def _png_decode(payload: bytes) -> tuple:
+    """(width, height, n_pixels, mean_luma) — see ``_png_luma``."""
+    width, height, luma = _png_luma(payload)
+    n = width * height
+    return width, height, n, (float(luma.mean()) if n else 0.0)
 
 
 def decode_image(payload: bytes) -> tuple:
@@ -279,15 +287,30 @@ def decode_image(payload: bytes) -> tuple:
 
 def thumbnail(payload: bytes, factor: int = 4) -> bytes:
     """Deterministic 'resize': stride-subsample every ``factor``-th
-    pixel in both axes — the frame-sample/resize plumbing stand-in."""
-    w, h, _, _ = decode_image(payload)
-    pixels = memoryview(payload)[len(FAKE_IMG_MAGIC) + 8 :]
+    pixel in both axes. Real formats (PNG, JPEG) are decoded to their
+    luma grid first; the output is always the uncompressed FAKE1IMG
+    container (the pipeline's internal thumbnail representation —
+    width/height header + raw gray bytes)."""
+    import numpy as np
+
+    if payload.startswith(_PNG_MAGIC):
+        w, h, luma = _png_luma(payload)
+        grid = np.round(luma).astype(np.uint8)
+    elif payload.startswith(_JPEG_MAGIC):
+        from ocr_spark.jpeg import decode_luma_grid
+
+        w, h, grid = decode_luma_grid(payload)
+    else:
+        w, h, _, _ = decode_image(payload)  # validates the container
+        pixels = memoryview(payload)[len(FAKE_IMG_MAGIC) + 8 :]
+        grid = np.frombuffer(pixels, np.uint8).reshape(h, w)
     tw, th = max(1, w // factor), max(1, h // factor)
-    out = bytearray()
-    for y in range(0, th * factor, factor):
-        row = pixels[y * w : y * w + w]
-        out += bytes(row[x] for x in range(0, tw * factor, factor))
-    return FAKE_IMG_MAGIC + struct.pack("<II", tw, th) + bytes(out)
+    out = grid[: th * factor : factor, : tw * factor : factor]
+    return (
+        FAKE_IMG_MAGIC
+        + struct.pack("<II", tw, th)
+        + out.astype(np.uint8).tobytes()
+    )
 
 
 def fake_audio_bytes(doc_id: int) -> bytes:

@@ -277,6 +277,33 @@ def test_multimodal_thumbnail_dimensions(spark):
         assert (dec_w, dec_h) == (r.width, r.height)
 
 
+def test_multimodal_thumbnail_of_real_formats():
+    """thumbnail() resizes REAL payloads by decoding the luma grid —
+    a PNG gradient and a JPEG of the same pixels both land at the
+    stride-subsampled dimensions with the expected pixel values (the
+    PNG path is lossless, so pixels match the source exactly)."""
+    import numpy as np
+
+    from ocr_spark.jpeg import encode_gray
+    from ocr_spark.operators import multimodal as M
+
+    w, h = 23, 17
+    pixels = [(5 * x + 9 * y) % 256 for y in range(h) for x in range(w)]
+    png = _encode_png(w, h, pixels, filters=[0, 1, 2, 3, 4])
+    thumb = M.thumbnail(png, factor=4)
+    tw, th, n, mean = M.decode_image(thumb)
+    assert (tw, th) == (w // 4, h // 4)
+    grid = np.array(pixels).reshape(h, w)
+    expect = grid[: th * 4 : 4, : tw * 4 : 4]
+    assert mean == pytest.approx(expect.mean())
+    assert bytes(thumb[-tw * th :]) == expect.astype(np.uint8).tobytes()
+
+    jt = M.thumbnail(encode_gray(grid.astype(np.uint8)), factor=4)
+    jw, jh, _, jmean = M.decode_image(jt)
+    assert (jw, jh) == (tw, th)
+    assert abs(jmean - expect.mean()) < 4.0  # lossy but close
+
+
 def test_multimodal_real_formats_are_explicit_stubs():
     from ocr_spark.operators import multimodal as M
 
