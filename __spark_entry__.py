@@ -2367,6 +2367,17 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(_t(spark, sf_dir, "documents"))
 
 
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T140: full-repertoire encoding repair (the fix side of T87's
+    detector) — generated UTF-8-as-cp1252 digraph table, two chained
+    replace passes so doubly-mangled text heals too; one in-row
+    projection, zero exchanges, oracle generated from the same
+    table."""
+    from ocr_spark.operators.curation import mojibake_repair
+
+    return mojibake_repair(_t(spark, sf_dir, "documents"))
+
+
 def q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T137: per-host Wilson lower bound on the Gopher-keep rate —
     the small-sample-safe quality prior crawl admission ranks hosts
@@ -2530,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation": q_host_reputation,
         "readability": q_readability,
         "length_histogram": q_length_histogram,
+        "mojibake_repair": q_mojibake_repair,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver records a rows-only row)
         "pca_project": q_pca_project,
@@ -3120,6 +3132,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _corpus_sql.sql_readability(),
         "length_histogram": _corpus_sql.sql_length_histogram(),
         "host_reputation": _webcorpus_sql.sql_host_reputation(),
+        "mojibake_repair": _curation_sql.sql_mojibake_repair(),
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "graph_health": _graph_sql.sql_graph_health(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),

@@ -143,6 +143,7 @@ HEADLINE_QUERIES = [
     "readability",
     "host_reputation",
     "length_histogram",
+    "mojibake_repair",
 ]
 
 

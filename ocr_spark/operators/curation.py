@@ -1130,6 +1130,162 @@ def sql_mojibake_stats() -> str:
 
 
 # ---------------------------------------------------------------------------
+# T140 — full-repertoire encoding repair (the fix side of T87)
+# ---------------------------------------------------------------------------
+#
+# T87's detector + 4-entry demo map flags damage; a curation pipeline
+# also REPAIRS it (the ftfy workhorse case: UTF-8 bytes decoded as
+# cp1252/Latin-1, sometimes twice).  The full digraph table is
+# GENERATED, not hand-listed: for every character in the Latin-1
+# Supplement, the cp1252 punctuation block, and the five C1 fallback
+# holes, the damaged key is its UTF-8 bytes re-decoded as cp1252
+# (latin-1 fallback for the holes) — injective, so the longest-first
+# replace chain is an exact inverse of the mangle.  Two chained
+# passes repair doubly-mangled text (pass cascades can fix deeper
+# nestings opportunistically; ``n_passes`` reports how many passes
+# changed the row, a lower bound on the true nesting).  Everything is
+# one in-row projection — zero exchange, zero Python per row — and
+# the DuckDB oracle is generated from the SAME table, so the gate is
+# byte-for-byte.  At 10^12 rows this is a pure scan; the ~330-node
+# replace chain is a one-time codegen cost.
+
+
+def _cp1252_render(b: bytes) -> str:
+    """How ``b`` looks after a cp1252 mis-decode (latin-1 fallback for
+    the five bytes cp1252 leaves undefined — what lenient decoders
+    emit)."""
+    out = []
+    for x in b:
+        try:
+            out.append(bytes([x]).decode("cp1252"))
+        except UnicodeDecodeError:  # 0x81 0x8D 0x8F 0x90 0x9D
+            out.append(chr(x))
+    return "".join(out)
+
+
+def _mojibake_full_table() -> List[Tuple[str, str]]:
+    chars = [chr(c) for c in range(0xA0, 0x100)]  # Latin-1 Supplement
+    # the cp1252 punctuation block (every printable 0x80-0x9F char)
+    chars += [_cp1252_render(bytes([b])) for b in range(0x80, 0xA0)
+              if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)]
+    # the five holes render as C1 controls; repairing them makes the
+    # two-pass fix exact for targets whose UTF-8 hits those bytes
+    # (e.g. mangled-twice 'Á' passes through U+0081)
+    chars += [chr(c) for c in (0x81, 0x8D, 0x8F, 0x90, 0x9D)]
+    pairs = [(_cp1252_render(c.encode("utf-8")), c) for c in chars]
+    pairs.sort(key=lambda p: (-len(p[0]), p[0]))
+    return pairs
+
+
+MOJIBAKE_FULL = _mojibake_full_table()
+
+
+def mangle_utf8_as_cp1252(s: str) -> str:
+    """The damage being repaired (used to build plants and tests)."""
+    return _cp1252_render(s.encode("utf-8"))
+
+
+def repair_encoding_col(text: Column) -> Column:
+    """One full-repertoire repair pass as a single column chain."""
+    fixed = text
+    for bad, good in MOJIBAKE_FULL:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return fixed
+
+
+def _sql_repair_chunks(expr: str, chunk: int = 60) -> List[str]:
+    """The repair chain as a list of nested-replace expressions, each
+    at most ``chunk`` deep (DuckDB caps expression recursion at 128);
+    feed each element the previous stage's output column."""
+    out = []
+    for i in range(0, len(MOJIBAKE_FULL), chunk):
+        e = expr if not out else "__x__"
+        for bad, good in MOJIBAKE_FULL[i : i + chunk]:
+            b = bad.replace("'", "''")
+            g = good.replace("'", "''")
+            e = f"replace({e}, '{b}', '{g}')"
+        out.append(e)
+    return out
+
+
+# plants: one singly- and one doubly-mangled suffix (hole-free chars,
+# so the literals carry no C1 controls into SQL strings)
+_REPAIR_SINGLE_PLANT = mangle_utf8_as_cp1252(" caf\xe9 don’t \xfcber")
+_REPAIR_DOUBLE_PLANT = mangle_utf8_as_cp1252(
+    mangle_utf8_as_cp1252(" na\xefve fianc\xe9e")
+)
+
+
+def mojibake_repair(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    plant: bool = True,
+) -> DataFrame:
+    """(doc_id, n_passes, chars_saved, text_fixed): full-repertoire
+    encoding repair, two chained passes. ``plant=False`` for
+    production callers."""
+    key = F.col(key_col)
+    text = F.col(text_col)
+    if plant:
+        text = (
+            F.when(key % 35 == 0, F.concat(text, F.lit(_REPAIR_DOUBLE_PLANT)))
+            .when(key % 21 == 0, F.concat(text, F.lit(_REPAIR_SINGLE_PLANT)))
+            .otherwise(text)
+        )
+    d1 = repair_encoding_col(text)
+    d2 = repair_encoding_col(d1)
+    n_passes = (
+        F.when(d2 != d1, F.lit(2))
+        .when(d1 != text, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return docs.select(
+        key.alias("doc_id"),
+        n_passes.alias("n_passes"),
+        (F.length(text) - F.length(d2)).cast("bigint").alias("chars_saved"),
+        d2.alias("text_fixed"),
+    )
+
+
+def sql_mojibake_repair() -> str:
+    sp = _REPAIR_SINGLE_PLANT.replace("'", "''")
+    dp = _REPAIR_DOUBLE_PLANT.replace("'", "''")
+    planted = (
+        f"(CASE WHEN doc_id % 35 = 0 THEN text || '{dp}' "
+        f"WHEN doc_id % 21 = 0 THEN text || '{sp}' ELSE text END)"
+    )
+    ctes = [f"p AS (SELECT doc_id, {planted} AS t FROM documents)"]
+    prev = "p"
+
+    def add_pass(in_col, out_col):
+        nonlocal prev
+        chunks = _sql_repair_chunks(in_col)
+        carry = "doc_id, t" + ("" if in_col == "t" else f", {in_col}")
+        for j, e in enumerate(chunks):
+            name = f"{out_col}_{j}"
+            col = out_col if j == len(chunks) - 1 else "__x__"
+            ctes.append(
+                f"{name} AS (SELECT {carry}, {e} AS {col} FROM {prev})"
+            )
+            prev = name
+
+    add_pass("t", "d1")
+    add_pass("d1", "d2")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT doc_id,
+               CAST(CASE WHEN d2 <> d1 THEN 2
+                         WHEN d1 <> t THEN 1 ELSE 0 END AS INTEGER)
+                   AS n_passes,
+               CAST(length(t) - length(d2) AS BIGINT) AS chars_saved,
+               d2 AS text_fixed
+        FROM {prev}
+    """
+
+
+# ---------------------------------------------------------------------------
 # T120 — overlapping chunk windows (RAG / context packing)
 # ---------------------------------------------------------------------------
 #

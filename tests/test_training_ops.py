@@ -3359,13 +3359,46 @@ def test_host_reputation_wilson_discounts_small_samples(spark):
 
 
 def test_new_scan_ops_are_narrow(spark):
-    """sentence_stats and readability must compile to zero-Exchange
-    in-row scans — these run first at 10^12 rows."""
+    """sentence_stats, readability, and mojibake_repair must compile
+    to zero-Exchange in-row scans — these run first at 10^12 rows."""
     from ocr_spark.operators.corpus_ops import readability, sentence_stats
+    from ocr_spark.operators.curation import mojibake_repair
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    for op in (sentence_stats, readability):
+    for op in (sentence_stats, readability, mojibake_repair):
         plan = op(docs)._jdf.queryExecution().executedPlan().toString()
         final = plan.split("== Initial Plan ==")[0]
         assert "Exchange" not in final, (op.__name__, final)
         assert "Python" not in final, (op.__name__, final)
+
+
+def test_mojibake_repair_full_repertoire(spark):
+    """T140: the generated digraph table exactly inverts single AND
+    double UTF-8-as-cp1252 mangling — including targets whose UTF-8
+    bytes hit the five cp1252 holes (Á Í Ï Ð Ý pass through C1
+    controls when mangled twice) — and leaves clean text untouched."""
+    from ocr_spark.operators.curation import (
+        mangle_utf8_as_cp1252,
+        mojibake_repair,
+    )
+
+    clean = (
+        "café don’t über œuvre — “quotes” • 30 °C ±1 ¿qué? "
+        "ÁÍÏÐÝ €99 ™ naïve"
+    )
+    rows = [
+        (0, clean),                                          # untouched
+        (1, mangle_utf8_as_cp1252(clean)),                   # single
+        (2, mangle_utf8_as_cp1252(mangle_utf8_as_cp1252(clean))),  # double
+        (3, "plain ascii stays plain ascii"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r for r in mojibake_repair(docs, plant=False).collect()
+    }
+    assert got[0].text_fixed == clean and got[0].n_passes == 0
+    assert got[1].text_fixed == clean and got[1].n_passes == 1
+    assert got[2].text_fixed == clean and got[2].n_passes >= 1
+    assert got[3].text_fixed == rows[3][1] and got[3].n_passes == 0
+    assert got[1].chars_saved == len(rows[1][1]) - len(clean) > 0
+    assert got[2].chars_saved == len(rows[2][1]) - len(clean) > 0
