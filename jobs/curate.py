@@ -115,7 +115,8 @@ def main() -> None:
     ap.add_argument(
         "--fix-mojibake",
         action="store_true",
-        help="repair UTF-8-as-Latin-1 digraphs (T87) before any "
+        help="repair UTF-8-as-cp1252 mojibake (T140 full repertoire, "
+        "two passes so double-mangled text heals) before any "
         "text-keyed stage — pure chained replaces, costs a scan",
     )
     ap.add_argument(
@@ -202,9 +203,11 @@ def main() -> None:
         # hashes or tokenizes it, so a mojibake variant can't evade
         # dedup
         if args.fix_mojibake:
-            from ocr_spark.operators.curation import repair_mojibake_col
+            from ocr_spark.operators.curation import repair_encoding_col
 
-            docs = docs.withColumn(text, repair_mojibake_col(F.col(text)))
+            docs = docs.withColumn(
+                text, repair_encoding_col(repair_encoding_col(F.col(text)))
+            )
             audit("fix_mojibake", docs)
 
         # 0b. local line rules (opt-in): the cheapest text scrub —
