@@ -246,3 +246,25 @@ def test_spread_cpu_ignores_upstream_narrow_repartition(spark, corpus_path):
     # width-managed this exact frame): exactly the one exchange
     rooted = spread_cpu(spark.read.parquet(corpus_path).repartition(2))
     assert _plan(rooted).count("Exchange") == 1
+
+
+def test_edit_verify_join_shape(spark, entry_mod):
+    """T134: the Levenshtein gate attaches prefixes to the LSH pair
+    list with equi-joins only — no BroadcastNestedLoopJoin/cartesian
+    (which would mean the candidate bound was lost) and no Sort-based
+    aggregate anywhere in the minhash stage."""
+    df = entry_mod.queries()["edit_verify"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_zipf_slope_topn_not_global_sort(spark, entry_mod):
+    """T135: the top-N vocabulary cut must compile to
+    TakeOrderedAndProject (per-partition top-N + bounded driver merge)
+    — a global Sort of the full vocabulary is the single-partition
+    bottleneck this op was designed around."""
+    df = entry_mod.queries()["zipf_slope"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
