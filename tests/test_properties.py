@@ -222,3 +222,64 @@ def test_hll_rho_matches_definition(h):
     )
     assert rho == lead + 1
     assert 1 <= rho <= 51
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_progressive_equals_baseline(h, w, seed):
+    """The progressive and baseline encoders carry bit-identical
+    quantized coefficients, so decode_luma of the two streams must be
+    EXACTLY equal for any pixel content — the cross-mode invariant
+    that pins the whole multi-scan decode path (EOB runs, successive
+    approximation, ZRL-split correction bits)."""
+    import numpy as np
+
+    from ocr_spark.jpeg import (
+        decode_luma,
+        encode_gray,
+        encode_gray_progressive,
+    )
+
+    px = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+    assert decode_luma(encode_gray(px)) == decode_luma(
+        encode_gray_progressive(px)
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from(
+        [(0, 8), (0, 4), (0, 1), (2, 8), (3, 8), (3, 4), (4, 8), (6, 8),
+         (0, 16), (2, 16)]
+    ),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_adam7_equals_linear(h, w, ct_depth, seed):
+    """Adam7-interlaced and linear PNG streams of the same samples
+    must decode identically for every color-type/depth combination —
+    the pass-split/scatter path has no tolerance to hide behind."""
+    import numpy as np
+    from test_training_ops import _encode_png
+
+    from ocr_spark.operators.multimodal import _PNG_CHANNELS, decode_image
+
+    ct, depth = ct_depth
+    ch = _PNG_CHANNELS[ct]
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 1 << depth, h * w * ch).tolist()
+    kw = {}
+    if ct == 3:
+        kw["palette"] = [(i * 37 % 256, i * 59 % 256, i * 83 % 256)
+                         for i in range(1 << depth)]
+    lin = decode_image(_encode_png(w, h, vals, color_type=ct, depth=depth,
+                                   filters=[0, 1, 2, 3, 4], **kw))
+    adam = decode_image(_encode_png(w, h, vals, color_type=ct, depth=depth,
+                                    filters=[4, 3, 2, 1, 0], interlace=1,
+                                    **kw))
+    assert lin == adam
