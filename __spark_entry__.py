@@ -2511,6 +2511,82 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_scores(extract_links(linked_pages(docs, n)), n)
 
 
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T141: declared-vs-detected language confusion matrix — the
+    metadata audit mixture sizing needs (declared labels are wrong
+    ~5-10% in real crawls); in-row guess, one bounded-cell agg, row
+    shares over |langs|² cells only."""
+    from ocr_spark.operators.corpus_ops import lang_mismatch
+
+    return lang_mismatch(_t(spark, sf_dir, "documents"))
+
+
+def q_url_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T142: per-host URL path-depth / param-incidence profile — the
+    crawler-trap shape signal (calendar/facet explosions live deep and
+    parameterized); in-row parse + one map-side-combined
+    groupBy(host)."""
+    from ocr_spark.operators.webcorpus import url_depth_stats
+
+    return url_depth_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_host_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T143: corpus host-diversity index — Shannon H over host shares
+    in exact micro-nats, reported as effective hosts exp(H) (Hill N1)
+    plus top-host share; host-count agg then ONE bounded row."""
+    from ocr_spark.operators.webcorpus import host_diversity
+
+    return host_diversity(_t(spark, sf_dir, "documents"))
+
+
+def q_keyword_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T144: top-term token-share spam gate — catches interleaved
+    keyword stuffing repetition_stats' adjacent-n-gram counters miss;
+    one (doc, word) count + per-doc rollup, key-only join back."""
+    from ocr_spark.operators.corpus_ops import keyword_stuffing
+
+    return keyword_stuffing(_tw(spark, sf_dir, "documents"))
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T145: per-doc df==1 shingle fraction — the long-tail
+    duplication mass pair-based MinHash misses (template/wire-copy
+    assembly); 8-byte gram hashes only on the wire, no pair set."""
+    from ocr_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_tw(spark, sf_dir, "documents"))
+
+
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T146: int8 embedding quantization audit (per-dim absmax
+    scaling) — 4× storage cut ahead of PQ; all-bigint code checksums
+    so shard re-quantization verifies without float compares; EMB_DIM
+    absmax rows broadcast back as one array row."""
+    from ocr_spark.operators.ann import int8_quantize
+
+    return int8_quantize(_t(spark, sf_dir, "embeddings"))
+
+
+def q_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T147: largest-remainder crawl-budget apportionment — integer-
+    exact Hamilton quotas summing to B by construction; window runs
+    over bounded host rows, never the corpus."""
+    from ocr_spark.operators.webcorpus import budget_allocate
+
+    return budget_allocate(_t(spark, sf_dir, "documents"))
+
+
+def q_shard_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T148: per-shard KL divergence from the corpus unigram
+    distribution — shard CONTENT health (T95 checks sizes); exact
+    micro-nat bigint sums, corpus totals re-aggregated from shard
+    counts so the corpus shuffles words once."""
+    from ocr_spark.operators.corpus_ops import shard_kl
+
+    return shard_kl(_tw(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2542,6 +2618,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "length_histogram": q_length_histogram,
         "mojibake_repair": q_mojibake_repair,
+        # --- unbanked (round-5 additions T141-T148) ---
+        "lang_mismatch": q_lang_mismatch,
+        "url_depth_stats": q_url_depth_stats,
+        "host_diversity": q_host_diversity,
+        "keyword_stuffing": q_keyword_stuffing,
+        "ngram_novelty": q_ngram_novelty,
+        "int8_quantize": q_int8_quantize,
+        "budget_allocate": q_budget_allocate,
+        "shard_kl": q_shard_kl,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver records a rows-only row)
         "pca_project": q_pca_project,
@@ -3133,6 +3218,14 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": _corpus_sql.sql_length_histogram(),
         "host_reputation": _webcorpus_sql.sql_host_reputation(),
         "mojibake_repair": _curation_sql.sql_mojibake_repair(),
+        "lang_mismatch": _corpus_sql.sql_lang_mismatch(),
+        "url_depth_stats": _webcorpus_sql.sql_url_depth_stats(),
+        "host_diversity": _webcorpus_sql.sql_host_diversity(),
+        "keyword_stuffing": _corpus_sql.sql_keyword_stuffing(),
+        "ngram_novelty": _dedup_sql.sql_ngram_novelty(),
+        "int8_quantize": _ann_sql.sql_int8_quantize(),
+        "budget_allocate": _webcorpus_sql.sql_budget_allocate(),
+        "shard_kl": _corpus_sql.sql_shard_kl(),
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "graph_health": _graph_sql.sql_graph_health(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),

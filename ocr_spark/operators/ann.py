@@ -1887,3 +1887,113 @@ def sql_hard_negatives(query_vec_id: int = 0, k: int = 10) -> str:
         WHERE e.vec_id <> {query_vec_id} AND e.label <> q.qlabel
         ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# T146 — int8 embedding quantization audit (per-dim absmax scaling)
+# ---------------------------------------------------------------------------
+#
+# Storing 10^12 float32 embeddings is 4× the bytes the retrieval
+# quality needs: symmetric per-dimension int8 (q = round(x/s_d),
+# s_d = absmax_d/127 — the faiss ScalarQuantizer / ONNX
+# QuantizeLinear convention) cuts the table 4× ahead of the coarser
+# PQ path (T49).  The audit emits each vector's integer code
+# checksums plus its clip count, so a corpus re-quantization can be
+# verified shard-by-shard without comparing floats.
+#
+# Output stays all-bigint (code sum, code square-sum, clip count):
+# bit-identical across engines and cluster sizes by construction —
+# the same reason gram_matrix (T126) ships integer cells.
+#
+# Scale shape: the per-dim absmax is one posexplode groupBy to
+# EMB_DIM rows (map-side combined, counts only) joined back as ONE
+# broadcast array row; quantization is in-row zip_with; no Python,
+# no second pass over the corpus.
+
+
+def int8_quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, n_clipped, q_sum, q_sqsum): int8 code statistics per
+    vector under per-dim absmax scaling; all-zero dims quantize to 0."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dims = emb.select(
+        F.posexplode(e).alias("dim", "x")
+    ).groupBy("dim").agg(F.max(F.abs(F.col("x"))).alias("absmax"))
+    scales_row = dims.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("dim"), F.col("absmax")))
+            ),
+            lambda s: s["absmax"] / F.lit(127.0),
+        ).alias("scales")
+    )
+    q_raw = F.zip_with(
+        e,
+        F.col("scales"),
+        lambda x, s: F.when(s == 0.0, F.lit(0.0)).otherwise(
+            F.round(x / s, 0)
+        ),
+    )
+    q = F.transform(
+        q_raw,
+        lambda v: F.greatest(F.least(v, F.lit(127.0)), F.lit(-127.0)).cast(
+            "bigint"
+        ),
+    )
+    n_clipped = F.aggregate(
+        q_raw,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc
+        + F.when(F.abs(v) > 127.0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return emb.crossJoin(F.broadcast(scales_row)).select(
+        "vec_id",
+        n_clipped.alias("n_clipped"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ).alias("q_sqsum"),
+    )
+
+
+def sql_int8_quantize() -> str:
+    return """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT i AS dim, max(abs(emb[i])) AS absmax
+            FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)
+            GROUP BY i
+        ),
+        sc AS (
+            SELECT list(absmax / 127.0 ORDER BY dim) AS scales FROM dims
+        ),
+        qr AS (
+            SELECT vec_id,
+                   list_transform(
+                       range(1, len(emb) + 1),
+                       i -> CASE WHEN scales[i] = 0.0 THEN 0.0
+                                 ELSE round(emb[i] / scales[i], 0) END)
+                       AS q_raw
+            FROM e CROSS JOIN sc
+        ),
+        q AS (
+            SELECT vec_id, q_raw,
+                   list_transform(
+                       q_raw,
+                       v -> CAST(greatest(least(v, 127.0), -127.0)
+                                 AS BIGINT)) AS qq
+            FROM qr
+        )
+        SELECT vec_id,
+               CAST(len(list_filter(q_raw, v -> abs(v) > 127.0)) AS BIGINT)
+                   AS n_clipped,
+               CAST(list_sum(qq) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(qq, v -> v * v)) AS BIGINT)
+                   AS q_sqsum
+        FROM q
+    """

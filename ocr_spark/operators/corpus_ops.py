@@ -2293,3 +2293,294 @@ def sql_length_histogram(len_expr: str = "n_chars") -> str:
                      / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS pct
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# T141 — declared-vs-detected language confusion matrix
+# ---------------------------------------------------------------------------
+#
+# Metadata audit: crawl metadata declares a language per page
+# (HTTP header / html lang attr — here the corpus `lang` column), but
+# declared labels are wrong often enough (~5-10% in CommonCrawl
+# studies) that training mixtures sized off them drift.  The audit is
+# the confusion matrix between the declared label and the script-aware
+# detector (T17), with each cell's share of its declared row — the
+# off-diagonal mass is the mislabel rate the mixture planner must
+# correct for.
+#
+# Scale shape: the guess is an in-row expression; the matrix is one
+# map-side-combined groupBy over ~|langs|² cells; the row-share window
+# runs over those bounded cells, never the corpus.  Reference parity:
+# the reference trusts task metadata outright (main.py task intake) —
+# this is the audit a 10^12-page corpus needs instead.
+
+
+def lang_mismatch(docs: DataFrame) -> DataFrame:
+    """(lang, guess, n_docs, row_share): confusion matrix of declared
+    `lang` vs langid_script guess; row_share = cell / declared total,
+    6dp."""
+    from pyspark.sql import Window as W
+
+    cells = (
+        docs.select("lang", langid_script(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = W.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "guess",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ).alias("row_share"),
+    )
+
+
+def sql_lang_mismatch() -> str:
+    guess = sql_langid_script("text")
+    return f"""
+        WITH cells AS (
+            SELECT lang, {guess} AS guess, count(*) AS n_docs
+            FROM documents GROUP BY lang, {guess}
+        )
+        SELECT lang, guess,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               round(CAST(n_docs AS DOUBLE)
+                     / CAST(sum(n_docs) OVER (PARTITION BY lang)
+                            AS DOUBLE), 6) AS row_share
+        FROM cells
+    """
+
+
+# ---------------------------------------------------------------------------
+# T144 — keyword-stuffing detector (top-term share)
+# ---------------------------------------------------------------------------
+#
+# SEO spam's signature is one term (or a tiny set) dominating the
+# token stream — invisible to repetition_stats' adjacent-n-gram
+# counters when the stuffing is interleaved ("buy pills cheap pills
+# best pills ...": no adjacent bigram repeats, but `pills` owns a
+# third of the tokens).  The detector is the max single-type share of
+# a doc's tokens plus the type/token ratio; the flag trips when a doc
+# is long enough to judge AND one type exceeds STUFF_SHARE.
+#
+# Scale shape: one (doc, word) count with map-side combine, one
+# per-doc agg over its output carrying three bigints; the join back to
+# the full doc list is key-only (empty docs must surface, flag false).
+
+STUFF_SHARE = 0.20
+STUFF_MIN_WORDS = 20
+
+
+def keyword_stuffing(
+    docs: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_types, top_share, stuffed): max single-type
+    token share (6dp) and the stuffing verdict; empty docs emit
+    (0, 0, 0.0, false)."""
+    key = F.col(key_col)
+    tw = docs.select(
+        key.alias("doc_id"), F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    tc = tw.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    per = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.max("c").cast("bigint").alias("top_c"),
+    )
+    share = F.round(
+        F.col("top_c").cast("double") / F.col("n_words").cast("double"), 6
+    )
+    scored = per.select(
+        "doc_id",
+        "n_words",
+        "n_types",
+        share.alias("top_share"),
+        (
+            (F.col("n_words") >= STUFF_MIN_WORDS)
+            & (share >= STUFF_SHARE)
+        ).alias("stuffed"),
+    )
+    return (
+        docs.select(key.alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_types", F.lit(0)).cast("bigint").alias("n_types"),
+            F.coalesce("top_share", F.lit(0.0)).alias("top_share"),
+            F.coalesce("stuffed", F.lit(False)).alias("stuffed"),
+        )
+    )
+
+
+def sql_keyword_stuffing() -> str:
+    w = _sql_words("text")
+    return f"""
+        WITH tw AS (
+            SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE w <> ''
+        ),
+        tc AS (
+            SELECT doc_id, word, count(*) AS c FROM tw GROUP BY doc_id, word
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(max(c) AS BIGINT) AS top_c
+            FROM tc GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT doc_id, n_words, n_types,
+                   round(CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                       AS top_share
+            FROM per
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_words, 0) AS n_words,
+               COALESCE(s.n_types, 0) AS n_types,
+               COALESCE(s.top_share, 0.0) AS top_share,
+               COALESCE(s.n_words >= {STUFF_MIN_WORDS}
+                        AND s.top_share >= {STUFF_SHARE}, FALSE) AS stuffed
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# T148 — per-shard KL divergence from the corpus token distribution
+# ---------------------------------------------------------------------------
+#
+# shard_balance (T95) checks shard SIZES; this checks shard CONTENT.
+# If sharding correlates with content (e.g. shards assigned by crawl
+# order: one crawl batch = one site), every training epoch sees
+# non-stationary token statistics.  The audit is KL(shard ‖ corpus)
+# over the unigram distribution, per shard — near zero for hash
+# sharding, large when a shard over-represents a vocabulary slice.
+#
+# Integer micro-nat arithmetic (T88's trick) keeps the cross-engine
+# sum exact: per (shard, word), c_sw * (ln̂ c_sw − ln̂ n_s − ln̂ c_w +
+# ln̂ n) is a bigint with ln̂ = round(ln·1e6); the only float steps are
+# the final fixed-shape divisions.
+#
+# Scale shape: one (shard, word) count with map-side combine; corpus
+# word totals re-aggregated FROM the shard counts (the corpus never
+# re-shuffles); one word-keyed join between the two (both sides
+# counts, no text); per-shard rollup to n_shards rows.
+
+SHARD_KL_SHARDS = 4
+
+
+def shard_kl(
+    docs: DataFrame,
+    n_shards: int = SHARD_KL_SHARDS,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(shard, n_words, kl_nats): shard = md5-hash of the doc key mod
+    n_shards (the engine's deterministic shard draw), KL in nats 6dp."""
+    key = F.col(key_col)
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard:"), key.cast("string"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        % n_shards
+    ).cast("int")
+    tw = docs.select(
+        shard.alias("shard"),
+        F.explode(_words(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    sw = tw.groupBy("shard", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sw")
+    )
+    cw = sw.groupBy("word").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
+    totals = sw.groupBy("shard").agg(
+        F.sum("c_sw").cast("bigint").alias("n_s")
+    )
+    n_total = sw.agg(F.sum("c_sw").cast("bigint").alias("n"))
+
+    def _ln_unats(c: Column) -> Column:
+        return F.round(F.log(c.cast("double")) * _ENT_SCALE).cast("bigint")
+
+    joined = (
+        sw.join(cw, "word")
+        .join(F.broadcast(totals), "shard")
+        .join(F.broadcast(n_total))
+    )
+    term = F.col("c_sw") * (
+        _ln_unats(F.col("c_sw"))
+        - _ln_unats(F.col("n_s"))
+        - _ln_unats(F.col("c_w"))
+        + _ln_unats(F.col("n"))
+    )
+    per = joined.groupBy("shard").agg(
+        F.max("n_s").alias("n_words"),
+        F.sum(term).cast("bigint").alias("kl_unats"),
+    )
+    return per.select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(
+            F.col("kl_unats").cast("double")
+            / F.col("n_words").cast("double")
+            / F.lit(float(_ENT_SCALE)),
+            6,
+        ).alias("kl_nats"),
+    )
+
+
+def sql_shard_kl(n_shards: int = SHARD_KL_SHARDS) -> str:
+    w = _sql_words("text")
+    s = _ENT_SCALE
+
+    def ln(expr: str) -> str:
+        return f"CAST(round(ln(CAST({expr} AS DOUBLE)) * {s}) AS BIGINT)"
+
+    shard = (
+        "CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15) AS BIGINT) % {n_shards} AS INTEGER)"
+    )
+    return f"""
+        WITH tw AS (
+            SELECT shard, w AS word FROM (
+                SELECT {shard} AS shard, unnest({w}) AS w FROM documents)
+            WHERE w <> ''
+        ),
+        sw AS (
+            SELECT shard, word, CAST(count(*) AS BIGINT) AS c_sw
+            FROM tw GROUP BY shard, word
+        ),
+        cw AS (
+            SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w
+            FROM sw GROUP BY word
+        ),
+        totals AS (
+            SELECT shard, CAST(sum(c_sw) AS BIGINT) AS n_s
+            FROM sw GROUP BY shard
+        ),
+        n_total AS (SELECT CAST(sum(c_sw) AS BIGINT) AS n FROM sw),
+        per AS (
+            SELECT sw.shard,
+                   max(t.n_s) AS n_words,
+                   CAST(sum(sw.c_sw * ({ln('sw.c_sw')} - {ln('t.n_s')}
+                                       - {ln('cw.c_w')} + {ln('nt.n')}))
+                        AS BIGINT) AS kl_unats
+            FROM sw
+            JOIN cw USING (word)
+            JOIN totals t ON t.shard = sw.shard
+            CROSS JOIN n_total nt
+            GROUP BY sw.shard
+        )
+        SELECT CAST(shard AS INTEGER) AS shard,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(CAST(kl_unats AS DOUBLE) / CAST(n_words AS DOUBLE)
+                     / {float(s)!r}, 6) AS kl_nats
+        FROM per
+    """

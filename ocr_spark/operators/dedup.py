@@ -936,3 +936,82 @@ def sql_edit_verify(
                    >= {threshold!r} AS is_dup
         FROM j
     """
+
+
+# ---------------------------------------------------------------------------
+# T145 — per-document n-gram novelty (df==1 shingle fraction)
+# ---------------------------------------------------------------------------
+#
+# The document-level uniqueness signal (Dolma's "uniqueness" /
+# RefinedWeb's duplicated-fraction complement): what fraction of a
+# doc's distinct k-gram shingles appear in NO other document.  Low
+# novelty means the doc is assembled from corpus-common material
+# (mirrors, templates, wire-copy reprints) even when no single pair
+# crosses a near-dup threshold — the long-tail duplication mass
+# MinHash pair detection (T2) structurally misses.
+#
+# Scale shape: shingle hashes only (8-byte bigints, never shingle
+# text) cross the wire; (doc, gram) distinct + gram-df agg + one
+# key-only join back — all map-side combined, no candidate pair set,
+# no O(n²) anywhere.
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty): distinct k-gram shingle
+    count, how many have corpus document-frequency 1, and their
+    fraction (6dp)."""
+    key = F.col(key_col)
+    dg = (
+        docs.select(
+            key.alias("doc_id"),
+            F.explode(shingles_col(F.col(text_col), k)).alias("g"),
+        )
+        .select("doc_id", _hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    df_tbl = dg.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        dg.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("bigint")).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+            6,
+        ).alias("novelty"),
+    )
+
+
+def sql_ngram_novelty(k: int = SHINGLE_K) -> str:
+    sh = sql_shingles("text", k)
+    return f"""
+        WITH dg AS (
+            SELECT DISTINCT doc_id,
+                   CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest({sh}) AS g FROM documents)
+        ),
+        dftbl AS (SELECT h, count(*) AS df FROM dg GROUP BY h),
+        per AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel
+            FROM dg JOIN dftbl USING (h) GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, n_novel,
+               round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+                   AS novelty
+        FROM per
+    """

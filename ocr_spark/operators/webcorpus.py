@@ -3216,3 +3216,267 @@ def sql_host_reputation(host_expr: str = "source") -> str:
                      / (1.0 + {z!r} * {z!r} / n), 6) AS wilson_lb
         FROM w
     """
+
+
+# ---------------------------------------------------------------------------
+# T142 — per-host URL shape statistics (path depth / param incidence)
+# ---------------------------------------------------------------------------
+#
+# Frontier shaping reads URL SHAPE before it fetches a byte: deep
+# paths and param-bearing URLs are where calendar traps, faceted-
+# search explosions, and session-id spiders live (the classic crawler-
+# trap taxonomy).  Per host this rolls up path-segment depth and the
+# fraction of URLs carrying a query string — the two inputs a frontier
+# uses to cap per-host depth and to canonicalize-before-enqueue.
+# Complements url_templates (T124: which paths repeat) with the
+# distributional view (how deep, how parameterized).
+#
+# Scale shape: parse + depth are in-row expressions on the already-
+# planted URL; one map-side-combined groupBy(host); no joins, no
+# Python.
+
+
+def url_depth_stats(docs: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """(host, n_urls, max_depth, avg_depth, n_with_params): path-
+    segment depth stats and query-string incidence per canonical
+    host; avg_depth 6dp."""
+    key = F.col(key_col)
+    url = plant_url_col(key, F.col("source"))
+    host = canonicalize_url(url)["host"]
+    path_raw = F.regexp_extract(url, _URL_RE, 3)
+    depth = F.size(
+        F.filter(F.split(path_raw, "/"), lambda x: x != F.lit(""))
+    ).cast("bigint")
+    has_params = (F.regexp_extract(url, _URL_RE, 4) != "").cast("bigint")
+    return (
+        docs.select(
+            host.alias("host"),
+            depth.alias("depth"),
+            has_params.alias("hp"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.max("depth").cast("bigint").alias("max_depth"),
+            F.round(
+                F.sum("depth").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_depth"),
+            F.sum("hp").cast("bigint").alias("n_with_params"),
+        )
+    )
+
+
+def sql_url_depth_stats() -> str:
+    url = sql_plant_url()
+    re = _URL_RE.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+        WITH u AS (SELECT doc_id, {url} AS url FROM documents),
+        parts AS (
+            SELECT
+                regexp_replace(
+                    regexp_extract(lower(regexp_extract(url, '{re}', 2)),
+                                   '^([^:]+)', 1),
+                    '^www\\.', '') AS host,
+                CAST(len(list_filter(
+                    string_split(regexp_extract(url, '{re}', 3), '/'),
+                    x -> x <> '')) AS BIGINT) AS depth,
+                CAST(CASE WHEN regexp_extract(url, '{re}', 4) <> ''
+                          THEN 1 ELSE 0 END AS BIGINT) AS hp
+            FROM u
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(max(depth) AS BIGINT) AS max_depth,
+               round(CAST(sum(depth) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS avg_depth,
+               CAST(sum(hp) AS BIGINT) AS n_with_params
+        FROM parts GROUP BY host
+    """
+
+
+# ---------------------------------------------------------------------------
+# T143 — corpus host-diversity index (effective number of hosts)
+# ---------------------------------------------------------------------------
+#
+# A 10^12-page corpus where three hosts own half the mass trains a
+# three-site language model.  The mixture-health number on every
+# dataset card is the Shannon diversity of the host distribution,
+# reported as the EFFECTIVE number of hosts exp(H) (the ecology
+# "Hill number" N1) — directly comparable to the raw host count: if
+# n_hosts=10_000 but effective_hosts=40, host capping (T44) has work
+# to do.  top_host_share is the worst-case single-host mass.
+#
+# Integer micro-nat entropy (T88's trick) keeps the cross-engine sum
+# exact; exp() is one fixed-shape double call on the exact quotient.
+#
+# Scale shape: one map-side-combined groupBy(host) to ~n_hosts count
+# rows, then a single bounded global agg to ONE row.  No text moves.
+
+
+def host_diversity(docs: DataFrame, host_col: str = "source") -> DataFrame:
+    """One row (n_docs, n_hosts, entropy_nats, effective_hosts,
+    top_host_share): Shannon H over host shares (6dp), exp(H) (6dp),
+    max single-host share (6dp)."""
+    from ocr_spark.operators.corpus_ops import _ENT_SCALE
+
+    hc = (
+        docs.select(F.col(host_col).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lnc = F.round(F.log(F.col("c").cast("double")) * _ENT_SCALE).cast(
+        "bigint"
+    )
+    agg = hc.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+        F.sum(F.col("c") * lnc).cast("bigint").alias("s"),
+        F.max("c").cast("bigint").alias("top_c"),
+    )
+    lnn = F.round(F.log(F.col("n").cast("double")) * _ENT_SCALE).cast(
+        "bigint"
+    )
+    h = (
+        lnn.cast("double") - F.col("s").cast("double") / F.col("n").cast("double")
+    ) / F.lit(float(_ENT_SCALE))
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        "n_hosts",
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(F.exp(h), 6).alias("effective_hosts"),
+        F.round(
+            F.col("top_c").cast("double") / F.col("n").cast("double"), 6
+        ).alias("top_host_share"),
+    )
+
+
+def sql_host_diversity(host_expr: str = "source") -> str:
+    from ocr_spark.operators.corpus_ops import _ENT_SCALE
+
+    s = _ENT_SCALE
+    h = (
+        f"(CAST(CAST(round(ln(CAST(n AS DOUBLE)) * {s}) AS BIGINT) AS DOUBLE)"
+        f" - CAST(w_s AS DOUBLE) / CAST(n AS DOUBLE)) / {float(s)!r}"
+    )
+    return f"""
+        WITH hc AS (
+            SELECT {host_expr} AS host, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY {host_expr}
+        ),
+        agg AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_hosts,
+                   CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * {s})
+                                     AS BIGINT)) AS BIGINT) AS w_s,
+                   CAST(max(c) AS BIGINT) AS top_c
+            FROM hc
+        )
+        SELECT n AS n_docs,
+               n_hosts,
+               round({h}, 6) AS entropy_nats,
+               round(exp({h}), 6) AS effective_hosts,
+               round(CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS top_host_share
+        FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# T147 — crawl-budget allocation (largest-remainder apportionment)
+# ---------------------------------------------------------------------------
+#
+# A crawl cycle has a global fetch budget B; each host holds a weight
+# (here its doc mass — in production any value score, e.g. T137's
+# Wilson bound × T85's change rate).  Proportional shares B·w/W are
+# fractional; naive floor() under-spends and naive round() can
+# over-spend.  The exact classical fix is largest-remainder (Hamilton)
+# apportionment: floor everyone, then hand the leftover slots to the
+# largest fractional remainders — deterministic, integer-exact, sums
+# to B by construction.
+#
+# All arithmetic stays in bigints ((B·w) div/mod W — no float
+# remainder ties), so the allocation is bit-identical across engines
+# and cluster sizes.
+#
+# Scale shape: one map-side-combined groupBy(host) to ~n_hosts weight
+# rows; the apportionment window runs over those bounded rows (never
+# the corpus); the totals frame is a broadcast one-row cross join.
+
+CRAWL_BUDGET = 1000
+
+
+def budget_allocate(
+    docs: DataFrame, budget: int = CRAWL_BUDGET, host_col: str = "source"
+) -> DataFrame:
+    """(host, weight, quota): integer fetch quota per host; quotas sum
+    exactly to `budget` via largest-remainder apportionment with
+    (remainder DESC, host ASC) tie order."""
+    from pyspark.sql import Window as W
+
+    hw = (
+        docs.select(F.col(host_col).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+    totals = hw.agg(F.sum("weight").cast("bigint").alias("w_total"))
+    b = F.lit(budget).cast("bigint")
+    # NB: Spark `/` on bigints is float division — use floor div.
+    scored = hw.join(F.broadcast(totals)).select(
+        "host",
+        "weight",
+        F.floor((b * F.col("weight")) / F.col("w_total"))
+        .cast("bigint")
+        .alias("base"),
+        ((b * F.col("weight")) % F.col("w_total")).alias("rem"),
+    )
+    w = W.orderBy(F.col("rem").desc(), F.col("host").asc())
+    ranked = scored.select(
+        "host",
+        "weight",
+        "base",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        (b - F.sum("base").over(W.partitionBy())).alias("deficit"),
+    )
+    return ranked.select(
+        "host",
+        "weight",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("deficit"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+
+
+def sql_budget_allocate(
+    budget: int = CRAWL_BUDGET, host_expr: str = "source"
+) -> str:
+    return f"""
+        WITH hw AS (
+            SELECT {host_expr} AS host, CAST(count(*) AS BIGINT) AS weight
+            FROM documents GROUP BY {host_expr}
+        ),
+        t AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM hw),
+        scored AS (
+            SELECT host, weight,
+                   CAST(({budget} * weight) // w_total AS BIGINT) AS base,
+                   CAST(({budget} * weight) % w_total AS BIGINT) AS rem
+            FROM hw CROSS JOIN t
+        ),
+        ranked AS (
+            SELECT host, weight, base,
+                   CAST(row_number() OVER (ORDER BY rem DESC, host ASC)
+                        AS BIGINT) AS rk,
+                   {budget} - sum(base) OVER () AS deficit
+            FROM scored
+        )
+        SELECT host, weight,
+               CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                    AS BIGINT) AS quota
+        FROM ranked
+    """
