@@ -2587,6 +2587,90 @@ def q_shard_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_kl(_tw(spark, sf_dir, "documents"))
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T149: rerun-stable uniform corpus sample — bottom-k over a
+    seeded md5 draw; compiles to TakeOrderedAndProject (per-task k-row
+    heap, no global sort), identical rows at any cluster size."""
+    from ocr_spark.operators.corpus_ops import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T150: concat-and-chunk packing audit — per-training-sequence
+    doc/token/straddler counts in the seeded shuffle order; global
+    prefix sum as bucket-local window + bounded broadcast offsets, so
+    both passes shuffle 8-byte keyed counts only."""
+    from ocr_spark.operators.corpus_ops import pack_sequences
+
+    return pack_sequences(_tw(spark, sf_dir, "documents"))
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T151: uniform-target data-mixture plan with epoch caps —
+    largest-remainder integer quotas (sum to budget by construction);
+    one map-side-combined groupBy(source), windows over bounded
+    per-source rows only."""
+    from ocr_spark.operators.corpus_ops import mixture_plan
+
+    return mixture_plan(_tw(spark, sf_dir, "documents"))
+
+
+def q_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T152: sqrt-temperature language sampling weights (alpha=0.5 —
+    the one libm power IEEE requires correctly rounded, so the oracle
+    reproduces it bit-for-bit); micro-quantized integer normalizer."""
+    from ocr_spark.operators.corpus_ops import lang_rebalance
+
+    return lang_rebalance(_t(spark, sf_dir, "documents"))
+
+
+def q_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T153: marker-based license classification with grant-overrides-
+    boilerplate priority — pure per-row contains() columns, zero
+    exchanges, whole-stage codegen."""
+    from ocr_spark.operators.curation import license_filter
+
+    return license_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T154: code-vs-prose routing — code-punctuation density plus
+    keyword-marker corroboration, all literal-chain row expressions
+    (no UDF, no exchange)."""
+    from ocr_spark.operators.curation import code_detect
+
+    return code_detect(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T155: decile calibration of the type/token quality score
+    against exact-duplicate rate — the audit that validates a gate
+    before it filters a corpus; only 16-byte (score, id) pairs sort."""
+    from ocr_spark.operators.corpus_ops import quality_calibration
+
+    return quality_calibration(_tw(spark, sf_dir, "documents"))
+
+
+def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T156: per-source median/MAD length outliers — the robust rule
+    heavy-tailed crawl lengths need; two grouped percentile passes of
+    one integer column + broadcast joins of bounded stats tables."""
+    from ocr_spark.operators.corpus_ops import doc_outliers
+
+    return doc_outliers(_t(spark, sf_dir, "documents"))
+
+
+def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T157: per-label embedding centroid drift between snapshot
+    halves (even/odd vec_id) — the ANN-index retraining tripwire; one
+    posexplode scan, the shuffle carries |labels|×EMB_DIM bigint rows,
+    micro-exact folds make L2/cosine engine-identical."""
+    from ocr_spark.operators.ann import centroid_shift
+
+    return centroid_shift(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2627,6 +2711,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_quantize": q_int8_quantize,
         "budget_allocate": q_budget_allocate,
         "shard_kl": q_shard_kl,
+        # --- unbanked (round-5 additions T149-T157) ---
+        "hash_sample": q_hash_sample,
+        "pack_sequences": q_pack_sequences,
+        "mixture_plan": q_mixture_plan,
+        "lang_rebalance": q_lang_rebalance,
+        "license_filter": q_license_filter,
+        "code_detect": q_code_detect,
+        "quality_calibration": q_quality_calibration,
+        "doc_outliers": q_doc_outliers,
+        "centroid_shift": q_centroid_shift,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver records a rows-only row)
         "pca_project": q_pca_project,
@@ -3226,6 +3320,15 @@ def oracle_sql() -> dict[str, str]:
         "int8_quantize": _ann_sql.sql_int8_quantize(),
         "budget_allocate": _webcorpus_sql.sql_budget_allocate(),
         "shard_kl": _corpus_sql.sql_shard_kl(),
+        "hash_sample": _corpus_sql.sql_hash_sample(),
+        "pack_sequences": _corpus_sql.sql_pack_sequences(),
+        "mixture_plan": _corpus_sql.sql_mixture_plan(),
+        "lang_rebalance": _corpus_sql.sql_lang_rebalance(),
+        "license_filter": _curation_sql.sql_license_filter(),
+        "code_detect": _curation_sql.sql_code_detect(),
+        "quality_calibration": _corpus_sql.sql_quality_calibration(),
+        "doc_outliers": _corpus_sql.sql_doc_outliers(),
+        "centroid_shift": _ann_sql.sql_centroid_shift(),
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "graph_health": _graph_sql.sql_graph_health(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),

@@ -1997,3 +1997,143 @@ def sql_int8_quantize() -> str:
                    AS q_sqsum
         FROM q
     """
+
+
+# ---------------------------------------------------------------------------
+# T157 — embedding centroid-shift audit (old vs new snapshot drift)
+# ---------------------------------------------------------------------------
+#
+# Embedding-space drift is the retraining tripwire for every
+# ANN-backed pipeline stage (IVF cells, PQ codebooks, semantic-dedup
+# thresholds are all trained against a snapshot's geometry): when a
+# refreshed corpus moves a label's centroid, recall quietly decays
+# until the index is retrained.  The audit compares per-label
+# centroids between two snapshots — planted here as the even/odd
+# vec_id split, the same snapshot proxy lang_drift uses — and reports
+# the L2 shift and the cosine between the old and new centroid.
+#
+# Cross-engine exactness: components quantize to micro units
+# (floor(x * 1e6) as BIGINT) so the per-(label, dim) conditional sums
+# are exact integers; every per-dim double term downstream
+# (mean = sa/na, squared diff, dot product) is floor()-quantized
+# before the fold adds it, so the per-label reduction is an
+# order-free BIGINT sum and the final sqrt/divide is one identically-
+# rounded IEEE expression in both engines.
+#
+# Scale shape: one posexplode scan, map-side-combined
+# groupBy(label, dim) — the shuffle carries |labels| × EMB_DIM keyed
+# bigint rows, never vectors; the per-label fold runs over a bounded
+# collect_list of EMB_DIM structs.  At 10^12 rows nothing else moves.
+
+
+def centroid_shift(emb: DataFrame) -> DataFrame:
+    """(label, n_old, n_new, l2_shift, cos_sim): per-label centroid
+    drift between the even-vec_id (old) and odd-vec_id (new) snapshot
+    halves; micro-exact sums, 6dp outputs."""
+    micro = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    is_old = (F.col("vec_id") % 2 == 0).cast("bigint")
+    per_dim = (
+        emb.select(
+            F.col("label").cast("bigint").alias("label"),
+            is_old.alias("old"),
+            F.posexplode(micro).alias("dim", "x"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("x") * F.col("old")).alias("sa"),
+            F.sum(F.col("x") * (1 - F.col("old"))).alias("sb"),
+            F.sum(F.col("old")).alias("na"),
+            F.sum(1 - F.col("old")).alias("nb"),
+        )
+    )
+    folded = per_dim.groupBy("label").agg(
+        F.max("na").alias("n_old"),
+        F.max("nb").alias("n_new"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("dim"), F.col("sa"), F.col("sb")))
+        ).alias("terms"),
+    )
+    ma = lambda t: t["sa"].cast("double") / F.col("n_old").cast("double")  # noqa: E731
+    mb = lambda t: t["sb"].cast("double") / F.col("n_new").cast("double")  # noqa: E731
+
+    def fold(term) -> Column:
+        return F.aggregate(
+            F.col("terms"),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.floor(term(t)).cast("bigint"),
+        )
+
+    l2sq = fold(lambda t: (ma(t) - mb(t)) * (ma(t) - mb(t)))
+    dot = fold(lambda t: ma(t) * mb(t))
+    n2a = fold(lambda t: ma(t) * ma(t))
+    n2b = fold(lambda t: mb(t) * mb(t))
+    return (
+        folded.filter((F.col("n_old") > 0) & (F.col("n_new") > 0))
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            F.round(
+                F.sqrt(l2sq.cast("double")) / 1_000_000.0, 6
+            ).alias("l2_shift"),
+            F.round(
+                dot.cast("double")
+                / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+
+
+def sql_centroid_shift() -> str:
+    ma = "CAST(sa AS DOUBLE) / CAST(n_old AS DOUBLE)"
+    mb = "CAST(sb AS DOUBLE) / CAST(n_new AS DOUBLE)"
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS old,
+                   list_transform(
+                       embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS emb
+            FROM embeddings
+        ),
+        per_dim AS (
+            SELECT label, i AS dim,
+                   CAST(sum(emb[i] * old) AS BIGINT) AS sa,
+                   CAST(sum(emb[i] * (1 - old)) AS BIGINT) AS sb,
+                   CAST(sum(old) AS BIGINT) AS na,
+                   CAST(sum(1 - old) AS BIGINT) AS nb
+            FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)
+            GROUP BY label, i
+        ),
+        folded AS (
+            SELECT label,
+                   max(na) AS n_old,
+                   max(nb) AS n_new,
+                   CAST(sum(CAST(floor(({ma} - {mb}) * ({ma} - {mb}))
+                                 AS BIGINT)) AS BIGINT) AS l2sq,
+                   CAST(sum(CAST(floor({ma} * {mb}) AS BIGINT))
+                        AS BIGINT) AS dot,
+                   CAST(sum(CAST(floor({ma} * {ma}) AS BIGINT))
+                        AS BIGINT) AS n2a,
+                   CAST(sum(CAST(floor({mb} * {mb}) AS BIGINT))
+                        AS BIGINT) AS n2b
+            FROM (SELECT label, dim, sa, sb,
+                         max(na) OVER (PARTITION BY label) AS n_old,
+                         max(nb) OVER (PARTITION BY label) AS n_new,
+                         na, nb
+                  FROM per_dim)
+            GROUP BY label
+        )
+        SELECT label, n_old, n_new,
+               round(sqrt(CAST(l2sq AS DOUBLE)) / 1000000.0, 6) AS l2_shift,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(n2a AS DOUBLE))
+                        * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_sim
+        FROM folded
+        WHERE n_old > 0 AND n_new > 0
+    """

@@ -2584,3 +2584,586 @@ def sql_shard_kl(n_shards: int = SHARD_KL_SHARDS) -> str:
                      / {float(s)!r}, 6) AS kl_nats
         FROM per
     """
+
+
+# ---------------------------------------------------------------------------
+# T149 — deterministic uniform corpus sample (bottom-k by keyed hash)
+# ---------------------------------------------------------------------------
+#
+# Every eval set, human-audit batch, and quick-look notebook starts
+# with "give me k uniform documents" — and at pipeline scale the
+# sample must be REPRODUCIBLE (rerunning the job, resizing the
+# cluster, or re-reading a reshuffled table yields the same k docs)
+# and CHEAP (no full sort, no rand() whose row order leaks into the
+# draw).  Bottom-k over a seeded md5 draw gives both: the draw is a
+# pure function of (seed, doc_id), and orderBy+limit compiles to
+# TakeOrderedAndProject — each task keeps a k-row heap, the driver
+# merges per-task heaps, nothing else moves.  Mirrors the reference's
+# "recent N tasks" pagination shape (main.py admin queries) turned
+# into a statistically uniform draw.
+#
+# Scale shape: zero shuffles; O(k) rows per task to the driver.  The
+# same seeded draw at any cluster size returns byte-identical rows.
+
+SAMPLE_K = 100
+
+
+def hash_sample(
+    docs: DataFrame,
+    k: int = SAMPLE_K,
+    seed: str = "sample",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, lang, source, draw): the k docs with the smallest
+    seeded 60-bit md5 draw — a uniform, rerun-stable corpus sample."""
+    from ocr_spark.operators.dedup import _hash60
+
+    key = F.col(key_col)
+    draw = _hash60(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    return (
+        docs.select(
+            key.alias("doc_id"),
+            "lang",
+            "source",
+            draw.alias("draw"),
+        )
+        .orderBy("draw", "doc_id")
+        .limit(k)
+    )
+
+
+def sql_hash_sample(k: int = SAMPLE_K, seed: str = "sample") -> str:
+    draw = (
+        f"CAST('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 15) AS BIGINT)"
+    )
+    return f"""
+        SELECT doc_id, lang, source, {draw} AS draw
+        FROM documents
+        ORDER BY draw, doc_id
+        LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# T150 — training-sequence packing audit (concat-and-chunk)
+# ---------------------------------------------------------------------------
+#
+# Pretraining consumes documents as fixed-length token sequences: the
+# corpus is laid out in a deterministic shuffled order, concatenated,
+# and cut every SEQ_BUDGET tokens.  The packing audit answers the
+# questions that decide context-length and separator policy — how many
+# docs start in each sequence, how many tokens they contribute, and
+# how many docs straddle a cut (a straddled doc loses attention
+# coherence across the boundary).
+#
+# Scale shape: the global prefix-sum is the textbook two-pass scan —
+# per-BUCKET window cumsum (order = seeded md5 draw, so the layout is
+# the epoch-shuffle order, not storage order) plus a bounded
+# PACK_BUCKETS-row offset table broadcast back.  No global sort, no
+# single-partition window; both passes shuffle 8-byte keyed counts
+# only.  The oracle collapses the two passes into one global window —
+# integer sums make the two formulations bit-identical.
+
+SEQ_BUDGET = 512
+PACK_BUCKETS = 64
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = SEQ_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+    seed: str = "pack",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(seq_id, n_docs_started, n_tokens_started, n_straddlers):
+    per-training-sequence packing stats under concat-and-chunk at
+    `budget` tokens, in the deterministic seeded shuffle order."""
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators.dedup import _hash60
+
+    key = F.col(key_col)
+    words = _words(F.col(text_col))
+    n_tok = F.size(F.filter(words, lambda w: w != "")).cast("bigint")
+    draw = _hash60(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    d = docs.select(
+        key.alias("doc_id"),
+        n_tok.alias("n_tok"),
+        draw.alias("draw"),
+        F.pmod(draw, F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    # pass 1: exclusive prefix sum within each bucket
+    wl = (
+        W.partitionBy("bucket")
+        .orderBy("draw", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = d.withColumn(
+        "off_local", (F.sum("n_tok").over(wl) - F.col("n_tok"))
+    )
+    # pass 2: bucket offsets over the bounded bucket-total table
+    totals = d.groupBy("bucket").agg(F.sum("n_tok").alias("b_tok"))
+    wb = (
+        W.orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = totals.select(
+        "bucket", (F.sum("b_tok").over(wb) - F.col("b_tok")).alias("b_off")
+    )
+    placed = d.join(F.broadcast(offs), "bucket").select(
+        "doc_id",
+        "n_tok",
+        (F.col("b_off") + F.col("off_local")).alias("start"),
+    )
+    seq = F.floor(F.col("start") / budget).cast("bigint")
+    straddles = (F.col("n_tok") > 0) & (
+        F.floor((F.col("start") + F.col("n_tok") - 1) / budget).cast("bigint")
+        > seq
+    )
+    return (
+        placed.select(
+            seq.alias("seq_id"),
+            F.col("n_tok"),
+            straddles.cast("int").alias("straddle"),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_started"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens_started"),
+            F.sum("straddle").cast("bigint").alias("n_straddlers"),
+        )
+    )
+
+
+def sql_pack_sequences(
+    budget: int = SEQ_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+    seed: str = "pack",
+) -> str:
+    w = _sql_words("text")
+    draw = (
+        f"CAST('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 15) AS BIGINT)"
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(list_filter({w}, x -> x <> '')) AS BIGINT)
+                       AS n_tok,
+                   {draw} AS draw,
+                   CAST({draw} % {n_buckets} AS INTEGER) AS bucket
+            FROM documents
+        ),
+        placed AS (
+            SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (
+                       ORDER BY bucket, draw, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tok AS start
+            FROM d
+        )
+        SELECT CAST(start // {budget} AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs_started,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens_started,
+               CAST(sum(CASE WHEN n_tok > 0
+                             AND (start + n_tok - 1) // {budget}
+                                 > start // {budget}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        FROM placed
+        GROUP BY seq_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# T151 — data-mixture plan (uniform target, epoch caps)
+# ---------------------------------------------------------------------------
+#
+# Mixture design allocates a token budget across sources and answers
+# "how many epochs of each source does that imply, and where does the
+# epoch cap bite?"  (Repeating a small source too often measurably
+# hurts — pipelines cap epochs per source and accept the deficit.)
+# Target here is the uniform mixture over sources with the budget
+# equal to the corpus total, quotas made integer-exact by largest
+# remainder, so every number is reproducible cross-engine: quotas sum
+# to the budget BY CONSTRUCTION, epochs are one double division.
+#
+# Scale shape: one map-side-combined groupBy(source) over word counts;
+# everything after runs on the bounded per-source table (windows over
+# |sources| rows, never the corpus).
+
+MIXTURE_MAX_EPOCHS = 4
+
+
+def mixture_plan(
+    docs: DataFrame,
+    max_epochs: int = MIXTURE_MAX_EPOCHS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, avail_tokens, target_tokens, epochs_needed, capped,
+    achieved_tokens, deficit): uniform-mixture token plan with a
+    largest-remainder integer target and an epoch cap."""
+    from pyspark.sql import Window as W
+
+    words = _words(F.col(text_col))
+    n_tok = F.size(F.filter(words, lambda w: w != "")).cast("bigint")
+    per = docs.select(F.col("source"), n_tok.alias("n_tok")).groupBy(
+        "source"
+    ).agg(F.sum("n_tok").cast("bigint").alias("avail_tokens"))
+    wall = W.partitionBy()
+    n_src = F.count(F.lit(1)).over(wall)
+    budget = F.sum("avail_tokens").over(wall)
+    # exact integer floor division: subtract the remainder first so the
+    # double division is of exactly-divisible bigints (no ulp drift vs
+    # the oracle's native `//`)
+    rem = F.pmod(budget, n_src)
+    base = ((budget - rem) / n_src).cast("bigint")
+    # largest remainder: every source shares the same remainder
+    # (uniform target), so ties break by source order — rank over the
+    # bounded per-source table
+    wr = W.orderBy("source")
+    rank = F.row_number().over(wr)
+    per = per.select(
+        "source",
+        "avail_tokens",
+        (base + (rank <= rem).cast("bigint")).alias("target_tokens"),
+    )
+    epochs = F.round(
+        F.col("target_tokens").cast("double")
+        / F.col("avail_tokens").cast("double"),
+        6,
+    )
+    achieved = F.least(
+        F.col("target_tokens"), F.col("avail_tokens") * max_epochs
+    )
+    return per.select(
+        "source",
+        "avail_tokens",
+        "target_tokens",
+        epochs.alias("epochs_needed"),
+        (
+            F.col("target_tokens") > F.col("avail_tokens") * max_epochs
+        ).alias("capped"),
+        achieved.cast("bigint").alias("achieved_tokens"),
+        (F.col("target_tokens") - achieved).cast("bigint").alias("deficit"),
+    )
+
+
+def sql_mixture_plan(max_epochs: int = MIXTURE_MAX_EPOCHS) -> str:
+    w = _sql_words("text")
+    return f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(sum(len(list_filter({w}, x -> x <> '')))
+                        AS BIGINT) AS avail_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT source, avail_tokens,
+                   CAST(count(*) OVER () AS BIGINT) AS n_src,
+                   CAST(sum(avail_tokens) OVER () AS BIGINT) AS budget,
+                   row_number() OVER (ORDER BY source) AS rnk
+            FROM per
+        ),
+        tgt AS (
+            SELECT source, avail_tokens,
+                   budget // n_src
+                   + CASE WHEN rnk <= budget - (budget // n_src) * n_src
+                          THEN 1 ELSE 0 END AS target_tokens
+            FROM tot
+        )
+        SELECT source, avail_tokens,
+               CAST(target_tokens AS BIGINT) AS target_tokens,
+               round(CAST(target_tokens AS DOUBLE)
+                     / CAST(avail_tokens AS DOUBLE), 6) AS epochs_needed,
+               target_tokens > avail_tokens * {max_epochs} AS capped,
+               CAST(least(target_tokens, avail_tokens * {max_epochs})
+                    AS BIGINT) AS achieved_tokens,
+               CAST(target_tokens
+                    - least(target_tokens, avail_tokens * {max_epochs})
+                    AS BIGINT) AS deficit
+        FROM tgt
+    """
+
+
+# ---------------------------------------------------------------------------
+# T152 — language rebalancing (temperature-sampled weights)
+# ---------------------------------------------------------------------------
+#
+# Multilingual corpora are Zipf-skewed by language; training samples
+# languages with p_i^alpha / sum p_j^alpha to lift the tail (the
+# mBERT/XLM-R exponent trick).  alpha is pinned at 0.5 so the power is
+# sqrt — the ONE libm power that IEEE 754 requires correctly rounded,
+# which makes the weights reproducible across Spark's JVM and the
+# oracle's C library (pow(x, 0.3) carries no such guarantee).  The
+# sqrt is quantized to micro units and summed as BIGINT so the
+# normalizing constant is exact, not a float-order artifact.
+#
+# Scale shape: one map-side-combined groupBy(lang); windows run over
+# the bounded per-language table only.
+
+
+def lang_rebalance(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, raw_share, weight, boost): sqrt-temperature
+    sampling weights per language (alpha = 0.5), integer-exact
+    normalization, all ratios 6dp."""
+    from pyspark.sql import Window as W
+
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    mu = F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000).cast(
+        "bigint"
+    )
+    per = per.select("lang", "n_docs", mu.alias("mu"))
+    wall = W.partitionBy()
+    n_total = F.sum("n_docs").over(wall)
+    mu_total = F.sum("mu").over(wall)
+    raw = F.col("n_docs").cast("double") / n_total.cast("double")
+    wgt = F.col("mu").cast("double") / mu_total.cast("double")
+    boost = (F.col("mu").cast("double") * n_total.cast("double")) / (
+        mu_total.cast("double") * F.col("n_docs").cast("double")
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        F.round(raw, 6).alias("raw_share"),
+        F.round(wgt, 6).alias("weight"),
+        F.round(boost, 6).alias("boost"),
+    )
+
+
+def sql_lang_rebalance() -> str:
+    return """
+        WITH per AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        q AS (
+            SELECT lang, n_docs,
+                   CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS mu
+            FROM per
+        )
+        SELECT lang, n_docs,
+               round(CAST(n_docs AS DOUBLE)
+                     / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS raw_share,
+               round(CAST(mu AS DOUBLE)
+                     / CAST(sum(mu) OVER () AS DOUBLE), 6) AS weight,
+               round((CAST(mu AS DOUBLE)
+                      * CAST(sum(n_docs) OVER () AS DOUBLE))
+                     / (CAST(sum(mu) OVER () AS DOUBLE)
+                        * CAST(n_docs AS DOUBLE)), 6) AS boost
+        FROM q
+    """
+
+
+# ---------------------------------------------------------------------------
+# T155 — quality-signal calibration curve (deciles vs duplicate rate)
+# ---------------------------------------------------------------------------
+#
+# Any quality score used as a keep/drop gate needs VALIDATION against
+# an independent signal before it filters a corpus; the standard cheap
+# audit is the decile calibration curve against exact-duplicate rate
+# (boilerplate and templated spam are both low-quality and highly
+# duplicated, so a working score shows dup-rate falling monotonically
+# across deciles).  The score here is the type/token ratio in exact
+# integer micro units; the dup flag is md5 over whitespace-normalized
+# text — both already pipeline primitives.
+#
+# Scale shape: the (doc, word) count is map-side combined; the decile
+# assignment sorts only (score_micro, doc_id) PAIRS (16 bytes/doc) —
+# at real scale the sort becomes approx range boundaries
+# (approxQuantile) + a broadcast bucket lookup, noted here because the
+# exact ntile keeps the oracle bit-identical.
+
+CALIB_BUCKETS = 10
+
+
+def quality_calibration(
+    docs: DataFrame,
+    n_buckets: int = CALIB_BUCKETS,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(decile, n_docs, n_dups, dup_rate, mean_score): type/token-ratio
+    deciles (1-based) vs exact-duplicate incidence; score in exact
+    micro units, ratios 6dp."""
+    from pyspark.sql import Window as W
+
+    key = F.col(key_col)
+    text = F.col(text_col)
+    tw = docs.select(
+        key.alias("doc_id"), F.explode(_words(text)).alias("word")
+    ).filter(F.col("word") != "")
+    per = tw.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    ).groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    num = F.col("n_types") * 1_000_000
+    score = ((num - F.pmod(num, F.col("n_words"))) / F.col("n_words")).cast(
+        "bigint"
+    )
+    fp = F.md5(F.regexp_replace(F.trim(text), r"\s+", " "))
+    flagged = (
+        docs.select(key.alias("doc_id"), fp.alias("fp"))
+        .withColumn(
+            "dup",
+            (F.count(F.lit(1)).over(W.partitionBy("fp")) > 1).cast("int"),
+        )
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup",
+            F.coalesce(score, F.lit(0)).alias("score_micro"),
+        )
+    )
+    wd = W.orderBy("score_micro", "doc_id")
+    return (
+        flagged.withColumn("decile", F.ntile(n_buckets).over(wd))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dup").cast("bigint").alias("n_dups"),
+            F.round(
+                F.sum("dup").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.round(
+                F.sum("score_micro").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1_000_000.0,
+                6,
+            ).alias("mean_score"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs",
+            "n_dups",
+            "dup_rate",
+            "mean_score",
+        )
+    )
+
+
+def sql_quality_calibration(n_buckets: int = CALIB_BUCKETS) -> str:
+    w = _sql_words("text")
+    return f"""
+        WITH tw AS (
+            SELECT doc_id, w AS word FROM (
+                SELECT doc_id, unnest({w}) AS w FROM documents)
+            WHERE w <> ''
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM (SELECT doc_id, word, count(*) AS c
+                  FROM tw GROUP BY doc_id, word)
+            GROUP BY doc_id
+        ),
+        flagged AS (
+            SELECT d.doc_id,
+                   CASE WHEN count(*) OVER (PARTITION BY
+                            md5(regexp_replace(trim(d.text), '\\s+', ' ',
+                                               'g'))) > 1
+                        THEN 1 ELSE 0 END AS dup,
+                   COALESCE((p.n_types * 1000000) // p.n_words, 0)
+                       AS score_micro
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        ),
+        bucketed AS (
+            SELECT dup, score_micro,
+                   ntile({n_buckets})
+                       OVER (ORDER BY score_micro, doc_id) AS decile
+            FROM flagged
+        )
+        SELECT CAST(decile AS INTEGER) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dup) AS BIGINT) AS n_dups,
+               round(CAST(sum(dup) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+               round(CAST(sum(score_micro) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+                   AS mean_score
+        FROM bucketed
+        GROUP BY decile
+    """
+
+
+# ---------------------------------------------------------------------------
+# T156 — robust length outliers (median / MAD per source)
+# ---------------------------------------------------------------------------
+#
+# Corpus-hygiene dashboards flag length anomalies per source with the
+# median/MAD rule rather than mean/stddev because crawl length
+# distributions are heavy-tailed — one concatenated mega-page moves a
+# mean arbitrarily but not a median.  Outlier = |len - median| >
+# 3 * 1.4826 * MAD (the Gaussian-consistent MAD scale).  Lengths are
+# integers, so every median lands on k or k.5 — exact in a double in
+# both engines, no interpolation drift.
+#
+# Scale shape: two grouped exact-percentile passes (a per-group sort of
+# one integer column) + a broadcast join of the bounded per-source
+# stats table; at real scale the exact percentile swaps for
+# approx_percentile with everything else unchanged.
+
+MAD_K = 3.0 * 1.4826
+
+
+def doc_outliers(docs: DataFrame, len_col: str = "n_chars") -> DataFrame:
+    """(source, n_docs, med, mad, n_outliers): per-source robust
+    length profile and the |len-med| > 3*1.4826*MAD outlier count."""
+    ln = F.col(len_col).cast("double")
+    med = docs.groupBy("source").agg(
+        F.percentile(ln, F.lit(0.5)).alias("med"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source", "n_docs", "med", F.abs(ln - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("source", "n_docs", "med").agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad")
+    )
+    out = dev.join(
+        F.broadcast(mad.select("source", "mad")), "source"
+    ).groupBy("source").agg(
+        F.sum(
+            (F.col("dev") > F.lit(MAD_K) * F.col("mad")).cast("bigint")
+        ).alias("n_outliers")
+    )
+    return mad.join(out, "source").select(
+        "source", "n_docs", "med", "mad",
+        F.col("n_outliers").cast("bigint").alias("n_outliers"),
+    )
+
+
+def sql_doc_outliers(len_expr: str = "n_chars") -> str:
+    return f"""
+        WITH med AS (
+            SELECT source,
+                   quantile_cont(CAST({len_expr} AS DOUBLE), 0.5) AS med,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        dev AS (
+            SELECT d.source, m.n_docs, m.med,
+                   abs(CAST(d.{len_expr} AS DOUBLE) - m.med) AS dev
+            FROM documents d JOIN med m USING (source)
+        ),
+        mad AS (
+            SELECT source, n_docs, med,
+                   quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY source, n_docs, med
+        )
+        SELECT v.source, any_value(m.n_docs) AS n_docs,
+               any_value(m.med) AS med, any_value(m.mad) AS mad,
+               CAST(sum(CASE WHEN v.dev > {MAD_K!r} * m.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev v JOIN mad m USING (source)
+        GROUP BY v.source
+    """

@@ -1518,3 +1518,151 @@ def sql_line_dedup_scrub(min_docs: int = LINE_DUP_MIN) -> str:
         FROM lines l JOIN freq f USING (line)
         GROUP BY l.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# T153 — license-marker classification
+# ---------------------------------------------------------------------------
+#
+# License-aware corpus assembly (The Stack, permissively-licensed code
+# subsets, CC-BY web partitions) starts with a cheap in-row scan for
+# the handful of phrases that pin a document's license posture.  The
+# classifier is DELIBERATELY marker-based — it answers "what did the
+# document declare", not "what is legally true" — and the priority
+# order encodes the curation policy: an explicit grant (permissive /
+# CC) overrides reflexive all-rights-reserved boilerplate, which in
+# turn overrides silence.
+#
+# Scale shape: pure per-row lower()+contains() columns — zero
+# exchanges, whole-stage codegen; the rollup the dataset card wants is
+# one bounded groupBy(license).
+
+_LICENSE_PERMISSIVE = ("apache license", "mit license", "bsd license")
+_LICENSE_CC = ("creative commons", "cc-by", "cc by")
+_LICENSE_RESTRICTED = ("all rights reserved", "copyright (c)")
+LICENSE_KEEP = ("permissive", "cc", "none")
+
+
+def _any_marker(low: Column, markers: Tuple[str, ...]) -> Column:
+    hit = F.lit(False)
+    for m in markers:
+        hit = hit | low.contains(m)
+    return hit
+
+
+def license_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, license, keep): marker-based license class with the
+    grant-overrides-boilerplate priority; keep = class in
+    LICENSE_KEEP."""
+    low = F.lower(F.col(text_col))
+    lic = (
+        F.when(_any_marker(low, _LICENSE_PERMISSIVE), F.lit("permissive"))
+        .when(_any_marker(low, _LICENSE_CC), F.lit("cc"))
+        .when(_any_marker(low, _LICENSE_RESTRICTED), F.lit("restricted"))
+        .otherwise(F.lit("none"))
+    )
+    return docs.select(
+        "doc_id",
+        lic.alias("license"),
+        lic.isin(*LICENSE_KEEP).alias("keep"),
+    )
+
+
+def sql_license_filter(text_expr: str = "text") -> str:
+    def any_of(markers: Tuple[str, ...]) -> str:
+        return " OR ".join(
+            f"contains(lower({text_expr}), '{m}')" for m in markers
+        )
+
+    keep = ", ".join(f"'{k}'" for k in LICENSE_KEEP)
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   CASE WHEN {any_of(_LICENSE_PERMISSIVE)} THEN 'permissive'
+                        WHEN {any_of(_LICENSE_CC)} THEN 'cc'
+                        WHEN {any_of(_LICENSE_RESTRICTED)} THEN 'restricted'
+                        ELSE 'none' END AS license
+            FROM documents
+        )
+        SELECT doc_id, license, license IN ({keep}) AS keep
+        FROM c
+    """
+
+
+# ---------------------------------------------------------------------------
+# T154 — code-vs-prose detection
+# ---------------------------------------------------------------------------
+#
+# Mixed crawls carry source code, and the mixture wants it IDENTIFIED
+# (routed to a code subset or weighted separately), not silently
+# diluting the prose quality stats.  Two cheap in-row signals agree
+# well enough for routing: the density of code-punctuation characters
+# ({}();=<>[]#) and hits on language-keyword markers with their
+# trailing-space/syntax context.  Thresholds: symbol density alone
+# above CODE_SYM_HI, or a lower density corroborated by >=2 keyword
+# markers.
+#
+# Scale shape: per-row length/regexp/contains columns — zero
+# exchanges, codegen'd; the marker list is a fixed literal chain, not
+# a UDF.
+
+CODE_SYM_HI = 0.08
+CODE_SYM_LO = 0.03
+_CODE_SYM_RE = r"[{}();=<>\[\]#]"
+_CODE_KEYWORDS = (
+    "def ",
+    "return ",
+    "import ",
+    "#include",
+    "function(",
+    "void ",
+    "public static",
+    "=> ",
+)
+
+
+def code_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sym_ratio, kw_hits, is_code): code-punctuation density
+    (6dp), keyword-marker hit count, and the routing verdict."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_sym = n_chars - F.length(F.regexp_replace(text, _CODE_SYM_RE, ""))
+    ratio = F.when(n_chars > 0, F.round(
+        n_sym.cast("double") / n_chars.cast("double"), 6
+    )).otherwise(F.lit(0.0))
+    kw = sum(
+        (text.contains(k).cast("int") for k in _CODE_KEYWORDS),
+        F.lit(0),
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        ratio.alias("sym_ratio"),
+        kw.alias("kw_hits"),
+        (
+            (ratio >= CODE_SYM_HI)
+            | ((ratio >= CODE_SYM_LO) & (kw >= 2))
+        ).alias("is_code"),
+    )
+
+
+def sql_code_detect(text_expr: str = "text") -> str:
+    kw = " + ".join(
+        f"CAST(contains({text_expr}, '{k.replace(chr(39), chr(39)*2)}') AS INTEGER)"
+        for k in _CODE_KEYWORDS
+    )
+    ratio = (
+        f"CASE WHEN length({text_expr}) > 0 THEN "
+        f"round(CAST(length({text_expr}) - length(regexp_replace("
+        f"{text_expr}, '{_CODE_SYM_RE}', '', 'g')) AS DOUBLE)"
+        f" / CAST(length({text_expr}) AS DOUBLE), 6) ELSE 0.0 END"
+    )
+    return f"""
+        WITH c AS (
+            SELECT doc_id, {ratio} AS sym_ratio, {kw} AS kw_hits
+            FROM documents
+        )
+        SELECT doc_id, sym_ratio, CAST(kw_hits AS INTEGER) AS kw_hits,
+               sym_ratio >= {CODE_SYM_HI}
+               OR (sym_ratio >= {CODE_SYM_LO} AND kw_hits >= 2) AS is_code
+        FROM c
+    """

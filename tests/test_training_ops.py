@@ -3611,3 +3611,205 @@ def test_shard_kl_hash_sharding_beats_content_sharding(spark):
     )
     r_p = shard_kl(polar, n_shards=2).collect()
     assert all(r.kl_nats > 0.5 for r in r_p)
+
+
+# ---------------------------------------------------------------------------
+# T149-T157 (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_is_rerun_stable_bottom_k(spark):
+    """T149: exactly k rows, identical across reruns, and they are
+    the k smallest seeded draws (not an order-dependent rand())."""
+    from ocr_spark.operators.corpus_ops import hash_sample
+    from ocr_spark.operators.dedup import _hash60
+
+    rows = [(i, "t", "en", f"s{i % 3}") for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    got1 = hash_sample(docs, k=10).collect()
+    got2 = hash_sample(docs.repartition(7), k=10).collect()
+    assert len(got1) == 10
+    assert [r.doc_id for r in got1] == [r.doc_id for r in got2]
+    all_draws = docs.select(
+        _hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+        .alias("d")
+    ).collect()
+    floor10 = sorted(r.d for r in all_draws)[:10]
+    assert sorted(r.draw for r in got1) == floor10
+
+
+def test_pack_sequences_conserves_and_flags_straddlers(spark):
+    """T150: per-sequence stats replay exactly against a driver-side
+    simulation of the same seeded concat-and-chunk layout."""
+    import hashlib
+
+    from ocr_spark.operators.corpus_ops import pack_sequences
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 40)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    budget, n_buckets = 64, 8
+    got = {
+        r.seq_id: r
+        for r in pack_sequences(
+            docs, budget=budget, n_buckets=n_buckets
+        ).collect()
+    }
+
+    def draw(i):
+        return int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:15], 16)
+
+    order = sorted(
+        rows, key=lambda r: (draw(r[0]) % n_buckets, draw(r[0]), r[0])
+    )
+    sim, start = {}, 0
+    for doc_id, text in order:
+        n_tok = len(text.split())
+        seq = start // budget
+        s = sim.setdefault(seq, [0, 0, 0])
+        s[0] += 1
+        s[1] += n_tok
+        s[2] += int(n_tok > 0 and (start + n_tok - 1) // budget > seq)
+        start += n_tok
+    assert {
+        k: (r.n_docs_started, r.n_tokens_started, r.n_straddlers)
+        for k, r in got.items()
+    } == {k: tuple(v) for k, v in sim.items()}
+
+
+def test_mixture_plan_quotas_sum_to_budget_and_cap_bites(spark):
+    """T151: largest-remainder targets sum exactly to the corpus
+    total; the tiny source exceeds the epoch cap and shows a deficit."""
+    from ocr_spark.operators.corpus_ops import mixture_plan
+
+    rows = [(i, "w " * 100, "big") for i in range(50)] + [
+        (100 + i, "w w w", "tiny") for i in range(2)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r.source: r for r in mixture_plan(docs, max_epochs=4).collect()}
+    total = sum(r.avail_tokens for r in got.values())
+    assert sum(r.target_tokens for r in got.values()) == total
+    assert got["tiny"].capped and got["tiny"].deficit > 0
+    assert got["tiny"].achieved_tokens == got["tiny"].avail_tokens * 4
+    assert not got["big"].capped and got["big"].deficit == 0
+
+
+def test_lang_rebalance_sqrt_temperature_lifts_tail(spark):
+    """T152: weights sum to 1; sqrt sampling boosts the tail language
+    above its raw share and demotes the head."""
+    from ocr_spark.operators.corpus_ops import lang_rebalance
+
+    rows = [(i, "en" if i < 90 else "sw") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    got = {r.lang: r for r in lang_rebalance(docs).collect()}
+    assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-5
+    assert got["sw"].boost > 1.0 > got["en"].boost
+    assert got["sw"].weight > got["sw"].raw_share
+    assert got["en"].weight < got["en"].raw_share
+
+
+def test_license_filter_priority_and_keep_set(spark):
+    """T153: explicit grant overrides all-rights-reserved boilerplate;
+    restricted docs are the only drops."""
+    from ocr_spark.operators.curation import license_filter
+
+    rows = [
+        (0, "Licensed under the Apache License, Version 2.0."),
+        (1, "All Rights Reserved. Contact legal."),
+        (2, "This work is CC-BY 4.0. All rights reserved otherwise."),
+        (3, "just some prose"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in license_filter(docs).collect()}
+    assert got[0].license == "permissive" and got[0].keep
+    assert got[1].license == "restricted" and not got[1].keep
+    assert got[2].license == "cc" and got[2].keep
+    assert got[3].license == "none" and got[3].keep
+
+
+def test_code_detect_routes_code_not_prose(spark):
+    """T154: symbol density alone, or lower density + 2 keyword
+    markers, flags code; plain prose never trips."""
+    from ocr_spark.operators.curation import code_detect
+
+    rows = [
+        (0, "def f(x):\n    return [x*2 for i in range(3)];\n# end {}"),
+        (1, "The quick brown fox jumps over the lazy dog again and again."),
+        (2, "import os\ndef main():\n    return compute(data, key=1)\n"
+            + "word " * 20),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in code_detect(docs).collect()}
+    assert got[0].is_code and got[0].sym_ratio >= 0.08
+    assert not got[1].is_code and got[1].kw_hits == 0
+    assert got[2].is_code and got[2].kw_hits >= 2
+
+
+def test_quality_calibration_dups_concentrate_in_low_deciles(spark):
+    """T155: decile partition is exhaustive and the planted duplicated
+    boilerplate (low type/token ratio) lands in the low-score deciles."""
+    from ocr_spark.operators.corpus_ops import quality_calibration
+
+    boiler = "click here click here click here click here"
+    rows = [(i, boiler) for i in range(30)] + [
+        (100 + i, " ".join(f"unique{i}w{j}" for j in range(10)))
+        for i in range(70)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(quality_calibration(docs).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in got] == list(range(1, 11))
+    assert sum(r.n_docs for r in got) == 100
+    assert sum(r.n_dups for r in got) == 30
+    # all 30 dups share one low score -> they fill deciles 1-3 exactly
+    assert sum(r.n_dups for r in got if r.decile <= 3) == 30
+    assert all(r.n_dups == 0 for r in got if r.decile > 3)
+
+
+def test_doc_outliers_median_mad_flags_mega_doc(spark):
+    """T156: exact med/MAD for a known set; only the planted
+    mega-page exceeds 3*1.4826*MAD."""
+    from ocr_spark.operators.corpus_ops import doc_outliers
+
+    lens = [100, 102, 104, 106, 108, 110, 10_000]
+    rows = [(i, "t", n) for i, n in enumerate(lens)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
+    r = doc_outliers(docs.withColumn("source", F.lit("s"))).collect()[0]
+    assert r.n_docs == 7 and r.med == 106.0
+    assert r.mad == 4.0  # |lens - 106| sorted: 0,2,2,4,4,6,9894 -> median 4
+    assert r.n_outliers == 1
+
+
+def test_centroid_shift_detects_planted_drift(spark):
+    """T157: identical snapshot halves -> zero shift, cosine 1; a
+    planted per-dim delta on the odd half -> l2 = delta*sqrt(dim)."""
+    from ocr_spark.operators.ann import centroid_shift
+
+    dim, delta = 4, 0.25
+    rows = []
+    for i in range(40):
+        base = [1.0, 2.0, -1.0, 0.5]
+        if i % 2 == 1 and i % 4 == 1:  # half the odd rows shifted up
+            vec = [x + 2 * delta for x in base]
+        elif i % 2 == 1:
+            vec = list(base)
+        else:
+            vec = list(base)
+        rows.append((i, vec, 7 if i < 20 else 8))
+    # label 7 and 8 both get the same planted pattern -> same shift
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in centroid_shift(emb).collect()}
+    import math
+
+    expect = delta * math.sqrt(dim)
+    for lab in (7, 8):
+        r = got[lab]
+        assert r.n_old == 10 and r.n_new == 10
+        assert abs(r.l2_shift - expect) < 1e-3
+        # exact geometry: cos((1,2,-1,.5), (1.25,2.25,-.75,.75)) ~ 0.9878
+        assert 0.985 < r.cos_sim < 0.99
