@@ -268,3 +268,61 @@ def test_zipf_slope_topn_not_global_sort(spark, entry_mod):
     df = entry_mod.queries()["zipf_slope"](spark, SF_DIR)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hash_sample_is_take_ordered(spark, entry_mod):
+    """T149: the bottom-k sample must compile to
+    TakeOrderedAndProject (per-task k-row heap, bounded driver merge)
+    — a global Sort would serialize the whole corpus through one
+    partition for a 100-row sample."""
+    df = entry_mod.queries()["hash_sample"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_license_and_code_detect_zero_exchange(spark, entry_mod):
+    """T153/T154: per-row classification columns must stay narrow —
+    zero Exchange, no UDF (literal contains()/regexp chains stay in
+    whole-stage codegen)."""
+    for name in ("license_filter", "code_detect"):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        plan = _plan(df)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_pack_sequences_no_global_window(spark, entry_mod):
+    """T150: the prefix sum must run as bucket-partitioned windows +
+    a broadcast offset join — a single-partition global window
+    (Exchange SinglePartition feeding the running sum over the whole
+    corpus) is the bottleneck the two-pass design removes."""
+    df = entry_mod.queries()["pack_sequences"](spark, SF_DIR)
+    plan = _plan(df)
+    # the only SinglePartition exchange allowed is the bounded
+    # PACK_BUCKETS-row offset table's window
+    import re
+
+    sp = [
+        m.start() for m in re.finditer(r"Exchange SinglePartition", plan)
+    ]
+    assert len(sp) <= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_centroid_shift_single_payload_shuffle(spark, entry_mod):
+    """T157: embeddings are posexploded and reduced by (label, dim)
+    with map-side combine — the plan must show partial aggregation
+    before its exchange and never shuffle raw vectors more than
+    once."""
+    df = entry_mod.queries()["centroid_shift"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial" in plan.lower() or "Partial" in plan
+    # label/dim agg + per-label fold: at most 2 hash-partition
+    # exchanges of keyed bigints, no sort-based aggregate
+    import re
+
+    ex = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(ex) <= 2
+    assert "SortAggregate" not in plan
