@@ -2671,6 +2671,51 @@ def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_shift(_t(spark, sf_dir, "embeddings"))
 
 
+def q_host_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T158: per-host language entropy + mixed-host flag — the MT-farm
+    / template-spam signal; micro-nat exact like T143, one
+    groupBy(host, lang) then a bounded per-host rollup."""
+    from ocr_spark.operators.webcorpus import host_lang_entropy
+
+    return host_lang_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T159: digit-ratio histogram — the corpus view that picks the
+    numeric-density cutoff (C4/Gopher symbol bounds); exact micro
+    ratios, zero-exchange row math + an 11-bin rollup."""
+    from ocr_spark.operators.corpus_ops import numeric_density
+
+    return numeric_density(_t(spark, sf_dir, "documents"))
+
+
+def q_dup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T160: clustering coefficient of the LSH candidate-pair graph —
+    decides whether component dedup over-merges; triangle join runs
+    over LSH-bounded EDGES, never the corpus."""
+    from ocr_spark.operators.dedup import dup_transitivity, neardup_corpus
+
+    return dup_transitivity(neardup_corpus(_tw(spark, sf_dir, "documents")))
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T161: Heaps'-law vocabulary growth curve at seeded-shuffle
+    decile checkpoints — tokenizer sizing + dedup health in one
+    picture; words shuffle once (min-draw), checkpoints broadcast."""
+    from ocr_spark.operators.corpus_ops import vocab_growth
+
+    return vocab_growth(_tw(spark, sf_dir, "documents"))
+
+
+def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T162: host-contribution Gini over token counts — the dataset
+    card's concentration number; bigint Lorenz numerator, rank window
+    over bounded host rows only."""
+    from ocr_spark.operators.webcorpus import source_gini
+
+    return source_gini(_tw(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2721,6 +2766,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "doc_outliers": q_doc_outliers,
         "centroid_shift": q_centroid_shift,
+        # --- unbanked (round-5 additions T158-T162) ---
+        "host_lang_entropy": q_host_lang_entropy,
+        "numeric_density": q_numeric_density,
+        "dup_transitivity": q_dup_transitivity,
+        "vocab_growth": q_vocab_growth,
+        "source_gini": q_source_gini,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver records a rows-only row)
         "pca_project": q_pca_project,
@@ -3329,6 +3380,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_calibration": _corpus_sql.sql_quality_calibration(),
         "doc_outliers": _corpus_sql.sql_doc_outliers(),
         "centroid_shift": _ann_sql.sql_centroid_shift(),
+        "host_lang_entropy": _webcorpus_sql.sql_host_lang_entropy(),
+        "numeric_density": _corpus_sql.sql_numeric_density(),
+        "dup_transitivity": _dedup_sql.sql_dup_transitivity(),
+        "vocab_growth": _corpus_sql.sql_vocab_growth(),
+        "source_gini": _webcorpus_sql.sql_source_gini(),
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "graph_health": _graph_sql.sql_graph_health(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),

@@ -3167,3 +3167,204 @@ def sql_doc_outliers(len_expr: str = "n_chars") -> str:
         FROM dev v JOIN mad m USING (source)
         GROUP BY v.source
     """
+
+
+# ---------------------------------------------------------------------------
+# T159 — numeric-density profile (digit-ratio histogram)
+# ---------------------------------------------------------------------------
+#
+# Price lists, sports tables, sensor dumps, and pagination boilerplate
+# are digit-dense; natural prose sits under ~5% digits.  The
+# digit-character ratio histogram is the corpus-level view quality
+# pipelines use to pick the numeric-density cutoff (C4 drops lines
+# that are mostly numbers; Gopher bounds the symbol ratio) — and the
+# per-bin averages verify a chosen threshold before it gates.
+#
+# Exactness: ratio in exact micro units (digits * 1e6 integer-divided
+# by chars, both bigint), binned by integer division; per-bin mean is
+# one exact bigint sum and a final double division.
+#
+# Scale shape: per-row length/regexp columns (zero exchange, codegen)
+# + one bounded groupBy over <= 11 bins.
+
+DIGIT_BINS = 10
+
+
+def numeric_density(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(bin, n_docs, avg_ratio): documents histogrammed by
+    digit-character ratio in DIGIT_BINS 10%-wide bins (bin = floor
+    share, capped at the last bin); per-bin mean ratio 6dp."""
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("bigint")
+    n_dig = (
+        n_chars - F.length(F.regexp_replace(text, r"[0-9]", "")).cast("bigint")
+    )
+    num = n_dig * 1_000_000
+    micro = F.when(n_chars > 0, (num - F.pmod(num, n_chars)) / n_chars).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    bin_ = F.least(
+        F.floor(micro / (1_000_000 / DIGIT_BINS)).cast("int"),
+        F.lit(DIGIT_BINS - 1),
+    )
+    return (
+        docs.select(bin_.alias("bin"), micro.alias("micro"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("micro").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1_000_000.0,
+                6,
+            ).alias("avg_ratio"),
+        )
+    )
+
+
+def sql_numeric_density(text_expr: str = "text") -> str:
+    width = 1_000_000 // DIGIT_BINS
+    return f"""
+        WITH d AS (
+            SELECT CASE WHEN length({text_expr}) > 0 THEN
+                       (CAST(length({text_expr})
+                             - length(regexp_replace({text_expr},
+                                                     '[0-9]', '', 'g'))
+                             AS BIGINT) * 1000000)
+                       // CAST(length({text_expr}) AS BIGINT)
+                   ELSE 0 END AS micro
+            FROM documents
+        )
+        SELECT CAST(least(micro // {width}, {DIGIT_BINS - 1}) AS INTEGER)
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(CAST(sum(micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     / 1000000.0, 6) AS avg_ratio
+        FROM d
+        GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# T161 — vocabulary growth curve (Heaps'-law checkpoints)
+# ---------------------------------------------------------------------------
+#
+# How fast the vocabulary grows as the corpus grows decides tokenizer
+# sizing and dedup health in one picture: Heaps' law says
+# types ~ K * tokens^beta with beta ~ 0.4-0.6 for natural text; a
+# too-flat curve means heavy duplication (new docs add no new words),
+# a too-steep one means noise/mojibake minting junk types.  The curve
+# is evaluated at DECILE checkpoints of the corpus in the seeded
+# deterministic shuffle order (T74's layout), so "the first 30% of
+# the corpus" means the same documents at any cluster size.
+#
+# Scale shape: the decile assignment sorts (draw, doc_id) pairs only;
+# each word shuffles once for its min-draw (first occurrence); the
+# checkpoint table is 10 broadcast rows, and the per-word checkpoint
+# probe is a bounded x10 broadcast join of 8-byte rows — no
+# corpus-sized doc->decile join anywhere.
+
+GROWTH_BUCKETS = 10
+
+
+def vocab_growth(
+    docs: DataFrame,
+    n_buckets: int = GROWTH_BUCKETS,
+    seed: str = "growth",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(decile, docs_cum, tokens_cum, types_cum): cumulative corpus
+    size and distinct-word count at seeded-shuffle-order decile
+    checkpoints — the Heaps'-law growth curve."""
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators.dedup import _hash60
+
+    key = F.col(key_col)
+    words = _words(F.col(text_col))
+    n_tok = F.size(F.filter(words, lambda w: w != "")).cast("bigint")
+    draw = _hash60(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    d = docs.select(
+        key.alias("doc_id"),
+        F.col(text_col).alias("text"),
+        n_tok.alias("n_tok"),
+        draw.alias("draw"),
+    )
+    wd = W.orderBy("draw", "doc_id")
+    deciled = d.withColumn("decile", F.ntile(n_buckets).over(wd))
+    per_dec = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_toks"),
+        F.max("draw").cast("bigint").alias("th"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_dec.select(
+        "decile",
+        F.sum("n_docs").over(wc).cast("bigint").alias("docs_cum"),
+        F.sum("n_toks").over(wc).cast("bigint").alias("tokens_cum"),
+        "th",
+    )
+    first = (
+        d.select("draw", F.explode(_words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.min("draw").alias("min_draw"))
+    )
+    types = (
+        first.join(
+            F.broadcast(cum.select("decile", "th")),
+            F.col("min_draw") <= F.col("th"),
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("types_cum"))
+    )
+    return (
+        cum.join(types, "decile")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "docs_cum",
+            "tokens_cum",
+            "types_cum",
+        )
+    )
+
+
+def sql_vocab_growth(
+    n_buckets: int = GROWTH_BUCKETS, seed: str = "growth"
+) -> str:
+    w = _sql_words("text")
+    draw = (
+        f"CAST('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 15) AS BIGINT)"
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(len(list_filter({w}, x -> x <> '')) AS BIGINT)
+                       AS n_tok,
+                   {draw} AS draw,
+                   ntile({n_buckets})
+                       OVER (ORDER BY {draw}, doc_id) AS decile
+            FROM documents
+        ),
+        cum AS (
+            SELECT decile,
+                   CAST(sum(count(*)) OVER (ORDER BY decile) AS BIGINT)
+                       AS docs_cum,
+                   CAST(sum(sum(n_tok)) OVER (ORDER BY decile) AS BIGINT)
+                       AS tokens_cum,
+                   max(draw) AS th
+            FROM d GROUP BY decile
+        ),
+        first AS (
+            SELECT wd AS w, min(draw) AS min_draw
+            FROM (SELECT draw, unnest({w}) AS wd FROM d)
+            WHERE wd <> '' GROUP BY wd
+        )
+        SELECT CAST(c.decile AS INTEGER) AS decile, c.docs_cum,
+               c.tokens_cum,
+               CAST(count(*) AS BIGINT) AS types_cum
+        FROM cum c JOIN first f ON f.min_draw <= c.th
+        GROUP BY c.decile, c.docs_cum, c.tokens_cum
+    """

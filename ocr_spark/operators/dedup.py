@@ -1015,3 +1015,101 @@ def sql_ngram_novelty(k: int = SHINGLE_K) -> str:
                    AS novelty
         FROM per
     """
+
+
+# ---------------------------------------------------------------------------
+# T160 — near-dup graph transitivity audit (global clustering coefficient)
+# ---------------------------------------------------------------------------
+#
+# Cluster-then-keep-one dedup (T29/T68) treats near-duplication as an
+# equivalence relation; real near-dup similarity is NOT transitive (A~B
+# and B~C at 0.8 Jaccard can leave A,C at 0.6), and how badly it fails
+# decides whether connected components over-merge.  The global
+# clustering coefficient of the LSH candidate-pair graph — 3*triangles
+# / open-triads — is the one-number audit: near 1.0 means clusters are
+# cliques (component dedup is safe), low values mean long chains are
+# fusing unrelated docs and the verify-stage threshold (T4/T134) must
+# gate membership instead.
+#
+# Scale shape: the pair list is LSH-bounded (only near-dups collide,
+# oversize buckets capped), so the triangle join runs over candidate
+# EDGES, never the corpus; triads come from one degree aggregation.
+# Integer counts, one final double division.
+
+
+def dup_transitivity(corpus: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, n_triangles, n_triads,
+    clustering_coeff): transitivity of the MinHash-LSH candidate-pair
+    graph over ``corpus`` (doc_id, text)."""
+    edges = minhash_candidate_pairs(corpus).select("doc_a", "doc_b")
+    deg = (
+        edges.select(F.col("doc_a").alias("v"))
+        .unionByName(edges.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    nodes_triads = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias(
+            "n_triads"
+        ),
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    m = nodes_triads.crossJoin(F.broadcast(tri)).crossJoin(
+        F.broadcast(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+    )
+    cc = F.when(
+        F.col("n_triads") > 0,
+        F.round(
+            3.0 * F.col("n_triangles").cast("double")
+            / F.col("n_triads").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "n_nodes", "n_edges", "n_triangles", "n_triads",
+        cc.alias("clustering_coeff"),
+    )
+
+
+def sql_dup_transitivity() -> str:
+    return f"""
+        WITH edges AS (
+            SELECT doc_a, doc_b FROM ({sql_minhash_pairs()})
+        ),
+        deg AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT doc_a AS v FROM edges
+                  UNION ALL SELECT doc_b AS v FROM edges)
+            GROUP BY v
+        ),
+        nt AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_triads
+            FROM deg
+        ),
+        tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.doc_b = e2.doc_a
+            JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        ),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+        SELECT n_nodes, n_edges, n_triangles, n_triads,
+               CASE WHEN n_triads > 0
+                    THEN round(3.0 * CAST(n_triangles AS DOUBLE)
+                               / CAST(n_triads AS DOUBLE), 6)
+                    ELSE 0.0 END AS clustering_coeff
+        FROM nt, tri, ne
+    """

@@ -3480,3 +3480,184 @@ def sql_budget_allocate(
                     AS BIGINT) AS quota
         FROM ranked
     """
+
+
+# ---------------------------------------------------------------------------
+# T158 — per-host language entropy (mixed-language host flag)
+# ---------------------------------------------------------------------------
+#
+# Machine-translation farms and scraped-content spam hosts serve the
+# same template in many languages; legitimate hosts are overwhelmingly
+# monolingual (or one dominant language plus a small remainder).  The
+# per-host language entropy — Shannon H over a host's language shares
+# — separates the two populations with one grouped count, and the
+# mixed flag (several languages, no 80% majority) is the cheap
+# host-level spam signal that complements T93's link-based score.
+#
+# Exactness: the same micro-nat integer entropy idiom as T143 — ln(c)
+# quantized to bigint micro-nats per (host, lang) cell, folded as
+# exact integer sums, one double division at the end — so the oracle
+# reproduces H bit-for-bit.
+#
+# Scale shape: groupBy(host, lang) with map-side combine (the shuffle
+# carries |hosts|×|langs| keyed counts), then a bounded per-host
+# rollup.  Nothing else moves.
+
+MIXED_MAJORITY = 0.8
+
+
+def host_lang_entropy(docs: DataFrame, host_col: str = "source") -> DataFrame:
+    """(host, n_docs, n_langs, entropy_nats, majority_share,
+    is_mixed): per-host language profile; mixed = >1 language and no
+    MIXED_MAJORITY share."""
+    from ocr_spark.operators.corpus_ops import _ENT_SCALE
+
+    cells = (
+        docs.select(F.col(host_col).alias("host"), "lang")
+        .groupBy("host", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lnc = F.round(F.log(F.col("c").cast("double")) * _ENT_SCALE).cast(
+        "bigint"
+    )
+    per = cells.groupBy("host").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum(F.col("c") * lnc).cast("bigint").alias("s"),
+        F.max("c").cast("bigint").alias("top_c"),
+    )
+    lnn = F.round(F.log(F.col("n_docs").cast("double")) * _ENT_SCALE).cast(
+        "bigint"
+    )
+    h = (
+        lnn.cast("double")
+        - F.col("s").cast("double") / F.col("n_docs").cast("double")
+    ) / F.lit(float(_ENT_SCALE))
+    maj = F.round(
+        F.col("top_c").cast("double") / F.col("n_docs").cast("double"), 6
+    )
+    return per.select(
+        "host",
+        "n_docs",
+        "n_langs",
+        F.round(h, 6).alias("entropy_nats"),
+        maj.alias("majority_share"),
+        ((F.col("n_langs") > 1) & (maj < MIXED_MAJORITY)).alias("is_mixed"),
+    )
+
+
+def sql_host_lang_entropy(host_expr: str = "source") -> str:
+    from ocr_spark.operators.corpus_ops import _ENT_SCALE
+
+    s = _ENT_SCALE
+    h = (
+        f"(CAST(CAST(round(ln(CAST(n_docs AS DOUBLE)) * {s}) AS BIGINT)"
+        f" AS DOUBLE) - CAST(w_s AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+        f" / {float(s)!r}"
+    )
+    return f"""
+        WITH cells AS (
+            SELECT {host_expr} AS host, lang,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY {host_expr}, lang
+        ),
+        per AS (
+            SELECT host,
+                   CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_langs,
+                   CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * {s})
+                                     AS BIGINT)) AS BIGINT) AS w_s,
+                   CAST(max(c) AS BIGINT) AS top_c
+            FROM cells GROUP BY host
+        )
+        SELECT host, n_docs, n_langs,
+               round({h}, 6) AS entropy_nats,
+               round(CAST(top_c AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                   AS majority_share,
+               n_langs > 1
+               AND round(CAST(top_c AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                   < {MIXED_MAJORITY} AS is_mixed
+        FROM per
+    """
+
+
+# ---------------------------------------------------------------------------
+# T162 — host-contribution Gini coefficient
+# ---------------------------------------------------------------------------
+#
+# The dataset card's one-number answer to "how concentrated is this
+# corpus?" — a Gini of 0 means every host contributes equally, near 1
+# means a handful of hosts dominate (and host capping / rebalancing
+# has work to do).  Complements T143's effective-hosts: Gini is the
+# standard inequality statistic reviewers ask for, and it weights the
+# whole Lorenz curve, not just the entropy summary.
+#
+# Exactness: with hosts ranked ascending by (tokens, host), the
+# numerator 2*sum(i*x_i) - (n+1)*sum(x_i) is pure bigint arithmetic;
+# one double division at the end, 6dp.  Deterministic tie-break by
+# host name keeps the rank sequence engine-identical (Gini itself is
+# tie-invariant, the guard is for the intermediate sums).
+#
+# Scale shape: one map-side-combined groupBy(host) over in-row token
+# counts; the rank window runs over the bounded per-host table only.
+
+
+def source_gini(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row (n_hosts, total_tokens, gini): token-contribution
+    inequality across hosts (Gini, 6dp)."""
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators.corpus_ops import _words
+
+    words = _words(F.col(text_col))
+    n_tok = F.size(F.filter(words, lambda w: w != "")).cast("bigint")
+    per = (
+        docs.select(F.col("source").alias("host"), n_tok.alias("n_tok"))
+        .groupBy("host")
+        .agg(F.sum("n_tok").cast("bigint").alias("x"))
+    )
+    w = W.orderBy("x", "host")
+    ranked = per.select("x", F.row_number().over(w).cast("bigint").alias("i"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    gini = (
+        (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("sx")).cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_hosts"),
+        F.col("sx").alias("total_tokens"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def sql_source_gini(text_expr: str = "text") -> str:
+    from ocr_spark.operators.corpus_ops import _sql_words
+
+    w = _sql_words(text_expr)
+    return f"""
+        WITH per AS (
+            SELECT source AS host,
+                   CAST(sum(len(list_filter({w}, x -> x <> '')))
+                        AS BIGINT) AS x
+            FROM documents GROUP BY source
+        ),
+        ranked AS (
+            SELECT x, CAST(row_number() OVER (ORDER BY x, host) AS BIGINT)
+                       AS i
+            FROM per
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(i * x) AS BIGINT) AS six
+            FROM ranked
+        )
+        SELECT n AS n_hosts, sx AS total_tokens,
+               round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                     / CAST(n * sx AS DOUBLE), 6) AS gini
+        FROM m
+    """

@@ -3813,3 +3813,118 @@ def test_centroid_shift_detects_planted_drift(spark):
         assert abs(r.l2_shift - expect) < 1e-3
         # exact geometry: cos((1,2,-1,.5), (1.25,2.25,-.75,.75)) ~ 0.9878
         assert 0.985 < r.cos_sim < 0.99
+
+
+# ---------------------------------------------------------------------------
+# T158-T162 (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_host_lang_entropy_flags_mt_farm(spark):
+    """T158: a monolingual host gets entropy 0 and no flag; an evenly
+    4-language host flags mixed with entropy ln(4)."""
+    import math
+
+    from ocr_spark.operators.webcorpus import host_lang_entropy
+
+    rows = [(i, "mono.com", "en") for i in range(20)] + [
+        (100 + i, "farm.com", ["en", "de", "fr", "es"][i % 4])
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, lang string")
+    got = {r.host: r for r in host_lang_entropy(docs).collect()}
+    assert got["mono.com"].entropy_nats == 0.0
+    assert not got["mono.com"].is_mixed
+    f = got["farm.com"]
+    assert f.n_langs == 4 and f.is_mixed
+    assert abs(f.entropy_nats - math.log(4)) < 1e-4
+    assert f.majority_share == 0.25
+
+
+def test_numeric_density_bins_and_exhaustive(spark):
+    """T159: pure prose lands in bin 0, an all-digit doc in the top
+    bin, a half-digit doc in bin 5; counts partition the corpus."""
+    from ocr_spark.operators.corpus_ops import numeric_density
+
+    rows = [
+        (0, "plain words only here"),
+        (1, "1234567890" * 3),
+        (2, "ab12" * 10),  # ratio 0.5 -> bin 5
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.bin: r for r in numeric_density(docs).collect()}
+    assert got[0].n_docs == 2  # prose + empty
+    assert got[9].n_docs == 1 and got[9].avg_ratio == 1.0
+    assert got[5].n_docs == 1 and got[5].avg_ratio == 0.5
+    assert sum(r.n_docs for r in got.values()) == 4
+
+
+def test_dup_transitivity_clique_vs_chain(spark):
+    """T160: planted original+mutant pairs alone give zero triangles;
+    a planted triplet (three mutual near-dups) closes triangles and
+    lifts the coefficient above 0."""
+    from ocr_spark.operators.dedup import dup_transitivity
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the deep green forest tonight")
+    rows = []
+    for i in range(3):  # a clique: three near-identical docs
+        rows.append((i, base + f" tail{i}"))
+    rows.append((10, "completely unrelated text about cooking pasta "
+                     "with garlic olive oil and fresh basil leaves today"))
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    r = dup_transitivity(corpus).collect()[0]
+    assert r.n_triangles >= 1
+    assert r.n_triads >= 3
+    assert 0 < r.clustering_coeff <= 1.0
+
+
+def test_vocab_growth_monotone_and_exact_totals(spark):
+    """T161: cumulative curves are monotone; the final checkpoint
+    equals the exact corpus totals; a duplicated corpus flattens the
+    types curve (later deciles add no new words)."""
+    from ocr_spark.operators.corpus_ops import vocab_growth
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(5)))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(vocab_growth(docs).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in got] == list(range(1, 11))
+    for a, b in zip(got, got[1:]):
+        assert b.docs_cum > a.docs_cum
+        assert b.tokens_cum > a.tokens_cum
+        assert b.types_cum >= a.types_cum
+    assert got[-1].docs_cum == 50
+    assert got[-1].tokens_cum == 250
+    assert got[-1].types_cum == 250  # all words unique
+
+    dup_rows = [(i, "same five words every single time") for i in range(50)]
+    dup_docs = spark.createDataFrame(dup_rows, "doc_id bigint, text string")
+    flat = sorted(vocab_growth(dup_docs).collect(), key=lambda r: r.decile)
+    assert flat[0].types_cum == 6 and flat[-1].types_cum == 6
+
+
+def test_source_gini_equal_vs_concentrated(spark):
+    """T162: equal hosts -> Gini 0; one host owning ~all tokens ->
+    Gini near (n-1)/n."""
+    from ocr_spark.operators.webcorpus import source_gini
+
+    equal = spark.createDataFrame(
+        [(i, "a b c d", f"h{i % 5}") for i in range(50)],
+        "doc_id bigint, text string, source string",
+    )
+    r = source_gini(equal).collect()[0]
+    assert r.n_hosts == 5 and r.gini == 0.0
+
+    skew_rows = [(0, "w " * 1000, "giant")] + [
+        (1 + i, "w", f"tiny{i}") for i in range(9)
+    ]
+    skew = spark.createDataFrame(
+        skew_rows, "doc_id bigint, text string, source string"
+    )
+    r = source_gini(skew).collect()[0]
+    assert r.n_hosts == 10
+    assert 0.85 < r.gini < 0.9  # ~ (n-1)/n with a sliver in the tail
