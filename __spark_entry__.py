@@ -2716,6 +2716,35 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_gini(_tw(spark, sf_dir, "documents"))
 
 
+def q_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T163: unigram Jensen-Shannon divergence between snapshot halves
+    — T111's drift tripwire one level deeper (topic/spam composition
+    moves word JSD before the language mix changes); single corpus
+    scan, micro-nat exact fold."""
+    from ocr_spark.operators.webcorpus import unigram_drift
+
+    return unigram_drift(_tw(spark, sf_dir, "documents"))
+
+
+def q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T164: Pearson r between type/token ratio and length — the
+    Herdan's-law trap audit (a TTR gate silently becomes a length
+    gate); exact bigint moment sums, one 5-sum aggregation."""
+    from ocr_spark.operators.corpus_ops import signal_correlation
+
+    return signal_correlation(_tw(spark, sf_dir, "documents"))
+
+
+def q_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T165: anisotropy audit — cosine histogram over deterministic
+    adjacent-id pairs (one pair per two vectors, no RNG, no quadratic
+    join); collapsed embeddings break every cosine threshold
+    downstream."""
+    from ocr_spark.operators.ann import cos_histogram
+
+    return cos_histogram(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2772,6 +2801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_transitivity": q_dup_transitivity,
         "vocab_growth": q_vocab_growth,
         "source_gini": q_source_gini,
+        # --- unbanked (round-5 additions T163-T165) ---
+        "unigram_drift": q_unigram_drift,
+        "signal_correlation": q_signal_correlation,
+        "cos_histogram": q_cos_histogram,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver records a rows-only row)
         "pca_project": q_pca_project,
@@ -3385,6 +3418,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_transitivity": _dedup_sql.sql_dup_transitivity(),
         "vocab_growth": _corpus_sql.sql_vocab_growth(),
         "source_gini": _webcorpus_sql.sql_source_gini(),
+        "unigram_drift": _webcorpus_sql.sql_unigram_drift(),
+        "signal_correlation": _corpus_sql.sql_signal_correlation(),
+        "cos_histogram": _ann_sql.sql_cos_histogram(),
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "graph_health": _graph_sql.sql_graph_health(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),

@@ -2137,3 +2137,80 @@ def sql_centroid_shift() -> str:
         FROM folded
         WHERE n_old > 0 AND n_new > 0
     """
+
+
+# ---------------------------------------------------------------------------
+# T165 — embedding anisotropy audit (deterministic-pair cosine histogram)
+# ---------------------------------------------------------------------------
+#
+# A healthy embedding space puts unrelated documents near cosine 0; a
+# collapsed (anisotropic) one squeezes everything into a narrow cone,
+# and every cosine-thresholded stage downstream — near-dup (T5),
+# SemDeDup (T51), contamination, hard negatives — silently loses its
+# discrimination.  The audit histograms the cosine of DETERMINISTIC
+# pseudo-random pairs: vector v pairs with v+1 for even v, which is
+# id-order "random" (ids carry no geometry), reproducible at any
+# cluster size, and exactly one pair per two vectors — no sampling
+# RNG, no quadratic blow-up.
+#
+# Exactness: cosines quantize to micro units before binning and
+# averaging (bigint sums, one double division), the T99/T106 idiom.
+#
+# Scale shape: one self-join on vec_id+1 — with both sides bucketed
+# or sorted by vec_id this is a co-located join; the histogram is a
+# ≤21-bin rollup.  Nothing quadratic anywhere.
+
+COS_BINS = 20
+
+
+def cos_histogram(emb: DataFrame) -> DataFrame:
+    """(bin, n_pairs, avg_cos): histogram of adjacent-pair cosines in
+    COS_BINS bins over [-1, 1]; per-bin mean cosine 6dp."""
+    left = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    right = emb.select(
+        (F.col("vec_id") - 1).alias("va"), F.col("embedding").alias("eb")
+    )
+    cosm = F.round(
+        cosine_col(F.col("ea"), F.col("eb")) * 1_000_000
+    ).cast("bigint")
+    width = 2_000_000 // COS_BINS
+    bin_ = F.least(
+        F.floor((cosm + 1_000_000) / width).cast("int"),
+        F.lit(COS_BINS - 1),
+    )
+    return (
+        left.join(right, "va")
+        .select(bin_.alias("bin"), cosm.alias("cosm"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("cosm").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1_000_000.0,
+                6,
+            ).alias("avg_cos"),
+        )
+    )
+
+
+def sql_cos_histogram() -> str:
+    width = 2_000_000 // COS_BINS
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+        WITH pairs AS (
+            SELECT CAST(round({cos} * 1000000) AS BIGINT) AS cosm
+            FROM embeddings a JOIN embeddings b
+              ON b.vec_id = a.vec_id + 1
+            WHERE a.vec_id % 2 = 0
+        )
+        SELECT CAST(least((cosm + 1000000) // {width}, {COS_BINS - 1})
+                    AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(sum(cosm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     / 1000000.0, 6) AS avg_cos
+        FROM pairs
+        GROUP BY 1
+    """

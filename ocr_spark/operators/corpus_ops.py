@@ -3368,3 +3368,123 @@ def sql_vocab_growth(
         FROM cum c JOIN first f ON f.min_draw <= c.th
         GROUP BY c.decile, c.docs_cum, c.tokens_cum
     """
+
+
+# ---------------------------------------------------------------------------
+# T164 — quality-signal correlation audit (Pearson r)
+# ---------------------------------------------------------------------------
+#
+# Every ensemble gate (T97) implicitly assumes its member signals add
+# information; a pair of signals correlated at |r| ~ 0.9 is one signal
+# voting twice.  The audit here correlates the type/token ratio with
+# document length — the canonical trap pair, since TTR mechanically
+# falls with length (Herdan's law) and a TTR gate silently becomes a
+# length gate.  Reported r tells the pipeline whether to residualize
+# (use T155's calibration per length band) before gating.
+#
+# Exactness: both signals quantize to exact integers (TTR in micro
+# units via integer division, length is already bigint); the five
+# moment sums are pure bigint folds, and r is formed from them in
+# doubles (products of sums overflow bigint at web scale, doubles are
+# deterministic).
+#
+# Scale shape: one (doc, word) count with map-side combine for the
+# TTR, a key-only join back to lengths, a single 5-sum aggregation.
+
+
+def signal_correlation(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """One row (n_docs, r): Pearson correlation between per-doc
+    type/token ratio (micro-exact) and document length, 6dp."""
+    key = F.col(key_col)
+    tw = docs.select(
+        key.alias("doc_id"), F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    per = (
+        tw.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        )
+    )
+    num = F.col("n_types") * 1_000_000
+    ttr = ((num - F.pmod(num, F.col("n_words"))) / F.col("n_words")).cast(
+        "bigint"
+    )
+    ab = docs.select(key.alias("doc_id"), F.col(len_col).cast("bigint").alias("b")).join(
+        per, "doc_id"
+    ).select(ttr.alias("a"), "b")
+    m = ab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+    )
+    n = F.col("n").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    cov = n * F.col("sab").cast("double") - sa * sb
+    va = n * F.col("saa").cast("double") - sa * sa
+    vb = n * F.col("sbb").cast("double") - sb * sb
+    r = F.when(
+        (va > 0) & (vb > 0), F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 6)
+    ).otherwise(F.lit(0.0))
+    return m.select(F.col("n").alias("n_docs"), r.alias("r"))
+
+
+def sql_signal_correlation(
+    text_expr: str = "text", len_expr: str = "n_chars"
+) -> str:
+    w = _sql_words(text_expr)
+    return f"""
+        WITH tw AS (
+            SELECT doc_id, wd AS word
+            FROM (SELECT doc_id, unnest({w}) AS wd FROM documents)
+            WHERE wd <> ''
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM (SELECT doc_id, word, count(*) AS c
+                  FROM tw GROUP BY doc_id, word)
+            GROUP BY doc_id
+        ),
+        ab AS (
+            SELECT (p.n_types * 1000000) // p.n_words AS a,
+                   CAST(d.{len_expr} AS BIGINT) AS b
+            FROM documents d JOIN per p USING (doc_id)
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(a) AS BIGINT) AS sa,
+                   CAST(sum(b) AS BIGINT) AS sb,
+                   CAST(sum(a * b) AS BIGINT) AS sab,
+                   CAST(sum(a * a) AS BIGINT) AS saa,
+                   CAST(sum(b * b) AS BIGINT) AS sbb
+            FROM ab
+        )
+        SELECT n AS n_docs,
+               CASE WHEN CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE)
+                         * CAST(sa AS DOUBLE) > 0
+                     AND CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE)
+                         * CAST(sb AS DOUBLE) > 0
+                    THEN round((CAST(n AS DOUBLE) * sab
+                                - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                               / (sqrt(CAST(n AS DOUBLE) * saa
+                                       - CAST(sa AS DOUBLE)
+                                         * CAST(sa AS DOUBLE))
+                                  * sqrt(CAST(n AS DOUBLE) * sbb
+                                         - CAST(sb AS DOUBLE)
+                                           * CAST(sb AS DOUBLE))), 6)
+                    ELSE 0.0 END AS r
+        FROM m
+    """

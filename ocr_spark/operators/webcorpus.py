@@ -3661,3 +3661,159 @@ def sql_source_gini(text_expr: str = "text") -> str:
                      / CAST(n * sx AS DOUBLE), 6) AS gini
         FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# T163 — unigram-distribution drift (Jensen-Shannon divergence)
+# ---------------------------------------------------------------------------
+#
+# T111 watches the language mixture drift between snapshots; this is
+# the same tripwire one level deeper — the word distribution itself.
+# A refresh that keeps the language mix but swaps topical composition
+# (breaking news, a new spam campaign, a crawler trap minting token
+# soup) moves unigram JS divergence first.  JSD over KL because it is
+# symmetric, bounded by ln 2, and defined when either side has
+# exclusive words.
+#
+# Exactness: the shard_kl idiom — every log term is quantized to
+# micro-nats (round(ln(x)*1e6) as BIGINT) before the per-word terms
+# (pure bigint products) are summed, so the fold is order-free and
+# engine-identical; mixture masses are formed in doubles from exact
+# counts (p/m = 2*cp*Nq / (cp*Nq + cq*Np)) to avoid bigint overflow
+# at web scale.
+#
+# Scale shape: ONE corpus scan (the new snapshot is a conditional
+# count, not a second read), one map-side-combined groupBy(word), a
+# broadcast 1-row totals join.  Only 8-byte counts shuffle.
+
+_JSD_LN2 = 693147  # round(ln(2) * 1e6)
+
+
+def unigram_drift(
+    docs: DataFrame,
+    new_pred: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """One row (n_words_old, n_words_new, n_types, jsd_nats): unigram
+    Jensen-Shannon divergence between the full corpus (old) and the
+    ``new_pred`` subset (default: doc_id % 7 != 0, the snapshot-diff
+    planting every drift op here uses)."""
+    if new_pred is None:
+        new_pred = F.col("doc_id") % 7 != 0
+    tw = docs.select(
+        new_pred.cast("bigint").alias("kept"),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+            )
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    wc = tw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cp"),
+        F.sum("kept").cast("bigint").alias("cq"),
+    )
+    totals = wc.agg(
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum("cq").cast("bigint").alias("nq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+
+    def _l(x: Column) -> Column:
+        return F.round(F.log(x) * 1_000_000).cast("bigint")
+
+    j = wc.join(F.broadcast(totals))
+    mix = _l(
+        F.col("cp").cast("double") * F.col("nq").cast("double")
+        + F.col("cq").cast("double") * F.col("np").cast("double")
+    )
+    term_p = F.col("cp") * (
+        F.lit(_JSD_LN2)
+        + _l(F.col("cp").cast("double"))
+        + _l(F.col("nq").cast("double"))
+        - mix
+    )
+    term_q = F.when(
+        F.col("cq") > 0,
+        F.col("cq")
+        * (
+            F.lit(_JSD_LN2)
+            + _l(F.col("cq").cast("double"))
+            + _l(F.col("np").cast("double"))
+            - mix
+        ),
+    ).otherwise(F.lit(0))
+    agg = j.agg(
+        F.max("np").alias("n_words_old"),
+        F.max("nq").alias("n_words_new"),
+        F.max("n_types").alias("n_types"),
+        F.sum(term_p).cast("bigint").alias("klp_unats"),
+        F.sum(term_q).cast("bigint").alias("klq_unats"),
+    )
+    jsd = 0.5 * (
+        F.col("klp_unats").cast("double") / F.col("n_words_old").cast("double")
+        + F.col("klq_unats").cast("double")
+        / F.col("n_words_new").cast("double")
+    ) / 1_000_000.0
+    return agg.select(
+        "n_words_old",
+        "n_words_new",
+        "n_types",
+        F.round(jsd, 6).alias("jsd_nats"),
+    )
+
+
+def sql_unigram_drift(
+    new_pred: str = "doc_id % 7 <> 0", text_expr: str = "text"
+) -> str:
+    from ocr_spark.operators.corpus_ops import _sql_words
+
+    w = _sql_words(text_expr)
+
+    def l(x: str) -> str:  # noqa: E743
+        return f"CAST(round(ln({x}) * 1000000) AS BIGINT)"
+
+    mix = l(
+        "CAST(cp AS DOUBLE) * CAST(nq AS DOUBLE)"
+        " + CAST(cq AS DOUBLE) * CAST(np AS DOUBLE)"
+    )
+    return f"""
+        WITH tw AS (
+            SELECT CASE WHEN {new_pred} THEN 1 ELSE 0 END AS kept,
+                   wd AS word
+            FROM (SELECT doc_id, unnest({w}) AS wd FROM documents)
+            WHERE wd <> ''
+        ),
+        wc AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS cp,
+                   CAST(sum(kept) AS BIGINT) AS cq
+            FROM tw GROUP BY word
+        ),
+        totals AS (
+            SELECT CAST(sum(cp) AS BIGINT) AS np,
+                   CAST(sum(cq) AS BIGINT) AS nq,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM wc
+        ),
+        agg AS (
+            SELECT max(np) AS n_words_old, max(nq) AS n_words_new,
+                   max(n_types) AS n_types,
+                   CAST(sum(cp * ({_JSD_LN2}
+                                  + {l('CAST(cp AS DOUBLE)')}
+                                  + {l('CAST(nq AS DOUBLE)')}
+                                  - {mix})) AS BIGINT) AS klp_unats,
+                   CAST(sum(CASE WHEN cq > 0 THEN
+                            cq * ({_JSD_LN2}
+                                  + {l('CAST(cq AS DOUBLE)')}
+                                  + {l('CAST(np AS DOUBLE)')}
+                                  - {mix})
+                            ELSE 0 END) AS BIGINT) AS klq_unats
+            FROM wc, totals
+        )
+        SELECT n_words_old, n_words_new, n_types,
+               round(0.5 * (CAST(klp_unats AS DOUBLE)
+                            / CAST(n_words_old AS DOUBLE)
+                            + CAST(klq_unats AS DOUBLE)
+                            / CAST(n_words_new AS DOUBLE))
+                     / 1000000.0, 6) AS jsd_nats
+        FROM agg
+    """

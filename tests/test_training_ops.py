@@ -3928,3 +3928,83 @@ def test_source_gini_equal_vs_concentrated(spark):
     r = source_gini(skew).collect()[0]
     assert r.n_hosts == 10
     assert 0.85 < r.gini < 0.9  # ~ (n-1)/n with a sliver in the tail
+
+
+# ---------------------------------------------------------------------------
+# T163-T165 (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_drift_zero_for_identical_positive_for_shift(spark):
+    """T163: new==old gives JSD 0; replacing the kept half's words
+    entirely gives a large positive JSD bounded by ln 2."""
+    import math
+
+    from ocr_spark.operators.webcorpus import unigram_drift
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(14)],
+        "doc_id bigint, text string",
+    )
+    r = unigram_drift(same).collect()[0]
+    # identical distributions: zero up to micro-nat quantization residue
+    assert r.jsd_nats <= 2e-6
+
+    # kept docs (doc_id % 7 != 0) say only "zzz", dropped say "aaa":
+    # old = mixed, new = pure zzz -> substantial divergence
+    shifted = spark.createDataFrame(
+        [(i, "zzz" if i % 7 != 0 else "aaa aaa aaa aaa aaa aaa")
+         for i in range(14)],
+        "doc_id bigint, text string",
+    )
+    r = shifted.transform(unigram_drift).collect()[0]
+    assert 0.0 < r.jsd_nats <= math.log(2) + 1e-6
+    assert r.jsd_nats > 0.2
+
+
+def test_signal_correlation_detects_planted_linear_signal(spark):
+    """T164: texts built so TTR falls exactly with length give r near
+    -1; constant TTR across lengths gives r near 0."""
+    from ocr_spark.operators.corpus_ops import signal_correlation
+
+    # longer docs repeat one word more -> types fixed, words grow
+    rows = [
+        (i, " ".join(["fix"] * (5 + 10 * i) + ["a", "b", "c"]),
+         5 + 10 * i)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint")
+    r = signal_correlation(docs).collect()[0]
+    assert r.n_docs == 20
+    # TTR ~ 3/(n_words): hyperbolic in length, so Pearson on the raw
+    # pair is strongly negative but not -1
+    assert r.r < -0.6
+
+    flat = spark.createDataFrame(
+        [(i, "a b c d", 100 + (i * 37) % 50) for i in range(20)],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    r = signal_correlation(flat).collect()[0]
+    assert r.r == 0.0  # TTR variance is zero -> guarded to 0
+
+
+def test_cos_histogram_separates_aligned_from_orthogonal(spark):
+    """T165: planted pairs — identical vectors land in the top bin
+    with avg_cos 1.0, orthogonal ones in the middle bin with 0.0;
+    exactly one pair per two vectors."""
+    from ocr_spark.operators.ann import cos_histogram
+
+    rows = []
+    for i in range(0, 20, 2):  # identical pairs
+        rows.append((i, [1.0, 0.0, 0.0, 0.0], 0))
+        rows.append((i + 1, [1.0, 0.0, 0.0, 0.0], 0))
+    for i in range(20, 40, 2):  # orthogonal pairs
+        rows.append((i, [1.0, 0.0, 0.0, 0.0], 0))
+        rows.append((i + 1, [0.0, 1.0, 0.0, 0.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.bin: r for r in cos_histogram(emb).collect()}
+    assert got[19].n_pairs == 10 and got[19].avg_cos == 1.0
+    assert got[10].n_pairs == 10 and got[10].avg_cos == 0.0
+    assert sum(r.n_pairs for r in got.values()) == 20
