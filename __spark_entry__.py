@@ -2745,6 +2745,34 @@ def q_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cos_histogram(_t(spark, sf_dir, "embeddings"))
 
 
+def q_residue_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T166: per-host markup-residue rate — the extraction-regression
+    tripwire (failures are template-correlated, so the host rate
+    jumps while the corpus average barely moves); zero-exchange row
+    scans + one grouped rollup."""
+    from ocr_spark.operators.curation import residue_audit
+
+    return residue_audit(_t(spark, sf_dir, "documents"))
+
+
+def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T167: context-window fit + truncation-loss profile per source —
+    the one-scan table behind context-length and packing policy;
+    conditional sums for every limit at once."""
+    from ocr_spark.operators.corpus_ops import context_fit
+
+    return context_fit(_tw(spark, sf_dir, "documents"))
+
+
+def q_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T168: templated-intro share per host — CMS boilerplate gives
+    thousands of docs one first paragraph while tails dodge whole-doc
+    dedup; only 16-byte prefix hashes shuffle."""
+    from ocr_spark.operators.curation import prefix_dup
+
+    return prefix_dup(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2805,6 +2833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_drift": q_unigram_drift,
         "signal_correlation": q_signal_correlation,
         "cos_histogram": q_cos_histogram,
+        # --- unbanked (round-5 additions T166-T168) ---
+        "residue_audit": q_residue_audit,
+        "context_fit": q_context_fit,
+        "prefix_dup": q_prefix_dup,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver records a rows-only row)
         "pca_project": q_pca_project,
@@ -3421,6 +3453,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_drift": _webcorpus_sql.sql_unigram_drift(),
         "signal_correlation": _corpus_sql.sql_signal_correlation(),
         "cos_histogram": _ann_sql.sql_cos_histogram(),
+        "residue_audit": _curation_sql.sql_residue_audit(),
+        "context_fit": _corpus_sql.sql_context_fit(),
+        "prefix_dup": _curation_sql.sql_prefix_dup(),
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "graph_health": _graph_sql.sql_graph_health(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),

@@ -3488,3 +3488,96 @@ def sql_signal_correlation(
                     ELSE 0.0 END AS r
         FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# T167 — context-window fit profile
+# ---------------------------------------------------------------------------
+#
+# Before committing to a context length (and to T150's packing
+# policy), the pipeline wants the one-table answer to "what share of
+# each source fits in 1k/4k/16k tokens, and how many tokens would
+# truncation at each limit discard?"  Truncation loss is the number
+# that matters: a source can be 95% short docs while its token MASS
+# lives in the 5% that get cut.
+#
+# Scale shape: in-row token count (zero exchange) + one map-side-
+# combined groupBy(source) of conditional sums — a single scan
+# producing every limit's fit share and truncation loss at once.
+
+CONTEXT_LIMITS = (1024, 4096, 16384)
+
+
+def context_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, n_docs, total_tokens, fit_1k, fit_4k, fit_16k,
+    loss_1k, loss_4k, loss_16k): per-source share of docs within each
+    token limit (6dp) and the token share truncation would discard."""
+    words = _words(F.col(text_col))
+    n_tok = F.size(F.filter(words, lambda w: w != "")).cast("bigint")
+    d = docs.select(F.col("source"), n_tok.alias("n_tok"))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    ]
+    for lim, tag in zip(CONTEXT_LIMITS, ("1k", "4k", "16k")):
+        aggs.append(
+            F.sum((F.col("n_tok") <= lim).cast("bigint"))
+            .cast("bigint")
+            .alias(f"fit_n_{tag}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("n_tok") > lim, F.col("n_tok") - lim).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias(f"loss_n_{tag}")
+        )
+    per = d.groupBy("source").agg(*aggs)
+    cols = [F.col("source"), F.col("n_docs"), F.col("total_tokens")]
+    for tag in ("1k", "4k", "16k"):
+        cols.append(
+            F.round(
+                F.col(f"fit_n_{tag}").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias(f"fit_{tag}")
+        )
+    for tag in ("1k", "4k", "16k"):
+        cols.append(
+            F.round(
+                F.col(f"loss_n_{tag}").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias(f"loss_{tag}")
+        )
+    return per.select(*cols)
+
+
+def sql_context_fit(text_expr: str = "text") -> str:
+    w = _sql_words(text_expr)
+    fit_cols, loss_cols = [], []
+    for lim, tag in zip(CONTEXT_LIMITS, ("1k", "4k", "16k")):
+        fit_cols.append(
+            f"round(CAST(sum(CASE WHEN n_tok <= {lim} THEN 1 ELSE 0 END)"
+            f" AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fit_{tag}"
+        )
+        loss_cols.append(
+            f"round(CAST(sum(CASE WHEN n_tok > {lim} THEN n_tok - {lim}"
+            f" ELSE 0 END) AS DOUBLE)"
+            f" / CAST(sum(n_tok) AS DOUBLE), 6) AS loss_{tag}"
+        )
+    return f"""
+        WITH d AS (
+            SELECT source,
+                   CAST(len(list_filter({w}, x -> x <> '')) AS BIGINT)
+                       AS n_tok
+            FROM documents
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               {', '.join(fit_cols)},
+               {', '.join(loss_cols)}
+        FROM d GROUP BY source
+    """

@@ -1666,3 +1666,161 @@ def sql_code_detect(text_expr: str = "text") -> str:
                OR (sym_ratio >= {CODE_SYM_LO} AND kw_hits >= 2) AS is_code
         FROM c
     """
+
+
+# ---------------------------------------------------------------------------
+# T166 — extraction-residue audit (markup leftovers per host)
+# ---------------------------------------------------------------------------
+#
+# The flagship extractor's output contract is clean text; the cheapest
+# regression tripwire for it (or for any upstream extractor whose
+# output lands in `text`) is counting documents that still carry
+# markup residue — tag fragments, unresolved character entities, CSS
+# braces.  Grouped per host because extraction failures are template-
+# correlated: one host's new page layout breaks the boilerplate
+# heuristics for every page it serves, and the per-host residue rate
+# jumps while the corpus average barely moves.
+#
+# Scale shape: three per-row regexp/contains columns (zero exchange,
+# codegen) + one map-side-combined groupBy(host).
+
+_TAG_RE = r"<[a-zA-Z/][^>]*>"
+_ENTITY_RE = r"&[a-zA-Z]{2,8};|&#[0-9]{1,6};"
+
+
+def residue_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(host, n_docs, n_tag, n_entity, n_css, residue_rate): per-host
+    counts of docs with tag fragments / unresolved entities / CSS-ish
+    brace runs, and the any-residue doc rate (6dp)."""
+    text = F.col(text_col)
+    has_tag = (F.length(F.regexp_extract(text, _TAG_RE, 0)) > 0).cast(
+        "bigint"
+    )
+    has_ent = (F.length(F.regexp_extract(text, _ENTITY_RE, 0)) > 0).cast(
+        "bigint"
+    )
+    has_css = (
+        text.contains("{") & text.contains("}") & text.contains(":")
+    ).cast("bigint")
+    any_res = F.greatest(has_tag, has_ent, has_css)
+    return (
+        docs.select(
+            F.col("source").alias("host"),
+            has_tag.alias("t"),
+            has_ent.alias("e"),
+            has_css.alias("c"),
+            any_res.alias("a"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("n_tag"),
+            F.sum("e").cast("bigint").alias("n_entity"),
+            F.sum("c").cast("bigint").alias("n_css"),
+            F.round(
+                F.sum("a").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("residue_rate"),
+        )
+    )
+
+
+def sql_residue_audit(text_expr: str = "text") -> str:
+    tag = f"CASE WHEN regexp_matches({text_expr}, '{_TAG_RE}') THEN 1 ELSE 0 END"
+    ent = (
+        f"CASE WHEN regexp_matches({text_expr}, '{_ENTITY_RE}')"
+        " THEN 1 ELSE 0 END"
+    )
+    css = (
+        f"CASE WHEN contains({text_expr}, '{{') AND contains({text_expr}, '}}')"
+        f" AND contains({text_expr}, ':') THEN 1 ELSE 0 END"
+    )
+    return f"""
+        WITH d AS (
+            SELECT source AS host, {tag} AS t, {ent} AS e, {css} AS c,
+                   greatest({tag}, {ent}, {css}) AS a
+            FROM documents
+        )
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(t) AS BIGINT) AS n_tag,
+               CAST(sum(e) AS BIGINT) AS n_entity,
+               CAST(sum(c) AS BIGINT) AS n_css,
+               round(CAST(sum(a) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS residue_rate
+        FROM d GROUP BY host
+    """
+
+
+# ---------------------------------------------------------------------------
+# T168 — templated-intro share (prefix duplication per host)
+# ---------------------------------------------------------------------------
+#
+# Template farms and CMS boilerplate give thousands of documents the
+# SAME first paragraph while the tails differ enough to dodge
+# whole-document dedup; line-level (T131) and chunk-level (T25)
+# scrubs catch repeated content anywhere, but the prefix-specific
+# view answers the curation question directly — "how much of this
+# host is one intro template?" — and names the template by its hash
+# count.  Exact md5 over the whitespace-normalized first PREFIX_CHARS
+# characters; a prefix shorter than MIN_PREFIX chars can't be a
+# meaningful template and is ignored.
+#
+# Scale shape: one per-row hash column, groupBy(host, prefix-hash)
+# with map-side combine, then a bounded per-host rollup.  Only 16-byte
+# hash keys shuffle, never text.
+
+PREFIX_CHARS = 64
+MIN_PREFIX = 32
+
+
+def prefix_dup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(host, n_docs, n_templates, templated_docs, templated_share):
+    per-host duplicated-intro profile — a template is a normalized
+    PREFIX_CHARS-char prefix shared by >= 2 docs."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    eligible = F.length(norm) >= MIN_PREFIX
+    fp = F.md5(F.substring(norm, 1, PREFIX_CHARS))
+    per_tpl = (
+        docs.filter(eligible)
+        .select(F.col("source").alias("host"), fp.alias("fp"))
+        .groupBy("host", "fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return per_tpl.groupBy("host").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum((F.col("c") >= 2).cast("bigint")).cast("bigint").alias(
+            "n_templates"
+        ),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("templated_docs"),
+        F.round(
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("templated_share"),
+    )
+
+
+def sql_prefix_dup(text_expr: str = "text") -> str:
+    norm = f"regexp_replace(trim({text_expr}), '\\s+', ' ', 'g')"
+    return f"""
+        WITH per_tpl AS (
+            SELECT source AS host,
+                   md5(substr({norm}, 1, {PREFIX_CHARS})) AS fp,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM documents
+            WHERE length({norm}) >= {MIN_PREFIX}
+            GROUP BY source, md5(substr({norm}, 1, {PREFIX_CHARS}))
+        )
+        SELECT host, CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_templates,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS templated_docs,
+               round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(c) AS DOUBLE), 6) AS templated_share
+        FROM per_tpl GROUP BY host
+    """

@@ -4008,3 +4008,74 @@ def test_cos_histogram_separates_aligned_from_orthogonal(spark):
     assert got[19].n_pairs == 10 and got[19].avg_cos == 1.0
     assert got[10].n_pairs == 10 and got[10].avg_cos == 0.0
     assert sum(r.n_pairs for r in got.values()) == 20
+
+
+# ---------------------------------------------------------------------------
+# T166-T168 (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_residue_audit_flags_markup_leftovers(spark):
+    """T166: tag fragments, unresolved entities, and CSS braces each
+    count; clean prose hosts show rate 0."""
+    from ocr_spark.operators.curation import residue_audit
+
+    rows = [
+        (0, "clean extracted prose with nothing left", "good.com"),
+        (1, "leftover <div class='x'> fragment here", "bad.com"),
+        (2, "unresolved &nbsp; entity and &#8217; too", "bad.com"),
+        (3, "body { color: red } stylesheet residue", "bad.com"),
+        (4, "perfectly clean text again", "bad.com"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r.host: r for r in residue_audit(docs).collect()}
+    assert got["good.com"].residue_rate == 0.0
+    b = got["bad.com"]
+    assert b.n_tag == 1 and b.n_entity == 1 and b.n_css == 1
+    assert b.residue_rate == 0.75
+
+
+def test_context_fit_shares_and_truncation_loss(spark):
+    """T167: fit shares count docs within each limit; loss is the
+    exact token mass beyond it."""
+    from ocr_spark.operators.corpus_ops import context_fit
+
+    rows = [
+        (0, " ".join(["w"] * 100), "s"),     # fits all
+        (1, " ".join(["w"] * 2000), "s"),    # fits 4k/16k, loses 976 at 1k
+        (2, " ".join(["w"] * 5000), "s"),    # fits 16k only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    r = context_fit(docs).collect()[0]
+    total = 7100
+    assert r.n_docs == 3 and r.total_tokens == total
+    assert r.fit_1k == round(1 / 3, 6)
+    assert r.fit_4k == round(2 / 3, 6)
+    assert r.fit_16k == 1.0
+    assert r.loss_1k == round(((2000 - 1024) + (5000 - 1024)) / total, 6)
+    assert r.loss_4k == round((5000 - 4096) / total, 6)
+    assert r.loss_16k == 0.0
+
+
+def test_prefix_dup_counts_intro_templates(spark):
+    """T168: docs sharing a normalized 64-char intro form one
+    template; short docs are ignored; unique intros don't count."""
+    from ocr_spark.operators.curation import prefix_dup
+
+    intro = ("Welcome to our site where we share the very best daily "
+             "deals and offers for you")
+    rows = [
+        (0, intro + " about shoes and leather boots", "farm.com"),
+        (1, intro + " about kitchen appliances today", "farm.com"),
+        (2, intro + " about garden furniture sales!!", "farm.com"),
+        (3, "a completely distinct long opening paragraph that no one "
+            "else shares at all on this host", "farm.com"),
+        (4, "tiny", "farm.com"),  # below MIN_PREFIX -> ignored
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    r = prefix_dup(docs).collect()[0]
+    assert r.host == "farm.com"
+    assert r.n_docs == 4  # the tiny doc is excluded
+    assert r.n_templates == 1
+    assert r.templated_docs == 3
+    assert r.templated_share == 0.75
