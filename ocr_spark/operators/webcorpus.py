@@ -3712,6 +3712,12 @@ def unigram_drift(
         F.count(F.lit(1)).cast("bigint").alias("cp"),
         F.sum("kept").cast("bigint").alias("cq"),
     )
+    # wc feeds BOTH the totals row and the per-word fold; without a
+    # barrier Spark re-derives the whole corpus scan + word shuffle for
+    # each use (2x the dominant cost at 10^12 rows).  A lazy
+    # localCheckpoint materializes the bounded vocab table once — the
+    # triangle-count / PageRank lesson applied here.
+    wc = wc.localCheckpoint(eager=False)
     totals = wc.agg(
         F.sum("cp").cast("bigint").alias("np"),
         F.sum("cq").cast("bigint").alias("nq"),

@@ -326,3 +326,50 @@ def test_centroid_shift_single_payload_shuffle(spark, entry_mod):
     ex = re.findall(r"Exchange hashpartitioning", plan)
     assert len(ex) <= 2
     assert "SortAggregate" not in plan
+
+
+def test_row_audit_ops_single_exchange(spark, entry_mod):
+    """T158/T159/T166/T167: per-row flag/ratio columns + one grouped
+    rollup must compile to exactly the aggregation exchanges and no
+    Python eval — these are the scan-cost passes that run first at
+    10^12 rows."""
+    import re
+
+    for name, max_ex in (
+        ("numeric_density", 1),
+        ("residue_audit", 1),
+        ("context_fit", 1),
+        ("host_lang_entropy", 2),  # (host, lang) agg + per-host rollup
+    ):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        plan = _plan(df)
+        ex = re.findall(r"Exchange hashpartitioning", plan)
+        assert len(ex) <= max_ex, (name, len(ex))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_cos_histogram_no_cartesian(spark, entry_mod):
+    """T165: the adjacent-pair join must stay an equi-join — a
+    BroadcastNestedLoopJoin/cartesian would mean the deterministic
+    one-pair-per-two-vectors contract silently became all-pairs."""
+    df = entry_mod.queries()["cos_histogram"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_drift_single_corpus_scan(spark, entry_mod):
+    """T163: old and new snapshot counts come from ONE conditional-
+    aggregation scan, and the vocab table feeding both the totals row
+    and the per-word fold is checkpoint-materialized — without the
+    barrier Spark re-derives the corpus scan + word shuffle for each
+    use (2 parquet scans), doubling the dominant cost at 10^12 rows."""
+    df = entry_mod.queries()["unigram_drift"](spark, SF_DIR)
+    plan = _plan(df)
+    import re
+
+    # the corpus scan lives inside the (already-run) checkpoint job;
+    # the final plan must read the materialized vocab, not re-derive
+    assert len(re.findall(r"Scan parquet", plan)) == 0
+    assert len(re.findall(r"Scan ExistingRDD", plan)) == 2
