@@ -2773,6 +2773,33 @@ def q_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dup(_t(spark, sf_dir, "documents"))
 
 
+def q_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T169: cross-host content overlap (mirror/re-host detection) —
+    host-scoped dedup never sees it; fingerprint-grouped pair
+    expansion with a boilerplate cap, only 16-byte hashes shuffle."""
+    from ocr_spark.operators.webcorpus import mirror_detect
+
+    return mirror_detect(_t(spark, sf_dir, "documents"))
+
+
+def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T170: word-length histogram — the pre-BPE byte-budget view and
+    the URL-soup/unsegmented-CJK tail detector; (tiny-int, count)
+    pairs shuffle, nothing else."""
+    from ocr_spark.operators.corpus_ops import token_len_histogram
+
+    return token_len_histogram(_tw(spark, sf_dir, "documents"))
+
+
+def q_list_page_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T171: per-host list/nav-page share — short-line stacks poison
+    LM training but pass word-level quality rules; zero-exchange
+    higher-order list math + one grouped rollup."""
+    from ocr_spark.operators.curation import list_page_detect
+
+    return list_page_detect(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2837,6 +2864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "residue_audit": q_residue_audit,
         "context_fit": q_context_fit,
         "prefix_dup": q_prefix_dup,
+        # --- unbanked (round-5 additions T169-T171) ---
+        "mirror_detect": q_mirror_detect,
+        "token_len_histogram": q_token_len_histogram,
+        "list_page_detect": q_list_page_detect,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver records a rows-only row)
         "pca_project": q_pca_project,
@@ -3456,6 +3487,9 @@ def oracle_sql() -> dict[str, str]:
         "residue_audit": _curation_sql.sql_residue_audit(),
         "context_fit": _corpus_sql.sql_context_fit(),
         "prefix_dup": _curation_sql.sql_prefix_dup(),
+        "mirror_detect": _webcorpus_sql.sql_mirror_detect(),
+        "token_len_histogram": _corpus_sql.sql_token_len_histogram(),
+        "list_page_detect": _curation_sql.sql_list_page_detect(),
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "graph_health": _graph_sql.sql_graph_health(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),

@@ -3581,3 +3581,65 @@ def sql_context_fit(text_expr: str = "text") -> str:
                {', '.join(loss_cols)}
         FROM d GROUP BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# T170 — word-length histogram (tokenizer byte-budget profile)
+# ---------------------------------------------------------------------------
+#
+# BPE vocabulary sizing starts from the word-length distribution: the
+# share of long words bounds how much a merge budget can compress
+# (T81 measures fertility AFTER training; this is the pre-training
+# view), and a heavy tail of 20+-char "words" is the URL-soup /
+# mojibake / CJK-unsegmented signature worth catching before the
+# tokenizer ever trains.
+#
+# Scale shape: one explode + map-side-combined groupBy over ≤ CAP
+# integer bins; only (tiny-int, count) pairs shuffle.
+
+WORD_LEN_CAP = 20
+
+
+def token_len_histogram(
+    docs: DataFrame, cap: int = WORD_LEN_CAP, text_col: str = "text"
+) -> DataFrame:
+    """(len_bin, n_words, share): word-length histogram with lengths
+    >= cap collapsed into the cap bin; share 6dp."""
+    from pyspark.sql import Window as W
+
+    tw = docs.select(
+        F.explode(_words(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    bin_ = F.least(F.length("w"), F.lit(cap)).cast("int")
+    per = tw.select(bin_.alias("len_bin")).groupBy("len_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words")
+    )
+    total = F.sum("n_words").over(W.partitionBy())
+    return per.select(
+        "len_bin",
+        "n_words",
+        F.round(
+            F.col("n_words").cast("double") / total.cast("double"), 6
+        ).alias("share"),
+    )
+
+
+def sql_token_len_histogram(
+    cap: int = WORD_LEN_CAP, text_expr: str = "text"
+) -> str:
+    w = _sql_words(text_expr)
+    return f"""
+        WITH tw AS (
+            SELECT wd FROM (SELECT unnest({w}) AS wd FROM documents)
+            WHERE wd <> ''
+        ),
+        per AS (
+            SELECT CAST(least(length(wd), {cap}) AS INTEGER) AS len_bin,
+                   CAST(count(*) AS BIGINT) AS n_words
+            FROM tw GROUP BY 1
+        )
+        SELECT len_bin, n_words,
+               round(CAST(n_words AS DOUBLE)
+                     / CAST(sum(n_words) OVER () AS DOUBLE), 6) AS share
+        FROM per
+    """

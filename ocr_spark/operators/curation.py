@@ -1824,3 +1824,83 @@ def sql_prefix_dup(text_expr: str = "text") -> str:
                      / CAST(sum(c) AS DOUBLE), 6) AS templated_share
         FROM per_tpl GROUP BY host
     """
+
+
+# ---------------------------------------------------------------------------
+# T171 — list/navigation-page detection (line-structure profile)
+# ---------------------------------------------------------------------------
+#
+# Index, tag-cloud, and navigation pages survive boilerplate stripping
+# as stacks of short lines (menu items, link captions) with no prose
+# in between; they poison LM training (no sentence structure) but are
+# invisible to word-level quality rules because every individual
+# token is clean.  The line-structure signal: a page whose non-empty
+# lines are mostly short IS a list page.  Grouped per host because
+# list pages are structural — a host's /tag/ and /archive/ subtrees
+# produce them wholesale.
+#
+# Scale shape: per-row split + two higher-order list aggregates (zero
+# exchange, codegen) + one map-side-combined groupBy(host).
+
+LIST_SHORT_CHARS = 30
+LIST_MIN_LINES = 5
+LIST_SHORT_SHARE = 0.6
+
+
+def list_page_detect(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(host, n_docs, n_listpages, list_share): per-host share of
+    list/nav-shaped pages (>= LIST_MIN_LINES non-empty lines of which
+    >= LIST_SHORT_SHARE are shorter than LIST_SHORT_CHARS chars)."""
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines).cast("bigint")
+    n_short = F.size(
+        F.filter(lines, lambda x: F.length(x) < LIST_SHORT_CHARS)
+    ).cast("bigint")
+    is_list = (
+        (n_lines >= LIST_MIN_LINES)
+        & (
+            n_short.cast("double")
+            >= F.lit(LIST_SHORT_SHARE) * n_lines.cast("double")
+        )
+    ).cast("bigint")
+    return (
+        docs.select(F.col("source").alias("host"), is_list.alias("l"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("l").cast("bigint").alias("n_listpages"),
+            F.round(
+                F.sum("l").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("list_share"),
+        )
+    )
+
+
+def sql_list_page_detect(text_expr: str = "text") -> str:
+    lines = (
+        f"list_filter(list_transform(string_split({text_expr}, chr(10)),"
+        " x -> trim(x)), x -> x <> '')"
+    )
+    is_list = (
+        f"CASE WHEN len({lines}) >= {LIST_MIN_LINES}"
+        f" AND CAST(len(list_filter({lines},"
+        f" x -> length(x) < {LIST_SHORT_CHARS})) AS DOUBLE)"
+        f" >= {LIST_SHORT_SHARE} * CAST(len({lines}) AS DOUBLE)"
+        " THEN 1 ELSE 0 END"
+    )
+    return f"""
+        WITH d AS (
+            SELECT source AS host, {is_list} AS l FROM documents
+        )
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(l) AS BIGINT) AS n_listpages,
+               round(CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS list_share
+        FROM d GROUP BY host
+    """

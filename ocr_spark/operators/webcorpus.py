@@ -3823,3 +3823,119 @@ def sql_unigram_drift(
                      / 1000000.0, 6) AS jsd_nats
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# T169 — mirror-host detection (cross-host content overlap)
+# ---------------------------------------------------------------------------
+#
+# Mirrors — www./m./cdn variants, region clones, scraped re-hosts —
+# duplicate CONTENT across HOSTS, so host-scoped tools (T44 caps,
+# T114 URL dedup, T116 per-host dup mass) never see them and
+# corpus-wide pair dedup pays for what one host-level drop would fix.
+# The detector: exact content fingerprints grouped by fp, host pairs
+# co-occurring on a fingerprint counted, Jaccard over each host's
+# distinct-fingerprint sets.
+#
+# Scale shape: (fp, host) distinct is map-side combined; the pair
+# expansion is a self-join ON fp — each fingerprint contributes
+# |hosts(fp)| choose 2 pairs, bounded in practice because a fp shared
+# by MANY hosts is boilerplate (and the cap parameter drops those the
+# way LSH drops oversize buckets).  Only 16-byte hashes shuffle.
+
+MIRROR_MIN_SHARED = 2
+MIRROR_MAX_HOSTS_PER_FP = 8
+
+
+def mirror_detect(
+    docs: DataFrame,
+    min_shared: int = MIRROR_MIN_SHARED,
+    max_hosts: int = MIRROR_MAX_HOSTS_PER_FP,
+    text_col: str = "text",
+) -> DataFrame:
+    """(host_a, host_b, shared, jaccard): host pairs sharing >=
+    min_shared exact content fingerprints, with Jaccard over distinct
+    fingerprint sets (6dp); fps on > max_hosts hosts are boilerplate
+    and dropped."""
+    fp = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    d = docs.select(fp.alias("fp"), F.col("source").alias("host")).distinct()
+    hosts_per_fp = d.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh")
+    )
+    d2 = d.join(
+        hosts_per_fp.filter(F.col("nh") <= max_hosts).select("fp"), "fp"
+    )
+    totals = d.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nf")
+    )
+    a = d2.alias("a")
+    b = d2.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.host") < F.col("b.host")),
+        )
+        .groupBy(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    ta = totals.select(
+        F.col("host").alias("host_a"), F.col("nf").alias("na")
+    )
+    tb = totals.select(
+        F.col("host").alias("host_b"), F.col("nf").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "host_a")
+        .join(F.broadcast(tb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def sql_mirror_detect(
+    min_shared: int = MIRROR_MIN_SHARED,
+    max_hosts: int = MIRROR_MAX_HOSTS_PER_FP,
+    text_expr: str = "text",
+) -> str:
+    fp = f"md5(regexp_replace(trim({text_expr}), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT {fp} AS fp, source AS host FROM documents
+        ),
+        keep AS (
+            SELECT fp FROM d GROUP BY fp HAVING count(*) <= {max_hosts}
+        ),
+        d2 AS (SELECT d.* FROM d JOIN keep USING (fp)),
+        totals AS (
+            SELECT host, CAST(count(*) AS BIGINT) AS nf
+            FROM d GROUP BY host
+        ),
+        pairs AS (
+            SELECT a.host AS host_a, b.host AS host_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM d2 a JOIN d2 b ON a.fp = b.fp AND a.host < b.host
+            GROUP BY a.host, b.host
+            HAVING count(*) >= {min_shared}
+        )
+        SELECT host_a, host_b, shared,
+               round(CAST(shared AS DOUBLE)
+                     / CAST(ta.nf + tb.nf - shared AS DOUBLE), 6)
+                   AS jaccard
+        FROM pairs
+        JOIN totals ta ON ta.host = host_a
+        JOIN totals tb ON tb.host = host_b
+    """

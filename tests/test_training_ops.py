@@ -4079,3 +4079,69 @@ def test_prefix_dup_counts_intro_templates(spark):
     assert r.n_templates == 1
     assert r.templated_docs == 3
     assert r.templated_share == 0.75
+
+
+# ---------------------------------------------------------------------------
+# T169-T171 (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_mirror_detect_finds_planted_mirror_pair(spark):
+    """T169: two hosts sharing 3 of their 4 docs pair with Jaccard
+    3/5; an unrelated host pairs with no one; a boilerplate fp on
+    many hosts is capped out."""
+    from ocr_spark.operators.webcorpus import mirror_detect
+
+    rows = []
+    for i in range(3):  # mirrored content on a and b
+        rows.append((i, f"shared article number {i} with real text", "a.com"))
+        rows.append((100 + i, f"shared article number {i} with real text", "b.com"))
+    rows.append((10, "only on a dot com here", "a.com"))
+    rows.append((110, "only on b dot com here", "b.com"))
+    rows.append((200, "totally unrelated host content", "c.com"))
+    # boilerplate shared by 10 hosts -> dropped by the cap
+    for h in range(10):
+        rows.append((300 + h, "copyright footer boilerplate", f"bp{h}.com"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = mirror_detect(docs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.host_a, r.host_b) == ("a.com", "b.com")
+    assert r.shared == 3 and r.jaccard == 0.6  # 3/(4+4-3)
+
+
+def test_token_len_histogram_caps_and_sums(spark):
+    """T170: bins are exact word lengths, the cap bin absorbs the
+    tail, shares sum to 1."""
+    from ocr_spark.operators.corpus_ops import token_len_histogram
+
+    docs = spark.createDataFrame(
+        [(0, "a bb ccc " + "x" * 50), (1, "a bb")],
+        "doc_id bigint, text string",
+    )
+    got = {r.len_bin: r for r in token_len_histogram(docs).collect()}
+    assert got[1].n_words == 2 and got[2].n_words == 2
+    assert got[3].n_words == 1
+    assert got[20].n_words == 1  # the 50-char monster lands in the cap
+    assert abs(sum(r.share for r in got.values()) - 1.0) < 1e-5
+
+
+def test_list_page_detect_flags_nav_stacks(spark):
+    """T171: a page of short menu lines flags; prose and short-line
+    pages below the line minimum don't."""
+    from ocr_spark.operators.curation import list_page_detect
+
+    nav = "\n".join(["Home", "About us", "Products", "Contact",
+                     "Blog", "Careers", "Privacy policy"])
+    prose = ("This is a long paragraph of flowing prose that sits on "
+             "a single line and reads like an actual document.")
+    short = "Home\nAbout"  # only 2 lines -> below LIST_MIN_LINES
+    docs = spark.createDataFrame(
+        [(0, nav, "nav.com"), (1, prose, "nav.com"),
+         (2, short, "ok.com"), (3, prose, "ok.com")],
+        "doc_id bigint, text string, source string",
+    )
+    got = {r.host: r for r in list_page_detect(docs).collect()}
+    assert got["nav.com"].n_listpages == 1
+    assert got["nav.com"].list_share == 0.5
+    assert got["ok.com"].n_listpages == 0
