@@ -10,6 +10,12 @@ the release-review tables for a (curated) documents table in one pass:
   <report>/vocab/          per-language HLL distinct-shingle estimate (T117)
   <report>/length/         doc-length quantile sketch p50/p75/p90/p99 (T118)
   <report>/drift/          per-language share drift vs --old-input (T111)
+  <report>/concentration/  host token Gini + diversity row (T162/T143)
+  <report>/host_langs/     per-host language entropy, mixed flag (T158)
+  <report>/residue/        per-host extraction-residue rates (T166)
+  <report>/context_fit/    context-window fit + truncation loss (T167)
+  <report>/mirrors/        cross-host mirror candidates (T169)
+  <report>/growth/         Heaps'-law vocabulary growth curve (T161)
 
 Usage (cluster):
 
@@ -104,6 +110,31 @@ def main() -> None:
         emit("vocab", hll_distinct(docs, text_col=text))
     if "n_chars" in docs.columns:
         emit("length", quantile_sketch(docs))
+
+    from ocr_spark.operators.corpus_ops import vocab_growth
+
+    if "source" in docs.columns:
+        from ocr_spark.operators.corpus_ops import context_fit
+        from ocr_spark.operators.curation import residue_audit
+        from ocr_spark.operators.webcorpus import (
+            host_diversity,
+            host_lang_entropy,
+            mirror_detect,
+            source_gini,
+        )
+
+        emit(
+            "concentration",
+            source_gini(docs, text_col=text).crossJoin(
+                F.broadcast(host_diversity(docs).drop("n_hosts"))
+            ),
+        )
+        if "lang" in docs.columns:
+            emit("host_langs", host_lang_entropy(docs))
+        emit("residue", residue_audit(docs, text_col=text))
+        emit("context_fit", context_fit(docs, text_col=text))
+        emit("mirrors", mirror_detect(docs, text_col=text))
+    emit("growth", vocab_growth(docs, key_col=key, text_col=text))
 
     corpus = docs.select(
         F.col(key).alias("doc_id"), F.col(text).alias("text")

@@ -3117,6 +3117,19 @@ def test_corpus_report_job_end_to_end(spark, tmp_path):
     qs = {r.q: r for r in length.collect()}
     assert set(qs) == {0.5, 0.75, 0.9, 0.99}
     assert all(r.est_lo <= r.est_hi for r in qs.values())
+    # round-5 governance tables
+    conc = spark.read.parquet(f"{rep}/concentration").collect()[0]
+    assert 0.0 <= conc.gini < 1.0 and conc.effective_hosts > 1
+    hl = spark.read.parquet(f"{rep}/host_langs")
+    assert hl.count() == 20  # one row per host
+    res = spark.read.parquet(f"{rep}/residue")
+    assert sum(r.n_docs for r in res.collect()) == 500
+    cf = spark.read.parquet(f"{rep}/context_fit")
+    assert all(r.fit_16k == 1.0 for r in cf.collect())
+    growth = spark.read.parquet(f"{rep}/growth").orderBy("decile").collect()
+    assert [r.decile for r in growth] == list(range(1, 11))
+    assert growth[-1].docs_cum == 500
+    assert spark.read.parquet(f"{rep}/mirrors").count() == 0
 
 
 # ---------------------------------------------------------------------------
