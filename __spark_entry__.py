@@ -2800,6 +2800,23 @@ def q_list_page_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return list_page_detect(_t(spark, sf_dir, "documents"))
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T172: deterministic synchronous label propagation over the
+    undirected link graph — community-size histogram after 2 rounds.
+    The (count DESC, label ASC) vote argmax is packed into one bigint
+    so every step is a partial-combined max(), bit-identical in both
+    engines; the oracle replays the identical rounds as chained CTEs."""
+    from ocr_spark.operators.graph import (
+        extract_links,
+        linked_pages,
+        lpa_communities,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return lpa_communities(extract_links(linked_pages(docs, n)), n)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2873,6 +2890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "pca_variance": q_pca_variance,
         "compression_ratio": q_compression_ratio,
+        # --- unbanked (round-5 late additions T172+; beyond the
+        # 50-slot driver window this round, oracle-parity-gated by
+        # tests/test_entry_contract.py::test_query_matches_oracle) ---
+        "lpa_communities": q_lpa_communities,
         # --- banked in CORRECTNESS_r04.json ---
         "hll_distinct": q_hll_distinct,
         "quantile_sketch": q_quantile_sketch,
@@ -3492,6 +3513,7 @@ def oracle_sql() -> dict[str, str]:
         "list_page_detect": _curation_sql.sql_list_page_detect(),
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "graph_health": _graph_sql.sql_graph_health(),
+        "lpa_communities": _graph_sql.sql_lpa_communities(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),

@@ -969,3 +969,130 @@ def sql_graph_health() -> str:
                END AS assortativity
         FROM r, m
     """
+
+
+# ---------------------------------------------------------------------------
+# T172 — label-propagation communities (deterministic synchronous LPA)
+# ---------------------------------------------------------------------------
+
+# Community structure is the link-graph signal the per-node scores
+# (degree, PageRank, HITS) cannot see: an SEO link farm is a *dense
+# block*, a mirror network is a *clique*, and a healthy topical web is
+# many medium communities.  Classic LPA is order-dependent; this is
+# the deterministic synchronous variant: every node simultaneously
+# adopts its neighbors' (most frequent, then smallest) label, a fixed
+# number of rounds.  The (count DESC, label ASC) argmax is packed into
+# ONE bigint — key = n_votes * 2^32 + (2^32 - 1 - label) — so both
+# vote reduction steps are plain max() aggregations with map-side
+# partial combine, bit-identical across engines, no window sort.
+
+LPA_ITERS = 2
+_LPA_PACK = 1 << 32
+
+
+def lpa_communities(edges: DataFrame, n_nodes: int, n_iter: int = LPA_ITERS) -> DataFrame:
+    """(community_size, n_communities): size histogram of the label-
+    propagation communities after ``n_iter`` synchronous rounds over
+    the undirected link graph.
+
+    Scale shape: per round, (1) vote count — groupBy(dst, label) with
+    partial agg, one shuffle of 24-byte rows; (2) argmax — groupBy(dst)
+    max(packed bigint), partial-combined, 16-byte rows.  Labels and
+    votes never carry page bytes; rounds are a fixed constant, and the
+    loop-invariant undirected edge list is localCheckpoint-truncated
+    exactly like the PageRank loop (at production scale, materialize
+    the edge table to storage once instead).  The output is the
+    bounded size histogram — at 10^12 nodes the (community, size)
+    table itself is data-scale and stays distributed; only the
+    histogram (≤ distinct sizes) comes back.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    spark = edges.sparkSession
+    und = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(n_iter):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        packed = votes.groupBy("node").agg(
+            F.max(
+                F.col("n") * F.lit(_LPA_PACK)
+                + (F.lit(_LPA_PACK - 1) - F.col("label"))
+            ).alias("key")
+        )
+        winner = packed.select(
+            "node",
+            (F.lit(_LPA_PACK - 1) - F.col("key") % F.lit(_LPA_PACK)).alias(
+                "label"
+            ),
+        )
+        # isolated nodes (none under the linked_pages construction,
+        # but the operator must not silently drop them) keep their own
+        labels = nodes.join(winner, "node", "left").select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
+        )
+        if i + 1 < n_iter:
+            labels = labels.localCheckpoint(eager=False)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return (
+        sizes.groupBy("community_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
+        .orderBy("community_size")
+    )
+
+
+def sql_lpa_communities(n_iter: int = LPA_ITERS) -> str:
+    """The same fixed rounds as chained CTEs, same bigint packing."""
+    pack = _LPA_PACK
+    parts = [
+        f"WITH e0 AS ({sql_edges()}),",
+        """und AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e0
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM e0
+            ) WHERE src <> dst
+        ),""",
+        "nodes AS (SELECT doc_id AS node FROM documents),",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f""", v{i + 1} AS (
+                SELECT und.dst AS node, l.label,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM und JOIN l{i} l ON und.src = l.node
+                GROUP BY und.dst, l.label
+            ), w{i + 1} AS (
+                SELECT node,
+                       max(n * {pack} + ({pack - 1} - label)) AS key
+                FROM v{i + 1} GROUP BY node
+            ), l{i + 1} AS (
+                SELECT n.node,
+                       COALESCE({pack - 1} - (w.key % {pack}), n.node)
+                           AS label
+                FROM nodes n LEFT JOIN w{i + 1} w ON n.node = w.node
+            )"""
+        )
+    parts.append(
+        f""", sizes AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS community_size
+            FROM l{n_iter} GROUP BY label
+        )
+        SELECT community_size,
+               CAST(count(*) AS BIGINT) AS n_communities
+        FROM sizes GROUP BY community_size"""
+    )
+    return "\n".join(parts)

@@ -375,3 +375,44 @@ def test_pagerank_edges_derived_once(spark):
     pr = pagerank(extract_links(linked_pages(docs, 100)), 100, n_iter=5)
     plan = pr._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") <= 2, plan.count("FileScan")
+
+
+def test_lpa_communities_mode_vote_and_tiebreak(spark):
+    """T172: two triangles bridged by one edge.  After 2 synchronous
+    rounds the mode-vote (count DESC, label ASC) yields communities of
+    sizes {1, 2, 3} — a MIN-label (connected-components) rule would
+    collapse everything toward label 0 instead, so the histogram
+    proves the argmax is frequency-first."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.graph import lpa_communities
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r.community_size: r.n_communities
+        for r in lpa_communities(edges, 6, n_iter=2).collect()
+    }
+    # hand-traced: labels after round 2 are [0,0,0,3,2,2]
+    assert got == {1: 1, 2: 1, 3: 1}
+    with _pytest.raises(ValueError):
+        lpa_communities(edges, 6, n_iter=0)
+
+
+def test_lpa_communities_isolated_node_keeps_own_label(spark):
+    """A node with no edges must survive with its own label (one
+    singleton community), not vanish."""
+    from ocr_spark.operators.graph import lpa_communities
+
+    edges = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    got = {
+        r.community_size: r.n_communities
+        for r in lpa_communities(edges, 3, n_iter=2).collect()
+    }
+    # the 0-1 pair label-swaps each synchronous round (the classic
+    # bipartite oscillation — labels are [1,0] then [0,1]), and node 2
+    # keeps its own label: three singleton communities, all 3 nodes
+    # accounted for
+    assert got == {1: 3}
