@@ -2817,6 +2817,15 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lpa_communities(extract_links(linked_pages(docs, n)), n)
 
 
+def q_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T173: df-ranked stopword/idf table — per-document word dedup is
+    in-row (array_distinct before the explode), so the only exchange
+    carries (word, partial count) pairs; top-k via TakeOrdered."""
+    from ocr_spark.operators.corpus_ops import stopword_induction
+
+    return stopword_induction(_tw(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2894,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-slot driver window this round, oracle-parity-gated by
         # tests/test_entry_contract.py::test_query_matches_oracle) ---
         "lpa_communities": q_lpa_communities,
+        "stopword_induction": q_stopword_induction,
         # --- banked in CORRECTNESS_r04.json ---
         "hll_distinct": q_hll_distinct,
         "quantile_sketch": q_quantile_sketch,
@@ -3514,6 +3524,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_scrub": _curation_sql.sql_line_dedup_scrub(),
         "graph_health": _graph_sql.sql_graph_health(),
         "lpa_communities": _graph_sql.sql_lpa_communities(),
+        "stopword_induction": _corpus_sql.sql_stopword_induction(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),

@@ -3643,3 +3643,80 @@ def sql_token_len_histogram(
                      / CAST(sum(n_words) OVER () AS DOUBLE), 6) AS share
         FROM per
     """
+
+
+# ---------------------------------------------------------------------------
+# T173 — stopword induction (document-frequency ranking)
+# ---------------------------------------------------------------------------
+
+# Stopword lists exist for ~100 languages; a web-scale corpus has
+# thousands of language/domain mixtures that need their own.  The
+# standard induction signal is DOCUMENT frequency, not term frequency:
+# a word in 90% of documents carries no retrieval/topical information
+# regardless of how often it repeats inside any one page (raw tf —
+# vocab_topk's ranking — over-promotes words a few pathological pages
+# spam).  Output: the top-k words by df share, each with its df, df
+# share, and idf — the exact table BM25 (T90) and tf-idf (T47) would
+# consume as a precomputed stopword/idf seed.
+
+STOPWORD_TOPK = 30
+
+
+def stopword_induction(
+    docs: DataFrame, k: int = STOPWORD_TOPK, text_col: str = "text"
+) -> DataFrame:
+    """(word, df, df_share, idf): top-k words by document frequency.
+
+    Scale shape: the per-document word DEDUP happens in-row
+    (array_distinct before the explode), so nothing doc-keyed ever
+    shuffles — the only exchange carries (word, partial count) pairs
+    after map-side combine, then a TakeOrdered top-k merges k rows per
+    partition on the driver.  No global vocabulary sort, no
+    (doc_id, word) distinct shuffle.  idf is ln(N/df) from exact
+    bigints, 6dp."""
+    n_docs = docs.count()
+    words = docs.select(
+        F.explode(F.array_distinct(_words(F.col(text_col)))).alias("word")
+    ).filter(F.col("word") != "")
+    df_tab = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return (
+        df_tab.orderBy(F.desc("df"), F.asc("word"))
+        .limit(k)
+        .select(
+            "word",
+            "df",
+            F.round(
+                F.col("df").cast("double") / F.lit(float(n_docs)), 6
+            ).alias("df_share"),
+            F.round(
+                F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+            ).alias("idf"),
+        )
+    )
+
+
+def sql_stopword_induction(
+    k: int = STOPWORD_TOPK, text_expr: str = "text"
+) -> str:
+    w = _sql_words(text_expr)
+    return f"""
+        WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs
+                   FROM documents),
+        per AS (
+            SELECT wd FROM (
+                SELECT unnest(list_distinct({w})) AS wd FROM documents
+            ) WHERE wd <> ''
+        ),
+        dft AS (
+            SELECT wd AS word, CAST(count(*) AS BIGINT) AS df
+            FROM per GROUP BY wd
+        )
+        SELECT word, df,
+               round(CAST(df AS DOUBLE) / n.n_docs, 6) AS df_share,
+               round(ln(n.n_docs / CAST(df AS DOUBLE)), 6) AS idf
+        FROM dft, n
+        ORDER BY df DESC, word ASC
+        LIMIT {k}
+    """

@@ -4158,3 +4158,38 @@ def test_list_page_detect_flags_nav_stacks(spark):
     assert got["nav.com"].n_listpages == 1
     assert got["nav.com"].list_share == 0.5
     assert got["ok.com"].n_listpages == 0
+
+
+def test_stopword_induction_ranks_by_df_not_tf(spark):
+    """T173: a word spammed many times inside ONE document must rank
+    below a word appearing once in EVERY document — df, not tf."""
+    from ocr_spark.operators.corpus_ops import stopword_induction
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat " + "spam " * 50),
+            (1, "the dog"),
+            (2, "the bird"),
+            (3, "the fish"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = stopword_induction(docs, k=3).collect()
+    assert [r.word for r in got] == ["the", "bird", "cat"]
+    top = got[0]
+    assert top.df == 4 and top.df_share == 1.0 and top.idf == 0.0
+    # 'spam' has df 1 despite tf 50 -> ties with every singleton word
+    # and loses the lexicographic tie-break to 'bird'/'cat'
+    assert all(r.word != "spam" for r in got)
+
+
+def test_stopword_induction_dedups_within_doc(spark):
+    """df counts each document once no matter how often the word
+    repeats in it."""
+    from ocr_spark.operators.corpus_ops import stopword_induction
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b")], "doc_id bigint, text string"
+    )
+    got = {r.word: r.df for r in stopword_induction(docs, k=10).collect()}
+    assert got == {"a": 2, "b": 1}
