@@ -2826,6 +2826,16 @@ def q_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stopword_induction(_tw(spark, sf_dir, "documents"))
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T174: KMV union-sketch Jaccard/intersection estimate between
+    the two deterministic corpus halves — bounded-sketch overlap for
+    snapshot-vs-snapshot recrawl/dedup budgeting, estimates
+    bit-reproduced by the oracle, exact values kept as audit columns."""
+    from ocr_spark.operators.sketches import kmv_overlap
+
+    return kmv_overlap(_tw(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2904,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_entry_contract.py::test_query_matches_oracle) ---
         "lpa_communities": q_lpa_communities,
         "stopword_induction": q_stopword_induction,
+        "kmv_overlap": q_kmv_overlap,
         # --- banked in CORRECTNESS_r04.json ---
         "hll_distinct": q_hll_distinct,
         "quantile_sketch": q_quantile_sketch,
@@ -3525,6 +3536,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_health": _graph_sql.sql_graph_health(),
         "lpa_communities": _graph_sql.sql_lpa_communities(),
         "stopword_induction": _corpus_sql.sql_stopword_induction(),
+        "kmv_overlap": _sketches_sql.sql_kmv_overlap(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),

@@ -659,3 +659,213 @@ def pca_variance(emb: DataFrame, k: int = PCA_K, dim: int = EMB_DIM) -> DataFram
         [(i, round(r, 6)) for i, r in enumerate(ratio)],
         ["component", "explained_ratio"],
     )
+
+
+# ---------------------------------------------------------------------------
+# T174 — KMV set-intersection estimate between corpus halves
+# ---------------------------------------------------------------------------
+
+# "How much does snapshot B share with snapshot A" drives recrawl
+# scheduling and dedup budgeting, but the exact answer requires
+# shuffling both snapshots' full distinct-gram sets.  The mergeable
+# answer is the K-Minimum-Values union trick (Beyer et al. 2007): keep
+# each side's k smallest distinct 60-bit gram hashes, take the k
+# smallest of their union, and estimate Jaccard as the fraction of
+# union-sketch members present in BOTH side sketches (every union-
+# sketch member that belongs to a side is necessarily within that
+# side's own k minima, so the membership test is exact on the
+# sketches).  Intersection cardinality falls out as jaccard x the
+# union's KMV cardinality estimate.  Built on the repo's deterministic
+# 60-bit md5 hash, every step is integer- or identically-double-
+# deterministic, so the DuckDB oracle reproduces the ESTIMATES
+# bit-for-bit — the audit columns carry the exact values the sketch
+# exists to avoid (a real run drops them).
+
+KMV_OVERLAP_K = 256
+
+
+def kmv_overlap(
+    docs: DataFrame, k: int = KMV_OVERLAP_K, text_col: str = "text"
+) -> DataFrame:
+    """One row: (m_union, union_kmv, jaccard_kmv, inter_kmv,
+    jaccard_exact) comparing the distinct 3-shingle sets of the two
+    deterministic corpus halves (doc_id % 2 — the synthetic stand-in
+    for two crawl snapshots).
+
+    Scale shape: per-doc shingle dedup is in-row; the only wide
+    exchange carries (side, 8-byte hash) pairs for the distinct; the
+    two-stage salted rank (as in ``kmv_vocab_estimate``) prunes each
+    side to k*salts rows before any global per-side ordering, and
+    everything after operates on <= 2k rows.  The exact-Jaccard audit
+    column is the one full-width aggregation — drop it in production.
+    """
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators.dedup import _hash60, shingles_col
+
+    n_salts = 8
+    hashed = (
+        docs.select(
+            (F.col("doc_id") % 2).cast("int").alias("side"),
+            F.explode(
+                F.array_distinct(shingles_col(F.col(text_col)))
+            ).alias("w"),
+        )
+        .select(
+            "side", _hash60(F.concat(F.lit("o:"), F.col("w"))).alias("h")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w1 = W.partitionBy("side", F.pmod(F.col("h"), F.lit(n_salts))).orderBy(
+        "h"
+    )
+    pruned = (
+        hashed.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)
+        .drop("rn1")
+    )
+    w2 = W.partitionBy("side").orderBy("h")
+    side_sk = (
+        pruned.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("side", "h")
+    )
+    # union sketch: k smallest distinct hashes across both side sketches
+    wu = W.partitionBy(F.lit(1)).orderBy("h")
+    union_sk = (
+        side_sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+    )
+    flags = union_sk.join(
+        side_sk.filter(F.col("side") == 0).select(
+            "h", F.lit(1).alias("in_a")
+        ),
+        "h",
+        "left",
+    ).join(
+        side_sk.filter(F.col("side") == 1).select(
+            "h", F.lit(1).alias("in_b")
+        ),
+        "h",
+        "left",
+    )
+    stats = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_union"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+        F.sum(
+            (
+                F.coalesce("in_a", F.lit(0)) * F.coalesce("in_b", F.lit(0))
+            ).cast("bigint")
+        ).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("m_union") < k, F.col("m_union").cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_H60_SPACE_O)
+            / F.col("h_k").cast("double")
+        )
+    )
+    jac = F.round(
+        F.col("n_both").cast("double") / F.col("m_union").cast("double"), 6
+    )
+    # exact audit: full distinct sets, side-count per hash
+    exact = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("side").alias("ns"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_union_exact"),
+            F.sum(F.when(F.col("ns") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inter_exact"),
+        )
+    )
+    return stats.crossJoin(exact).select(
+        "m_union",
+        union_est.cast("bigint").alias("union_kmv"),
+        jac.alias("jaccard_kmv"),
+        F.floor(jac * union_est).cast("bigint").alias("inter_kmv"),
+        F.round(
+            F.col("n_inter_exact").cast("double")
+            / F.col("n_union_exact").cast("double"),
+            6,
+        ).alias("jaccard_exact"),
+    )
+
+
+_H60_SPACE_O = float(1 << 60)
+
+
+def sql_kmv_overlap(k: int = KMV_OVERLAP_K, text_expr: str = "text") -> str:
+    """DuckDB mirror: same hash, same two ranks, same estimator
+    arithmetic (exactly-representable doubles, then floor)."""
+    from ocr_spark.operators.dedup import sql_shingles
+
+    sh = sql_shingles(text_expr)
+    return f"""
+        WITH hashed AS (
+            SELECT DISTINCT side,
+                   CAST('0x' || substr(md5('o:' || w), 1, 15) AS BIGINT)
+                       AS h
+            FROM (
+                SELECT CAST(doc_id % 2 AS INTEGER) AS side,
+                       unnest({sh}) AS w
+                FROM documents)
+        ),
+        side_sk AS (
+            SELECT side, h FROM (
+                SELECT side, h,
+                       row_number() OVER (PARTITION BY side ORDER BY h)
+                           AS rn
+                FROM hashed)
+            WHERE rn <= {k}
+        ),
+        union_sk AS (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM side_sk)
+            QUALIFY rn <= {k}
+        ),
+        flags AS (
+            SELECT u.rn, u.h,
+                   CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                   CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+            FROM union_sk u
+            LEFT JOIN (SELECT h FROM side_sk WHERE side = 0) a
+                   ON u.h = a.h
+            LEFT JOIN (SELECT h FROM side_sk WHERE side = 1) b
+                   ON u.h = b.h
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS m_union,
+                   max(CASE WHEN rn = {k} THEN h END) AS h_k,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+            FROM flags
+        ),
+        exact AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_union_exact,
+                   CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_inter_exact
+            FROM (SELECT h, count(DISTINCT side) AS ns
+                  FROM hashed GROUP BY h)
+        )
+        SELECT m_union,
+               CAST(CASE WHEN m_union < {k} THEN CAST(m_union AS DOUBLE)
+                    ELSE floor({float(k - 1)} * {_H60_SPACE_O} /
+                               CAST(h_k AS DOUBLE)) END AS BIGINT)
+                   AS union_kmv,
+               round(CAST(n_both AS DOUBLE) / CAST(m_union AS DOUBLE), 6)
+                   AS jaccard_kmv,
+               CAST(floor(round(CAST(n_both AS DOUBLE)
+                                / CAST(m_union AS DOUBLE), 6)
+                          * CASE WHEN m_union < {k}
+                                 THEN CAST(m_union AS DOUBLE)
+                                 ELSE floor({float(k - 1)} * {_H60_SPACE_O}
+                                            / CAST(h_k AS DOUBLE)) END)
+                    AS BIGINT) AS inter_kmv,
+               round(CAST(n_inter_exact AS DOUBLE)
+                     / CAST(n_union_exact AS DOUBLE), 6) AS jaccard_exact
+        FROM stats, exact
+    """

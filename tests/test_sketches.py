@@ -616,3 +616,50 @@ def test_pca_variance_degenerate_corpus(spark):
     ]
     assert all(0.0 <= x <= 1.0 for x in real)
     assert sum(real) <= 1.0 + 1e-9
+
+
+def test_kmv_overlap_exact_regime_and_estimate_agreement(spark):
+    """T174: with fewer than k distinct shingles per side the sketch
+    IS the exact answer — jaccard_kmv must equal jaccard_exact and the
+    union estimate must equal the true union size."""
+    from ocr_spark.operators.sketches import kmv_overlap
+
+    # even ids = side A, odd = side B; doc 0/1 share text verbatim,
+    # others are disjoint
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "red green blue cyan magenta yellow"),
+        ],
+        "doc_id bigint, text string",
+    )
+    r = kmv_overlap(docs, k=256).collect()[0]
+    assert r.m_union == r.union_kmv  # sub-k regime: estimate == exact
+    assert r.jaccard_kmv == r.jaccard_exact
+    # shared shingles: docs 0/1 contribute identical 3-shingle sets
+    assert 0.0 < r.jaccard_exact < 1.0
+    assert r.inter_kmv >= 1
+
+
+def test_kmv_overlap_estimator_regime_tracks_exact(spark):
+    """With >k distinct shingles per side the KMV estimate must land
+    within a loose relative band of the exact Jaccard (k=64 -> stderr
+    ~1/8; band is 4 sigma)."""
+    import random
+
+    from ocr_spark.operators.sketches import kmv_overlap
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    for d in range(40):
+        # both sides draw from the same vocabulary -> substantial overlap
+        words = rng.sample(vocab, 60)
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    r = kmv_overlap(docs, k=64).collect()[0]
+    assert r.m_union == 64  # estimator branch exercised
+    assert abs(r.jaccard_kmv - r.jaccard_exact) < 0.5
+    assert r.union_kmv > 64
