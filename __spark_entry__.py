@@ -2836,6 +2836,16 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(_tw(spark, sf_dir, "documents"))
 
 
+def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T175: reciprocal rank of each query's brute-force nearest
+    neighbor inside the IVF probe's top-k — the top-of-list complement
+    of T99's recall audit; exact side is one scan + partial-combined
+    argmax, probe side is cell-pruned."""
+    from ocr_spark.operators.ann import ann_mrr
+
+    return ann_mrr(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2915,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         "stopword_induction": q_stopword_induction,
         "kmv_overlap": q_kmv_overlap,
+        "ann_mrr": q_ann_mrr,
         # --- banked in CORRECTNESS_r04.json ---
         "hll_distinct": q_hll_distinct,
         "quantile_sketch": q_quantile_sketch,
@@ -3537,6 +3548,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _graph_sql.sql_lpa_communities(),
         "stopword_induction": _corpus_sql.sql_stopword_induction(),
         "kmv_overlap": _sketches_sql.sql_kmv_overlap(),
+        "ann_mrr": _ann_sql.sql_ann_mrr(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),

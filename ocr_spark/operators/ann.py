@@ -2214,3 +2214,133 @@ def sql_cos_histogram() -> str:
         FROM pairs
         GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# T175 — ANN MRR audit (reciprocal rank of the true NN in the probe)
+# ---------------------------------------------------------------------------
+#
+# Recall@k (T99) says whether the true neighbors appear ANYWHERE in
+# the probe's k results; retrieval-backed pipelines (hard-negative
+# mining, RAG-style selection) consume the TOP of the list, so the
+# second standard index metric is MRR — where does the true nearest
+# neighbor actually rank.  An index can hold recall@10 = 0.9 while its
+# rank-1 quality quietly degrades; MRR is the metric that moves first.
+#
+# Scale shape: the exact side is ONE corpus scan — candidates join the
+# broadcast query rows and the per-query argmax is a partial-combined
+# max(struct) (no window over raw scores); the IVF side runs one
+# cell-pruned probe per query (bounded query list, each probe a
+# TakeOrdered over one cell); the final rank join touches
+# n_queries x k rows.
+
+MRR_QUERY_IDS = (0, 1, 2, 3, 4)
+
+
+def ann_mrr(
+    emb: DataFrame, query_ids=MRR_QUERY_IDS, k: int = 10
+) -> DataFrame:
+    """(query_id, true_nn, ivf_rank, rr): the brute-force nearest
+    neighbor of each query and its 1-based rank inside the IVF probe's
+    top-k (0 / rr 0.0 when the probe misses it entirely).  Mean of rr
+    over the query set is the index's MRR."""
+    from pyspark.sql import Window as W
+
+    qlist = [int(q) for q in query_ids]
+    queries = emb.filter(F.col("vec_id").isin(qlist)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cos = cosine_col(F.col("embedding"), F.col("qvec"))
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", F.round(cos, 4).alias("cos_sim")
+        )
+    )
+    truth = (
+        scored.groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_sim").alias("c"),
+                    (-F.col("vec_id")).alias("nv"),
+                )
+            ).alias("m")
+        )
+        .select("query_id", (-F.col("m.nv")).alias("true_nn"))
+    )
+    probes = None
+    wq = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    for qid in qlist:
+        p = ivf_topk(emb, query_vec_id=qid, k=k).select(
+            F.lit(qid).cast("bigint").alias("query_id"), "vec_id", "cos_sim"
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    ranked = probes.withColumn("rnk", F.row_number().over(wq))
+    return (
+        truth.join(
+            ranked.select("query_id", "vec_id", "rnk"),
+            (truth.query_id == ranked.query_id)
+            & (truth.true_nn == ranked.vec_id),
+            "left",
+        )
+        .select(
+            truth.query_id,
+            "true_nn",
+            F.coalesce("rnk", F.lit(0)).cast("bigint").alias("ivf_rank"),
+            F.round(
+                F.when(
+                    F.col("rnk").isNotNull(),
+                    F.lit(1.0) / F.col("rnk").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("rr"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def sql_ann_mrr(query_ids=MRR_QUERY_IDS, k: int = 10) -> str:
+    qlist = [int(q) for q in query_ids]
+    in_list = ", ".join(str(q) for q in qlist)
+    ivf_parts = []
+    for qid in qlist:
+        ivf_parts.append(
+            f"""SELECT CAST({qid} AS BIGINT) AS query_id, vec_id,
+                       row_number() OVER (
+                           ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+                FROM ({sql_ivf_topk(query_vec_id=qid, k=k)})"""
+        )
+    ivf_union = "\nUNION ALL\n".join(ivf_parts)
+    return f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(
+                     list_dot_product(e.embedding, q.embedding) /
+                     (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                      sqrt(list_dot_product(q.embedding, q.embedding))),
+                     4) AS cos_sim
+            FROM embeddings e
+            JOIN embeddings q
+              ON q.vec_id IN ({in_list}) AND e.vec_id <> q.vec_id
+        ),
+        truth AS (
+            SELECT query_id, vec_id AS true_nn FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos_sim DESC, vec_id ASC) AS rn
+                FROM scored)
+            WHERE rn = 1
+        ),
+        ivf AS ({ivf_union})
+        SELECT t.query_id, t.true_nn,
+               CAST(COALESCE(i.rnk, 0) AS BIGINT) AS ivf_rank,
+               round(CASE WHEN i.rnk IS NULL THEN 0.0
+                          ELSE 1.0 / i.rnk END, 6) AS rr
+        FROM truth t
+        LEFT JOIN ivf i
+          ON t.query_id = i.query_id AND t.true_nn = i.vec_id
+    """

@@ -4193,3 +4193,43 @@ def test_stopword_induction_dedups_within_doc(spark):
     )
     got = {r.word: r.df for r in stopword_induction(docs, k=10).collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_ann_mrr_perfect_when_cell_holds_true_nn(spark):
+    """T175: queries whose true NN shares their IVF cell get rr = 1.0;
+    a query whose true NN lives in ANOTHER cell gets ivf_rank 0 /
+    rr 0.0 — the miss MRR exists to expose."""
+    from ocr_spark.operators.ann import IVF_CENTROIDS, ann_mrr
+
+    # centroid stand-ins are vec_id < IVF_CENTROIDS; 6-dim space:
+    # centroid 0 = e0, centroid 1 = e1, centroids 2..15 live in the
+    # dim-4/5 plane (cosine 0 with every dim-0/1 test vector, so they
+    # never win an assignment)
+    rows = []
+    for c in range(IVF_CENTROIDS):
+        if c == 0:
+            v = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        elif c == 1:
+            v = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+        else:
+            v = [0.0, 0.0, 0.0, 0.0, 1.0, float(c)]
+        rows.append((c, v, 0))
+    # query 100 in cell 0; its true NN 101 also in cell 0
+    rows.append((100, [1.0, 0.05, 0.0, 0.0, 0.0, 0.0], 0))
+    rows.append((101, [1.0, 0.06, 0.0, 0.0, 0.0, 0.0], 0))
+    # query 200 sits just on the cell-0 side of the 0/1 boundary; its
+    # true NN 201 sits just on the cell-1 side (cos(200,201) ~ 0.9987
+    # beats every cell-0 member): the cell-0-only probe misses it
+    rows.append((200, [1.0, 0.95, 0.0, 0.0, 0.0, 0.0], 0))
+    rows.append((201, [0.95, 1.0, 0.0, 0.0, 0.0, 0.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {
+        r.query_id: r
+        for r in ann_mrr(emb, query_ids=(100, 200), k=3).collect()
+    }
+    assert got[100].true_nn == 101
+    assert got[100].ivf_rank == 1 and got[100].rr == 1.0
+    assert got[200].true_nn == 201
+    assert got[200].ivf_rank == 0 and got[200].rr == 0.0
