@@ -2851,13 +2851,72 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _rotate_unbanked_first(
+    reg: dict[str, Callable[[SparkSession, str], DataFrame]],
+    oracles: set[str],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Stable-partition the registry so every query WITHOUT a banked
+    green row in a committed ``CORRECTNESS_r*.json`` precedes every
+    query that already has one.
+
+    The driver's CORRECTNESS harness verifies a 50-query prefix window
+    of ``queries()``; re-verifying an already-green entry in that
+    window would waste the slot an unverified entry needs.  Reading
+    the banked set at import time makes the rotation automatic: the
+    moment the driver lands a new ``CORRECTNESS_r{N}.json``, the next
+    import rotates the freshly-banked names behind the remaining
+    unbanked ones — no manual reorder at round boundaries, and
+    ``tests/test_entry_contract.py::test_driver_window_holds_unbanked_queries``
+    (which asserts the same invariant from the same files) stays green
+    at every point in the round lifecycle.
+
+    Entries with no ``oracle_sql()`` mirror can only ever earn a
+    weaker rows-only row; once ANY row exists for one it is settled,
+    and while unseen it sorts after oracle-gated unbanked entries so
+    hash-verifiable queries claim window slots first.  Ordering within
+    each class preserves registration order, so the sequence is
+    deterministic for a given set of committed CORRECTNESS files.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    banked: set[str] = set()
+    seen: set[str] = set()
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rows = _json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            seen.add(name)
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                banked.add(name)
+
+    def _rank(name: str) -> int:
+        if name in banked or (name in seen and name not in oracles):
+            return 2  # settled: hash-green, or rows-only already recorded
+        if name not in oracles:
+            return 1  # rows-only candidate: after hash-verifiable entries
+        return 0  # oracle-gated, never banked: window first
+
+    return {n: reg[n] for n in sorted(reg, key=lambda n: _rank(n))}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS harness verifies a
     # prefix window of this dict, so queries without a banked green row in a
-    # prior round's CORRECTNESS_r*.json come FIRST; queries already green in
-    # CORRECTNESS_r01–r04.json follow.  All entries pass the identical
-    # in-repo parity gate (tests/test_entry_contract.py) regardless of order.
-    return {
+    # prior round's CORRECTNESS_r*.json come FIRST (computed from the
+    # committed CORRECTNESS files by _rotate_unbanked_first, so the rotation
+    # happens automatically at round boundaries); queries already green
+    # follow.  All entries pass the identical in-repo parity gate
+    # (tests/test_entry_contract.py) regardless of order.
+    reg = {
         # --- unbanked (round-4 overflow, rotated into the round-5
         # --- window after CORRECTNESS_r04 banked the previous 50) ---
         "politeness_schedule": q_politeness_schedule,
@@ -3088,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "weighted_sample": q_weighted_sample,
     }
+    return _rotate_unbanked_first(reg, set(oracle_sql()))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -157,3 +157,57 @@ def test_driver_window_holds_unbanked_queries():
     assert not late_unbanked, (
         f"unbanked queries listed after a banked one: {late_unbanked}"
     )
+
+
+def test_rotation_is_automatic_after_next_bank(tmp_path, monkeypatch):
+    """queries() reads the committed CORRECTNESS files at call time, so
+    when a new round's file lands (banking the current window) the next
+    import already rotates the freshly-banked names behind whatever
+    remains unbanked — the window invariant above holds at EVERY point
+    in the round lifecycle, with no manual reorder at round boundaries.
+
+    Simulated here by pointing the rotation at a copy of the repo's
+    CORRECTNESS history plus a synthetic next-round file that banks the
+    current 50-query window prefix."""
+    import glob
+    import json
+    import shutil
+
+    import __spark_entry__ as e
+
+    order_now = list(e.queries())
+    oracles = set(e.oracle_sql())
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    window = order_now[:50]
+    fake = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for n in window
+    }
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(fake))
+
+    monkeypatch.setattr(e, "__file__", str(tmp_path / "__spark_entry__.py"))
+    rotated = list(e.queries())
+
+    banked = set()
+    seen = set()
+    for p in tmp_path.glob("CORRECTNESS_r*.json"):
+        for name, row in json.loads(p.read_text()).items():
+            seen.add(name)
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                banked.add(name)
+    unbanked = [
+        n
+        for n in rotated
+        if n not in banked and (n in oracles or n not in seen)
+    ]
+    prefix = rotated[: len(unbanked)]
+    assert set(prefix) == set(unbanked), (
+        "after the simulated bank, the window prefix must be exactly "
+        f"the remaining unbanked queries; got {prefix[:8]}..."
+    )
+    assert set(rotated) == set(order_now)  # rotation permutes, never drops
