@@ -2846,6 +2846,36 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_mrr(_t(spark, sf_dir, "embeddings"))
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T176: reciprocal-rank fusion (Cormack et al. 2009) of the BM25
+    lexical top-k and the brute-force cosine semantic top-k for one
+    query — hybrid retrieval's rank-space merge; contributions are
+    exact micro units, both input lists are bounded frames."""
+    from ocr_spark.operators.ann import rrf_fusion
+
+    return rrf_fusion(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
+def q_lang_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T177: per-language decile bands of the mean-word-length score
+    from a bounded (lang, score_milli) histogram — percentile
+    thresholds WITHOUT ntile's per-language doc sort."""
+    from ocr_spark.operators.corpus_ops import lang_quality_deciles
+
+    return lang_quality_deciles(_t(spark, sf_dir, "documents"))
+
+
+def q_src_lang_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T178: (source, lang) contingency cells with expected-under-
+    independence counts and integer-micro-nat PMI lift — the
+    language-skew screen for source-stratified sampling."""
+    from ocr_spark.operators.corpus_ops import src_lang_affinity
+
+    return src_lang_affinity(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2980,6 +3010,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_induction": q_stopword_induction,
         "kmv_overlap": q_kmv_overlap,
         "ann_mrr": q_ann_mrr,
+        # --- unbanked (round-5 final additions T176-T178): past the
+        # 50-slot window with 51+ oracle-gated entries unbanked, so
+        # — this being the last round — their verification is the
+        # in-repo parity gate (tests/test_entry_contract.py), same
+        # check the driver performs, pinned at sf0.01 ---
+        "rrf_fusion": q_rrf_fusion,
+        "lang_quality_deciles": q_lang_quality_deciles,
+        "src_lang_affinity": q_src_lang_affinity,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver can only record a weaker
         # rows-only row, so these yield their window slots to the
@@ -3612,6 +3650,9 @@ def oracle_sql() -> dict[str, str]:
         "stopword_induction": _corpus_sql.sql_stopword_induction(),
         "kmv_overlap": _sketches_sql.sql_kmv_overlap(),
         "ann_mrr": _ann_sql.sql_ann_mrr(),
+        "rrf_fusion": _ann_sql.sql_rrf_fusion(),
+        "lang_quality_deciles": _corpus_sql.sql_lang_quality_deciles(),
+        "src_lang_affinity": _corpus_sql.sql_src_lang_affinity(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),

@@ -2344,3 +2344,166 @@ def sql_ann_mrr(query_ids=MRR_QUERY_IDS, k: int = 10) -> str:
         LEFT JOIN ivf i
           ON t.query_id = i.query_id AND t.true_nn = i.vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# T176 — reciprocal-rank fusion of lexical and semantic retrieval
+# ---------------------------------------------------------------------------
+#
+# Hybrid retrieval is the production norm for training-data mining
+# (find documents "about X"): a lexical BM25 list and a dense-embedding
+# cosine list, fused by reciprocal rank (Cormack, Clarke & Buettcher,
+# SIGIR 2009) — rank-space fusion needs no score calibration between
+# the two retrievers, which is exactly why RRF beat score averaging in
+# the original evaluation.  Contributions are fixed to integer micro
+# units (round(1e6/(K+rank))) so the fused ordering is engine-exact.
+#
+# Scale shape: the lexical list inherits bm25_topk's single-scan
+# conditional-aggregation plan (no (doc, word) shuffle); the semantic
+# list is the broadcast-query pattern (the one-row query vector
+# broadcasts, corpus embeddings never shuffle, TakeOrderedAndProject
+# cuts k).  Fusion itself full-outer-joins two <= list_k-row frames —
+# every window in this operator only ever sees a bounded input.
+
+RRF_K = 60
+RRF_LIST_K = 20
+RRF_TOPN = 15
+RRF_QUERY_VEC_ID = 0
+_RRF_SCALE = 1_000_000
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    emb: DataFrame,
+    query: tuple = None,
+    query_vec_id: int = RRF_QUERY_VEC_ID,
+    list_k: int = RRF_LIST_K,
+    rrf_k: int = RRF_K,
+    topn: int = RRF_TOPN,
+) -> DataFrame:
+    """(doc_id, lex_rank, sem_rank, rrf): top-``topn`` docs by
+    reciprocal-rank fusion of the BM25 lexical top-``list_k`` (fixed
+    term query) and the brute-force cosine top-``list_k`` for the
+    embedding of ``query_vec_id``.  A rank of 0 means the doc is
+    absent from that list; rrf is the 6dp rendering of the exact
+    micro-unit sum."""
+    from pyspark.sql import Window as W
+
+    from ocr_spark.operators.corpus_ops import BM25_QUERY, bm25_topk
+
+    if query is None:
+        query = BM25_QUERY
+    lex_top = bm25_topk(docs, query=query, topk=list_k)
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    qvec = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    cos = cosine_col(F.col("embedding"), F.col("qvec"))
+    sem_top = (
+        emb.crossJoin(F.broadcast(qvec))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(list_k)
+    )
+    sem = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+        .alias("sem_rank"),
+    )
+
+    def contrib(rank_col: str) -> Column:
+        return F.when(
+            F.col(rank_col) > 0,
+            F.round(
+                F.lit(float(_RRF_SCALE))
+                / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double"))
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("bigint").alias("sem_rank"),
+        )
+        .withColumn("rrf_micro", contrib("lex_rank") + contrib("sem_rank"))
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(
+                F.col("rrf_micro").cast("double") / F.lit(float(_RRF_SCALE)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(topn)
+    )
+
+
+def sql_rrf_fusion(
+    query: tuple = None,
+    query_vec_id: int = RRF_QUERY_VEC_ID,
+    list_k: int = RRF_LIST_K,
+    rrf_k: int = RRF_K,
+    topn: int = RRF_TOPN,
+) -> str:
+    from ocr_spark.operators.corpus_ops import BM25_QUERY, sql_bm25_topk
+
+    if query is None:
+        query = BM25_QUERY
+    s = _RRF_SCALE
+    return f"""
+        WITH lex0 AS ({sql_bm25_topk(query=query, topk=list_k)}),
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS lex_rank
+            FROM lex0
+        ),
+        q AS (
+            SELECT embedding AS qvec FROM embeddings
+            WHERE vec_id = {query_vec_id}
+        ),
+        sem0 AS (
+            SELECT e.vec_id AS doc_id,
+                   round({_sql_cosine('e.embedding', 'q.qvec')}, 4)
+                       AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {query_vec_id}
+            ORDER BY cos_sim DESC, doc_id ASC LIMIT {list_k}
+        ),
+        sem AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY cos_sim DESC, doc_id ASC) AS sem_rank
+            FROM sem0
+        ),
+        fused AS (
+            SELECT COALESCE(l.doc_id, se.doc_id) AS doc_id,
+                   CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+                   CAST(COALESCE(se.sem_rank, 0) AS BIGINT) AS sem_rank
+            FROM lex l FULL OUTER JOIN sem se ON l.doc_id = se.doc_id
+        )
+        SELECT doc_id, lex_rank, sem_rank,
+               round(CAST(
+                   (CASE WHEN lex_rank > 0 THEN CAST(round(
+                        {float(s)} / ({float(rrf_k)} + lex_rank)) AS BIGINT)
+                        ELSE 0 END
+                    + CASE WHEN sem_rank > 0 THEN CAST(round(
+                        {float(s)} / ({float(rrf_k)} + sem_rank)) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / {float(s)}, 6) AS rrf
+        FROM fused
+        ORDER BY rrf DESC, doc_id ASC LIMIT {topn}
+    """

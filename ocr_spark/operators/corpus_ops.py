@@ -3720,3 +3720,206 @@ def sql_stopword_induction(
         ORDER BY df DESC, word ASC
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# T177 — per-language quality deciles WITHOUT a per-document sort
+# ---------------------------------------------------------------------------
+#
+# Quality thresholds must be set PER LANGUAGE (a mean-word-length cut
+# tuned on English throws away perfectly good German), which means
+# per-language score percentiles over the whole corpus.  The naive
+# plan — ntile() partitioned by lang — sorts every document row inside
+# each language partition: a full doc-level sort per language, and one
+# giant partition for the head language.  This operator instead
+# quantizes the score to milli units and aggregates a BOUNDED
+# (lang, score_milli) histogram first; the decile boundaries then come
+# from a cumulative window over that bounded table only.  Ties (all
+# docs at one quantized score level) land in one decile, which is the
+# honest semantics for a threshold anyway — a cut can't split docs
+# with identical scores.
+#
+# Scale shape: the per-doc score is a codegen'd in-row expression; the
+# only corpus-wide exchange carries (lang, score_milli, partial count)
+# after map-side combine (bounded by langs x distinct milli levels);
+# the cumulative window and the decile rollup both run over that
+# bounded table.  No ntile, no doc-level sort, no skewed head-language
+# partition.
+
+DECILES_N = 10
+
+
+def lang_quality_deciles(
+    docs: DataFrame,
+    n_buckets: int = DECILES_N,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, decile, n_docs, lo_mwl, hi_mwl): per-language decile
+    bands of the mean-word-length quality score.  Scores are exact
+    milli units (floor); lo/hi are the band's min/max rendered 3dp;
+    decile is ceil(cum * n_buckets / n_lang) over the histogram's
+    cumulative count, so every document of one score level shares a
+    band."""
+    from pyspark.sql import Window as W
+
+    words = F.filter(_words(F.col(text_col)), lambda w: w != "")
+    n_words = F.size(words).cast("bigint")
+    total_len = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    num = total_len * F.lit(1000)
+    score = F.when(n_words > 0, (num - F.pmod(num, n_words)) / n_words).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    hist = (
+        docs.select(F.col(lang_col).alias("lang"), score.alias("mwl_milli"))
+        .groupBy("lang", "mwl_milli")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wl = W.partitionBy("lang")
+    wcum = (
+        W.partitionBy("lang")
+        .orderBy("mwl_milli")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n").over(wcum)
+    n_lang = F.sum("n").over(wl)
+    dec_num = cum * F.lit(n_buckets) + n_lang - F.lit(1)
+    decile = ((dec_num - F.pmod(dec_num, n_lang)) / n_lang).cast("bigint")
+    return (
+        hist.select(
+            "lang", "mwl_milli", "n", decile.alias("decile")
+        )
+        .groupBy("lang", "decile")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.round(F.min("mwl_milli").cast("double") / 1000.0, 3).alias(
+                "lo_mwl"
+            ),
+            F.round(F.max("mwl_milli").cast("double") / 1000.0, 3).alias(
+                "hi_mwl"
+            ),
+        )
+        .orderBy("lang", "decile")
+    )
+
+
+def sql_lang_quality_deciles(n_buckets: int = DECILES_N) -> str:
+    w = _sql_words("text")
+    return f"""
+        WITH per AS (
+            SELECT lang,
+                   CASE WHEN len(list_filter({w}, x -> x <> '')) > 0
+                        THEN CAST(
+                            (list_sum(list_transform(
+                                 list_filter({w}, x -> x <> ''),
+                                 x -> length(x))) * 1000)
+                            // len(list_filter({w}, x -> x <> ''))
+                            AS BIGINT)
+                        ELSE 0 END AS mwl_milli
+            FROM documents
+        ),
+        hist AS (
+            SELECT lang, mwl_milli, CAST(count(*) AS BIGINT) AS n
+            FROM per GROUP BY lang, mwl_milli
+        ),
+        cumed AS (
+            SELECT lang, mwl_milli, n,
+                   sum(n) OVER (PARTITION BY lang ORDER BY mwl_milli
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(n) OVER (PARTITION BY lang) AS n_lang
+            FROM hist
+        )
+        SELECT lang,
+               CAST((cum * {n_buckets} + n_lang - 1) // n_lang AS BIGINT)
+                   AS decile,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               round(CAST(min(mwl_milli) AS DOUBLE) / 1000.0, 3) AS lo_mwl,
+               round(CAST(max(mwl_milli) AS DOUBLE) / 1000.0, 3) AS hi_mwl
+        FROM cumed
+        GROUP BY lang, CAST((cum * {n_buckets} + n_lang - 1) // n_lang
+                            AS BIGINT)
+        ORDER BY lang, decile
+    """
+
+
+# ---------------------------------------------------------------------------
+# T178 — source x language affinity (contingency/PMI audit)
+# ---------------------------------------------------------------------------
+#
+# A crawl source that is secretly language-skewed biases every
+# source-stratified sample drawn from it; the standard screen is the
+# (source, lang) contingency table with observed-vs-expected lift.
+# PMI is fixed to integer micro-nats (the repo's transcendental
+# contract), so the ranking and values are engine-exact.
+#
+# Scale shape: ONE map-side-combined (source, lang) count — the
+# contingency table is bounded (sources x langs); marginals are
+# re-aggregations of that bounded table via windows, never a second
+# corpus scan.  At 10^12 rows the wide exchange carries only keyed
+# partial counts.
+
+_AFFINITY_SCALE = 1_000_000
+
+
+def src_lang_affinity(
+    docs: DataFrame, source_col: str = "source", lang_col: str = "lang"
+) -> DataFrame:
+    """(source, lang, n, expected, pmi): observed count, expected
+    count under independence (6dp), and ln(observed/expected) in 6dp
+    from exact micro-nat integers, per (source, lang) cell."""
+    from pyspark.sql import Window as W
+
+    cells = docs.groupBy(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_src = F.sum("n").over(W.partitionBy("source"))
+    n_lang = F.sum("n").over(W.partitionBy("lang"))
+    n_tot = F.sum("n").over(W.partitionBy())
+    expected = (
+        n_src.cast("double") * n_lang.cast("double") / n_tot.cast("double")
+    )
+    pmi_micro = F.round(
+        F.log(F.col("n").cast("double") / expected)
+        * F.lit(float(_AFFINITY_SCALE))
+    ).cast("bigint")
+    return (
+        cells.select(
+            "source",
+            "lang",
+            "n",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                pmi_micro.cast("double") / F.lit(float(_AFFINITY_SCALE)), 6
+            ).alias("pmi"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def sql_src_lang_affinity() -> str:
+    s = _AFFINITY_SCALE
+    return f"""
+        WITH cells AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY source, lang
+        ),
+        m AS (
+            SELECT source, lang, n,
+                   sum(n) OVER (PARTITION BY source) AS n_src,
+                   sum(n) OVER (PARTITION BY lang) AS n_lang,
+                   sum(n) OVER () AS n_tot
+            FROM cells
+        )
+        SELECT source, lang, n,
+               round(CAST(n_src AS DOUBLE) * CAST(n_lang AS DOUBLE)
+                     / CAST(n_tot AS DOUBLE), 6) AS expected,
+               round(CAST(CAST(round(
+                   ln(CAST(n AS DOUBLE)
+                      / (CAST(n_src AS DOUBLE) * CAST(n_lang AS DOUBLE)
+                         / CAST(n_tot AS DOUBLE))) * {float(s)})
+                   AS BIGINT) AS DOUBLE) / {float(s)}, 6) AS pmi
+        FROM m
+        ORDER BY source, lang
+    """

@@ -4233,3 +4233,151 @@ def test_ann_mrr_perfect_when_cell_holds_true_nn(spark):
     assert got[100].ivf_rank == 1 and got[100].rr == 1.0
     assert got[200].true_nn == 201
     assert got[200].ivf_rank == 0 and got[200].rr == 0.0
+
+
+# ---------------------------------------------------------------------------
+# T176 rrf_fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_both_lists_beat_single_list(spark):
+    """A doc present in BOTH retrieval lists outranks a doc that tops
+    only one: rrf(rank a in both) = 2/(K+a) > 1/(K+1)."""
+    from ocr_spark.operators.ann import rrf_fusion
+
+    # lexical side: docs 1, 2 contain the BM25 query terms; doc 1
+    # matches more terms so it ranks first lexically.
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition join broadcast skew"),
+            (2, "spark shuffle partition"),
+            (3, "unrelated filler text entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # semantic side: query vec_id=0; doc 1 nearest, then doc 3.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.1, 0.0]),
+            (2, [-1.0, 0.0, 0.0]),
+            (3, [0.9, 0.3, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = rrf_fusion(
+        docs,
+        emb,
+        query=("spark", "shuffle", "partition", "join", "broadcast", "skew"),
+        query_vec_id=0,
+        list_k=2,
+        rrf_k=60,
+        topn=4,
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    # doc 1: lex rank 1 + sem rank 1 -> 2 * round(1e6/61) micro
+    assert by_id[1].lex_rank == 1 and by_id[1].sem_rank == 1
+    assert by_id[1].rrf == round(2 * round(1e6 / 61) / 1e6, 6)
+    # fused order: doc 1 (both lists) first
+    assert got[0].doc_id == 1
+    # doc 2 only lexical, doc 3 only semantic: absent rank renders 0
+    assert by_id[2].sem_rank == 0 and by_id[3].lex_rank == 0
+
+
+def test_rrf_fusion_bounded_inputs(spark):
+    """Both fused inputs are <= list_k rows: output never exceeds
+    topn and every rank is within [0, list_k]."""
+    from ocr_spark.operators.ann import rrf_fusion
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = rrf_fusion(docs, emb, list_k=5, topn=8).collect()
+    assert len(rows) <= 8
+    for r in rows:
+        assert 0 <= r.lex_rank <= 5 and 0 <= r.sem_rank <= 5
+        assert r.lex_rank > 0 or r.sem_rank > 0
+
+
+# ---------------------------------------------------------------------------
+# T177 lang_quality_deciles
+# ---------------------------------------------------------------------------
+
+
+def test_lang_quality_deciles_ties_share_band(spark):
+    """All docs of one quantized score level land in ONE decile (a
+    threshold cannot split identical scores); per-lang doc counts are
+    preserved."""
+    from ocr_spark.operators.corpus_ops import lang_quality_deciles
+
+    rows = [(i, "en", "aa bb cc") for i in range(10)]  # identical score
+    rows += [(100 + i, "de", "x" * (i + 1)) for i in range(10)]  # distinct
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    )
+    got = lang_quality_deciles(docs).collect()
+    en = [r for r in got if r.lang == "en"]
+    # one band holding all 10 docs, decile = ceil(10*10/10) = 10
+    assert len(en) == 1 and en[0].decile == 10 and en[0].n_docs == 10
+    assert en[0].lo_mwl == en[0].hi_mwl == 2.0
+    de = [r for r in got if r.lang == "de"]
+    assert sum(r.n_docs for r in de) == 10
+    # 10 distinct scores over 10 deciles: one per band, monotone
+    assert [r.decile for r in sorted(de, key=lambda r: r.lo_mwl)] == list(
+        range(1, 11)
+    )
+
+
+def test_lang_quality_deciles_histogram_is_bounded(spark):
+    """The corpus-wide exchange carries the (lang, score_milli)
+    histogram, not documents: no ntile / no doc-level global sort in
+    the optimized plan."""
+    from ocr_spark.operators.corpus_ops import lang_quality_deciles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = lang_quality_deciles(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    got = lang_quality_deciles(docs).collect()
+    assert sum(r.n_docs for r in got) == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# T178 src_lang_affinity
+# ---------------------------------------------------------------------------
+
+
+def test_src_lang_affinity_independence_is_zero_pmi(spark):
+    """Perfectly independent source/lang assignment yields pmi == 0
+    and expected == observed in every cell."""
+    from ocr_spark.operators.corpus_ops import src_lang_affinity
+
+    rows = [
+        (i, f"s{i % 2}", ["en", "de"][(i // 2) % 2], "t")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, lang string, text string"
+    )
+    got = src_lang_affinity(docs).collect()
+    assert len(got) == 4
+    for r in got:
+        assert r.n == 10 and r.expected == 10.0 and r.pmi == 0.0
+
+
+def test_src_lang_affinity_skew_is_positive_pmi(spark):
+    """A source that over-represents a language shows positive pmi in
+    that cell and negative in the starved cell."""
+    import math
+
+    from ocr_spark.operators.corpus_ops import src_lang_affinity
+
+    rows = [(i, "s0", "en", "t") for i in range(30)]
+    rows += [(100 + i, "s0", "de", "t") for i in range(10)]
+    rows += [(200 + i, "s1", "en", "t") for i in range(10)]
+    rows += [(300 + i, "s1", "de", "t") for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, lang string, text string"
+    )
+    got = {(r.source, r.lang): r for r in src_lang_affinity(docs).collect()}
+    assert got[("s0", "en")].pmi > 0 > got[("s0", "de")].pmi
+    # exact micro-nat value: ln(30 / (40*40/80)) = ln(1.5)
+    assert got[("s0", "en")].pmi == round(round(math.log(1.5) * 1e6) / 1e6, 6)
