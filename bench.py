@@ -144,6 +144,11 @@ HEADLINE_QUERIES = [
     "host_reputation",
     "length_histogram",
     "mojibake_repair",
+    # round-5 final ops (bounded-list fusion, bounded-histogram
+    # deciles, contingency rollup)
+    "rrf_fusion",
+    "lang_quality_deciles",
+    "src_lang_affinity",
 ]
 
 

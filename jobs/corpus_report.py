@@ -16,6 +16,8 @@ the release-review tables for a (curated) documents table in one pass:
   <report>/context_fit/    context-window fit + truncation loss (T167)
   <report>/mirrors/        cross-host mirror candidates (T169)
   <report>/growth/         Heaps'-law vocabulary growth curve (T161)
+  <report>/quality_deciles/ per-language quality decile bands (T177)
+  <report>/affinity/       source x language PMI lift cells (T178)
 
 Usage (cluster):
 
@@ -108,6 +110,12 @@ def main() -> None:
 
     if "lang" in docs.columns:
         emit("vocab", hll_distinct(docs, text_col=text))
+        from ocr_spark.operators.corpus_ops import lang_quality_deciles
+
+        emit(
+            "quality_deciles",
+            lang_quality_deciles(docs, lang_col="lang", text_col=text),
+        )
     if "n_chars" in docs.columns:
         emit("length", quantile_sketch(docs))
 
@@ -131,6 +139,9 @@ def main() -> None:
         )
         if "lang" in docs.columns:
             emit("host_langs", host_lang_entropy(docs))
+            from ocr_spark.operators.corpus_ops import src_lang_affinity
+
+            emit("affinity", src_lang_affinity(docs))
         emit("residue", residue_audit(docs, text_col=text))
         emit("context_fit", context_fit(docs, text_col=text))
         emit("mirrors", mirror_detect(docs, text_col=text))

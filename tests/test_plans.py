@@ -373,3 +373,48 @@ def test_unigram_drift_single_corpus_scan(spark, entry_mod):
     # the final plan must read the materialized vocab, not re-derive
     assert len(re.findall(r"Scan parquet", plan)) == 0
     assert len(re.findall(r"Scan ExistingRDD", plan)) == 2
+
+
+def test_rrf_fusion_bounded_lists_and_broadcast_query(spark, entry_mod):
+    """T176: the semantic list's query vector reaches the corpus scan
+    as a broadcast (embeddings never shuffle for the crossJoin), the
+    top-k cut is TakeOrderedAndProject on both retriever outputs, and
+    the fusion's full-outer join (sort-merge — FullOuter can't
+    broadcast) consumes only those bounded frames: a TakeOrdered
+    limit=list_k cut sits on EACH side of the join, plus the final
+    topn cut."""
+    import re
+
+    df = entry_mod.queries()["rrf_fusion"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert len(re.findall(r"TakeOrderedAndProject\(limit=20", plan)) == 2
+    assert len(re.findall(r"TakeOrderedAndProject\(limit=15", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_quality_deciles_no_doc_level_sort(spark, entry_mod):
+    """T177: the decile boundaries come from the bounded
+    (lang, score_milli) histogram — no ntile and no document-level
+    global sort may appear; the only window runs over post-aggregation
+    histogram rows."""
+    df = entry_mod.queries()["lang_quality_deciles"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "ntile" not in plan.lower()
+    # the first wide exchange must carry hash-aggregated histogram
+    # rows: a partial_count before any Exchange proves map-side combine
+    before_exchange = plan.split("Exchange", 1)[0]
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan
+
+
+def test_src_lang_affinity_single_scan_bounded_windows(spark, entry_mod):
+    """T178: one parquet scan builds the contingency cells; the
+    marginal windows run over the bounded cells table, never a second
+    corpus pass."""
+    import re
+
+    df = entry_mod.queries()["src_lang_affinity"](spark, SF_DIR)
+    plan = _plan(df)
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "partial_count" in plan

@@ -3130,6 +3130,13 @@ def test_corpus_report_job_end_to_end(spark, tmp_path):
     assert [r.decile for r in growth] == list(range(1, 11))
     assert growth[-1].docs_cum == 500
     assert spark.read.parquet(f"{rep}/mirrors").count() == 0
+    qd = spark.read.parquet(f"{rep}/quality_deciles")
+    assert sum(r.n_docs for r in qd.collect()) == 500
+    assert {r.lang for r in qd.collect()} == {r.lang for r in card.collect()}
+    aff = spark.read.parquet(f"{rep}/affinity").collect()
+    assert sum(r.n for r in aff) == 500
+    # PMI is a log-lift: mean lift weighted by observed counts ~ 0
+    assert all(r.expected > 0 for r in aff)
 
 
 # ---------------------------------------------------------------------------
