@@ -2876,6 +2876,59 @@ def q_src_lang_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src_lang_affinity(_t(spark, sf_dir, "documents"))
 
 
+def q_extraction_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T179: per-source boilerplate-stripping yield of the REAL
+    extraction path — wrap -> extract -> one partial-agg groupBy over
+    the extractor's own bytes_in/chars_out metrics; the oracle
+    restates wrapped-page byte length and normalized-text length from
+    the source row, so a defect anywhere in wrap/admit/extract breaks
+    the hash."""
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.operators.webcorpus import extraction_yield
+    from ocr_spark.sources import wrap_as_html
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.concat_ws(":", "source", "doc_id").alias("url"), "text"
+    )
+    return extraction_yield(
+        extract_documents(wrap_as_html(keyed), n_partitions=8)
+    )
+
+
+def q_extraction_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T180: cross-codec parity — the SAME corpus through BOTH real
+    parsers (HTML boilerplate strip, PDF content-stream parse) must
+    extract identical normalized text per url; per-source char sums
+    agree and n_mismatch == 0."""
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.operators.webcorpus import extraction_parity
+    from ocr_spark.sources import wrap_as_html, wrap_as_pdf
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.concat_ws(":", "source", "doc_id").alias("url"), "text"
+    )
+    return extraction_parity(
+        extract_documents(wrap_as_html(keyed), n_partitions=8),
+        extract_documents(wrap_as_pdf(keyed), n_partitions=8),
+    )
+
+
+def q_meta_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T181: client-side-redirect extraction — the meta-refresh tag
+    planted on doc_id % 7 == 0 rows is pulled back out of the page
+    head by one JVM regex; body text is escaped so content can never
+    counterfeit the tag."""
+    from ocr_spark.operators.webcorpus import (
+        meta_refresh_audit,
+        meta_refresh_pages,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return meta_refresh_audit(meta_refresh_pages(docs))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3018,6 +3071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "lang_quality_deciles": q_lang_quality_deciles,
         "src_lang_affinity": q_src_lang_affinity,
+        "extraction_yield": q_extraction_yield,
+        "extraction_parity": q_extraction_parity,
+        "meta_refresh_audit": q_meta_refresh_audit,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver can only record a weaker
         # rows-only row, so these yield their window slots to the
@@ -3653,6 +3709,9 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": _ann_sql.sql_rrf_fusion(),
         "lang_quality_deciles": _corpus_sql.sql_lang_quality_deciles(),
         "src_lang_affinity": _corpus_sql.sql_src_lang_affinity(),
+        "extraction_yield": _webcorpus_sql.sql_extraction_yield(),
+        "extraction_parity": _webcorpus_sql.sql_extraction_parity(),
+        "meta_refresh_audit": _webcorpus_sql.sql_meta_refresh_audit(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),

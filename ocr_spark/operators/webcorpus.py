@@ -3939,3 +3939,182 @@ def sql_mirror_detect(
         JOIN totals ta ON ta.host = host_a
         JOIN totals tb ON tb.host = host_b
     """
+
+
+# ---------------------------------------------------------------------------
+# T179-T181: extraction-path governance audits
+# ---------------------------------------------------------------------------
+
+def extraction_yield(extracted: DataFrame) -> DataFrame:
+    """T179 (source, n_docs, bytes_in, chars_out, yield_ppm): per-host
+    boilerplate-stripping yield of the REAL extraction path — the
+    table a crawl-budget review reads to see which hosts pay for their
+    bytes (reference: the per-task `bytes_in`/`chars_out` metrics its
+    admin dashboard aggregates, main.py task stats).
+
+    Input is ``extract_documents(wrap_as_html(...))`` output whose
+    ``url`` was planted as ``source:doc_id``; the extractor's own
+    per-doc ``bytes_in`` (payload bytes) and ``chars_out`` (extracted
+    chars) feed one partial-agg groupBy — no second scan, no join.
+    ``yield_ppm`` is integer ppm (``div``), so the oracle reproduces
+    it exactly.  At 100 TB: one map-side-combined agg over ~hosts
+    rows; the extraction pass itself is the zero-shuffle scan path.
+    """
+    return (
+        extracted.select(
+            F.split_part(F.col("url"), F.lit(":"), F.lit(1)).alias("source"),
+            "bytes_in",
+            "chars_out",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("bytes_in").cast("bigint").alias("bytes_in"),
+            F.sum("chars_out").cast("bigint").alias("chars_out"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "bytes_in",
+            "chars_out",
+            F.expr("(1000000 * chars_out) div bytes_in")
+            .cast("bigint")
+            .alias("yield_ppm"),
+        )
+    )
+
+
+def sql_extraction_yield() -> str:
+    """Oracle: restate wrapped-page byte length (strlen of the
+    byte-exact SQL wrapper) and normalized-text length from the source
+    row — a defect anywhere in wrap/admit/extract breaks the hash."""
+    from ocr_spark.sources.wrap import sql_wrapped_html
+
+    page = sql_wrapped_html("text")
+    norm = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+    return f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(strlen({page})) AS BIGINT) AS bytes_in,
+               CAST(sum(length({norm})) AS BIGINT) AS chars_out,
+               CAST((1000000 * CAST(sum(length({norm})) AS BIGINT))
+                    // CAST(sum(strlen({page})) AS BIGINT) AS BIGINT)
+                   AS yield_ppm
+        FROM documents
+        GROUP BY source
+    """
+
+
+def extraction_parity(
+    html_extracted: DataFrame, pdf_extracted: DataFrame
+) -> DataFrame:
+    """T180 (source, n_docs, chars_html, chars_pdf, n_mismatch): the
+    cross-codec parity audit — the SAME corpus pushed through BOTH
+    real parsers (HTML boilerplate strip and PDF content-stream parse)
+    must extract the identical normalized text per url, so per-source
+    char sums agree and ``n_mismatch`` is 0.  This is the regression
+    gate a format-router change runs before shipping: any divergence
+    between the two extraction stacks surfaces as a non-zero cell.
+    One url-keyed join of two extraction outputs (both already
+    url-distinct), then one partial-agg groupBy."""
+    h = html_extracted.select(
+        "url", F.col("chars_out").alias("chars_html")
+    )
+    p = pdf_extracted.select("url", F.col("chars_out").alias("chars_pdf"))
+    return (
+        h.join(p, "url")
+        .select(
+            F.split_part(F.col("url"), F.lit(":"), F.lit(1)).alias("source"),
+            "chars_html",
+            "chars_pdf",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("chars_html").cast("bigint").alias("chars_html"),
+            F.sum("chars_pdf").cast("bigint").alias("chars_pdf"),
+            F.sum(
+                F.when(F.col("chars_html") != F.col("chars_pdf"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mismatch"),
+        )
+    )
+
+
+def sql_extraction_parity() -> str:
+    norm = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+    return f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length({norm})) AS BIGINT) AS chars_html,
+               CAST(sum(length({norm})) AS BIGINT) AS chars_pdf,
+               CAST(0 AS BIGINT) AS n_mismatch
+        FROM documents
+        GROUP BY source
+    """
+
+
+_META_REFRESH_MOD = 7
+
+
+def meta_refresh_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, html): head-only page with a deterministic
+    ``<meta http-equiv="refresh">`` planted on every
+    ``doc_id % 7 == 0`` row, targeting the host's next doc — the
+    client-side-redirect shape a frontier must treat as an edge
+    (reference: the URL routing its task intake normalizes).  Body
+    text is HTML-escaped, so document content can never counterfeit
+    the tag.  Pure column expressions."""
+    from ocr_spark.sources.wrap import _HTML_TEMPLATE_TAIL
+
+    target = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".com/doc/"),
+        (F.col("doc_id") + 1).cast("string"),
+    )
+    refresh = F.when(
+        F.col("doc_id") % _META_REFRESH_MOD == 0,
+        F.concat(
+            F.lit('<meta http-equiv="refresh" content="5;url='),
+            target,
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<!DOCTYPE html>\n<html><head><title>r</title>"),
+        refresh,
+        F.lit("</head>\n<body><main><article><p>"),
+        _escape_html_col(F.col("text")),
+        F.lit("</p>"),
+        F.lit(_HTML_TEMPLATE_TAIL),
+    )
+    return docs.select("doc_id", F.encode(page, "utf-8").alias("html"))
+
+
+def meta_refresh_audit(pages: DataFrame) -> DataFrame:
+    """T181 (doc_id, target_url): extract the meta-refresh redirect
+    target from each page head with one JVM regex; pages without the
+    tag drop out.  Feeds ``redirect_resolve`` (T78) as the
+    client-side-redirect edge source."""
+    body = F.decode(F.col("html"), "utf-8")
+    t = F.regexp_extract(
+        body,
+        '<meta http-equiv="refresh" content="[0-9]+;url=([^"]*)"',
+        1,
+    )
+    return (
+        pages.select("doc_id", t.alias("target_url"))
+        .filter(F.col("target_url") != "")
+    )
+
+
+def sql_meta_refresh_audit() -> str:
+    return f"""
+        SELECT doc_id,
+               'https://' || source || '.com/doc/'
+                   || CAST(doc_id + 1 AS VARCHAR) AS target_url
+        FROM documents
+        WHERE doc_id % {_META_REFRESH_MOD} = 0
+    """

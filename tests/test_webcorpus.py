@@ -972,3 +972,161 @@ def test_url_dedup_single_agg_plan(spark):
     )
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Exchange") <= 1
+
+
+# ---------------------------------------------------------------------------
+# T179-T181 extraction-path governance audits
+# ---------------------------------------------------------------------------
+
+
+def test_extraction_yield_arithmetic(spark):
+    """Per-source sums and the integer-ppm yield over a synthetic
+    extracted frame; ppm is floor((1e6*chars)/bytes) exactly."""
+    from ocr_spark.operators.webcorpus import extraction_yield
+
+    ext = spark.createDataFrame(
+        [
+            ("srcA:1", 1000, 300),
+            ("srcA:2", 3000, 700),
+            ("srcB:3", 512, 512),
+        ],
+        "url string, bytes_in bigint, chars_out bigint",
+    )
+    out = {r.source: r for r in extraction_yield(ext).collect()}
+    assert out["srcA"].n_docs == 2
+    assert out["srcA"].bytes_in == 4000
+    assert out["srcA"].chars_out == 1000
+    assert out["srcA"].yield_ppm == (1_000_000 * 1000) // 4000
+    assert out["srcB"].yield_ppm == 1_000_000
+
+
+def test_extraction_yield_end_to_end_real_extractor(spark):
+    """The wrapped real-extraction path: bytes_in equals the wrapped
+    page's byte length and chars_out equals the normalized text
+    length, per source."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.operators.webcorpus import extraction_yield
+    from ocr_spark.sources import wrap_as_html
+    from ocr_spark.sources.wrap import wrap_text_html
+
+    rows = [
+        (1, "alpha & beta  gamma", "srcA"),
+        (2, "  spaced   out words ", "srcA"),
+        (3, "solo", "srcB"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    keyed = docs.select(
+        F.concat_ws(":", "source", "doc_id").alias("url"), "text"
+    )
+    out = {
+        r.source: r
+        for r in extraction_yield(
+            extract_documents(wrap_as_html(keyed), n_partitions=2)
+        ).collect()
+    }
+    exp_bytes_a = len(wrap_text_html(rows[0][1])) + len(wrap_text_html(rows[1][1]))
+    exp_chars_a = len(" ".join(rows[0][1].split())) + len(
+        " ".join(rows[1][1].split())
+    )
+    assert out["srcA"].bytes_in == exp_bytes_a
+    assert out["srcA"].chars_out == exp_chars_a
+    assert out["srcB"].n_docs == 1
+
+
+def test_extraction_parity_counts_mismatches(spark):
+    """A per-url char divergence between the two codec paths surfaces
+    as n_mismatch > 0; agreement gives 0."""
+    from ocr_spark.operators.webcorpus import extraction_parity
+
+    h = spark.createDataFrame(
+        [("srcA:1", 10), ("srcA:2", 20), ("srcB:3", 5)],
+        "url string, chars_out bigint",
+    )
+    p_ok = spark.createDataFrame(
+        [("srcA:1", 10), ("srcA:2", 20), ("srcB:3", 5)],
+        "url string, chars_out bigint",
+    )
+    p_bad = spark.createDataFrame(
+        [("srcA:1", 10), ("srcA:2", 21), ("srcB:3", 5)],
+        "url string, chars_out bigint",
+    )
+    ok = {r.source: r for r in extraction_parity(h, p_ok).collect()}
+    assert ok["srcA"].n_mismatch == 0 and ok["srcB"].n_mismatch == 0
+    bad = {r.source: r for r in extraction_parity(h, p_bad).collect()}
+    assert bad["srcA"].n_mismatch == 1
+    assert bad["srcA"].chars_html == 30 and bad["srcA"].chars_pdf == 31
+
+
+def test_meta_refresh_planted_rows_only_and_no_counterfeit(spark):
+    """Only doc_id % 7 == 0 rows emit a target; a document whose TEXT
+    contains the literal tag is escaped by the wrapper and cannot
+    counterfeit one."""
+    from ocr_spark.operators.webcorpus import (
+        meta_refresh_audit,
+        meta_refresh_pages,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain words", "srcA"),
+            (1, '<meta http-equiv="refresh" content="5;url=https://evil">', "srcA"),
+            (7, "redirecting page", "srcB"),
+            (9, "more plain", "srcB"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r.doc_id: r.target_url for r in meta_refresh_audit(
+        meta_refresh_pages(docs)
+    ).collect()}
+    assert set(out) == {0, 7}
+    assert out[0] == "https://srcA.com/doc/1"
+    assert out[7] == "https://srcB.com/doc/8"
+
+
+def test_meta_refresh_plan_no_python_no_exchange(spark):
+    """Plant + extract are pure column expressions: narrow plan, no
+    Python eval, no exchange."""
+    import re
+
+    from ocr_spark.operators.webcorpus import (
+        meta_refresh_audit,
+        meta_refresh_pages,
+    )
+
+    plan = (
+        meta_refresh_audit(meta_refresh_pages(_docs(spark)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert not re.findall(r"Exchange hashpartitioning", plan)
+
+
+def test_extraction_yield_single_agg_exchange(spark):
+    """One map-side-combined aggregation after the zero-shuffle
+    extraction scan: exactly one hash-partition exchange of per-source
+    partials in the whole plan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.operators.webcorpus import extraction_yield
+
+    keyed = _docs(spark).select(
+        F.concat_ws(":", "source", "doc_id").alias("url"), "text"
+    )
+    from ocr_spark.sources import wrap_as_html
+
+    plan = (
+        extraction_yield(extract_documents(wrap_as_html(keyed), n_partitions=2))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ex = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(ex) == 1, plan[:2000]
+    assert "partial" in plan.lower()
