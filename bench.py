@@ -149,6 +149,10 @@ HEADLINE_QUERIES = [
     "rrf_fusion",
     "lang_quality_deciles",
     "src_lang_affinity",
+    # extraction-path governance (real wrap->extract pass + one agg;
+    # parity runs BOTH codec paths)
+    "extraction_yield",
+    "extraction_parity",
 ]
 
 

@@ -44,6 +44,13 @@ def main() -> None:
         "--partitions", type=int, default=None, help="shuffle width override"
     )
     ap.add_argument("--run-id", default=None)
+    ap.add_argument(
+        "--yield-report",
+        default=None,
+        help="also write the per-host extraction-yield table (T179: "
+        "n_docs, bytes_in, chars_out, yield_ppm by canonical host) "
+        "to this path — the crawl-budget review table",
+    )
     args = ap.parse_args()
 
     from ocr_spark.plans.lineage import run_pipeline
@@ -59,6 +66,19 @@ def main() -> None:
         n_buckets=args.buckets,
         n_partitions=args.partitions,
     )
+    if args.yield_report:
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.webcorpus import (
+            canonicalize_url,
+            extraction_yield,
+        )
+
+        extracted = spark.read.parquet(args.output)
+        extraction_yield(
+            extracted, key_col=canonicalize_url(F.col("url"))["host"]
+        ).coalesce(1).write.mode("overwrite").parquet(args.yield_report)
+        summary["yield_report"] = args.yield_report
     print(json.dumps(summary))
     spark.stop()
 

@@ -35,6 +35,8 @@ Scale notes per op:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -3945,24 +3947,30 @@ def sql_mirror_detect(
 # T179-T181: extraction-path governance audits
 # ---------------------------------------------------------------------------
 
-def extraction_yield(extracted: DataFrame) -> DataFrame:
+def extraction_yield(
+    extracted: DataFrame, key_col: Optional[Column] = None
+) -> DataFrame:
     """T179 (source, n_docs, bytes_in, chars_out, yield_ppm): per-host
     boilerplate-stripping yield of the REAL extraction path — the
     table a crawl-budget review reads to see which hosts pay for their
     bytes (reference: the per-task `bytes_in`/`chars_out` metrics its
     admin dashboard aggregates, main.py task stats).
 
-    Input is ``extract_documents(wrap_as_html(...))`` output whose
-    ``url`` was planted as ``source:doc_id``; the extractor's own
+    Input is ``extract_documents(...)`` output; the extractor's own
     per-doc ``bytes_in`` (payload bytes) and ``chars_out`` (extracted
     chars) feed one partial-agg groupBy — no second scan, no join.
-    ``yield_ppm`` is integer ppm (``div``), so the oracle reproduces
-    it exactly.  At 100 TB: one map-side-combined agg over ~hosts
-    rows; the extraction pass itself is the zero-shuffle scan path.
+    ``key_col`` picks the grouping key (the production extract job
+    passes the canonical host); the default splits the driver
+    testdata's planted ``source:doc_id`` url.  ``yield_ppm`` is
+    integer ppm (``div``), so the oracle reproduces it exactly.  At
+    100 TB: one map-side-combined agg over ~hosts rows; the extraction
+    pass itself is the zero-shuffle scan path.
     """
+    if key_col is None:
+        key_col = F.split_part(F.col("url"), F.lit(":"), F.lit(1))
     return (
         extracted.select(
-            F.split_part(F.col("url"), F.lit(":"), F.lit(1)).alias("source"),
+            key_col.alias("source"),
             "bytes_in",
             "chars_out",
         )

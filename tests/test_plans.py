@@ -418,3 +418,14 @@ def test_src_lang_affinity_single_scan_bounded_windows(spark, entry_mod):
     plan = _plan(df)
     assert len(re.findall(r"Scan parquet", plan)) == 1
     assert "partial_count" in plan
+
+
+def test_extraction_parity_equi_join_no_cartesian(spark, entry_mod):
+    """T180: the two extraction outputs must meet in a url-keyed
+    equi-join — a nested-loop/cartesian would mean the parity audit
+    silently became all-pairs; the rollup stays one partial agg."""
+    df = entry_mod.queries()["extraction_parity"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" in plan.lower()

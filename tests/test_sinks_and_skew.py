@@ -71,9 +71,22 @@ def test_job_entrypoint_cli(tmp_path):
     r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
     s1 = json.loads(r1.stdout.strip().splitlines()[-1])
     assert s1["docs"] == 80 and s1["buckets_processed"] == 8
-    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    yld = str(tmp_path / "yield")
+    r2 = subprocess.run(
+        cmd + ["--yield-report", yld],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["docs"] == 0 and s2["buckets_processed"] == 0
+    # the yield report covers the full output table (not just this
+    # run's delta): per-host doc counts sum to the corpus size and
+    # extracted chars never exceed payload bytes
+    import pyarrow.parquet as pq
+
+    yt = pq.read_table(yld).to_pylist()
+    assert sum(r["n_docs"] for r in yt) == 80
+    assert all(0 < r["yield_ppm"] <= 1_000_000 for r in yt)
+    assert all(r["chars_out"] <= r["bytes_in"] for r in yt)
 
 
 # ---------------------------------------------------------------------------
