@@ -48,8 +48,12 @@ from ocr_spark.operators.dedup import (
 # ---------------------------------------------------------------------------
 
 CHUNK_WORDS = 20
-# doc_id * _PK_STRIDE + chunk_idx packs (doc, idx) into one bigint so
-# the keep-first winner is a single min(); stride bounds chunks/doc.
+# doc_id * _PK_STRIDE + chunk_idx packs (doc, idx) into one
+# decimal(38,0) (Spark) / HUGEINT (DuckDB) so the keep-first winner is
+# a single map-side-combined min(); stride bounds chunks/doc.  The key
+# is 16 bytes wide on purpose: a bigint pack overflows for hash-derived
+# 63-bit doc_ids (jobs/prepare_documents.py keys docs by
+# xxhash64(url)), max doc_id * stride ~ 9.2e23 < 1e38.
 _PK_STRIDE = 100_000
 
 # Gopher-style repetition thresholds (count fractions, not char
@@ -129,14 +133,18 @@ def chunk_dedup_stats(
         ),
     ).select(
         "doc_id",
-        (F.col("doc_id") * _PK_STRIDE + F.col("idx")).alias("pk"),
+        (
+            F.col("doc_id").cast("decimal(38,0)") * _PK_STRIDE + F.col("idx")
+        ).alias("pk"),
         _hash60(F.col("chunk")).alias("h"),
     )
-    # Winner per chunk hash: map-side-combined min over a bigint.
+    # Winner per chunk hash: map-side-combined min over a 16-byte
+    # decimal (bigint would overflow for hash-derived 63-bit doc_ids:
+    # max doc_id * stride ~ 9.2e23 < 1e38).
     winners = chunks.groupBy("h").agg(F.min("pk").alias("wpk"))
     kept = (
         winners.select(
-            F.floor(F.col("wpk") / _PK_STRIDE).cast("bigint").alias("doc_id")
+            F.expr(f"CAST(wpk div {_PK_STRIDE} AS BIGINT)").alias("doc_id")
         )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_kept"))
@@ -169,7 +177,7 @@ def chunk_dedup_rewrite(
     already occurred in a lower-keyed doc disappears entirely.
 
     Scale shape: the packed winner key alone encodes (doc, idx) —
-    ``floor(wpk / stride)`` / ``wpk % stride`` recover the keep-set —
+    ``wpk // stride`` / ``wpk % stride`` recover the keep-set —
     so the global-dedup shuffles carry 8-16 bytes per chunk exactly
     like the stats op, and document text moves once, in the final
     rewrite join against the per-doc keep-index arrays.
@@ -180,13 +188,15 @@ def chunk_dedup_rewrite(
             "idx", "chunk"
         ),
     ).select(
-        (F.col("doc_id") * _PK_STRIDE + F.col("idx")).alias("pk"),
+        (
+            F.col("doc_id").cast("decimal(38,0)") * _PK_STRIDE + F.col("idx")
+        ).alias("pk"),
         _hash60(F.col("chunk")).alias("h"),
     )
     winners = chunks.groupBy("h").agg(F.min("pk").alias("wpk"))
     keep = (
         winners.select(
-            F.floor(F.col("wpk") / _PK_STRIDE).cast("bigint").alias("doc_id"),
+            F.expr(f"CAST(wpk div {_PK_STRIDE} AS BIGINT)").alias("doc_id"),
             (F.col("wpk") % _PK_STRIDE).cast("int").alias("idx"),
         )
         .groupBy("doc_id")
@@ -224,7 +234,7 @@ def sql_chunk_dedup_rewrite(
         ),
         k AS (
             SELECT doc_id, idx, chunk,
-                   doc_id * {_PK_STRIDE} + idx AS pk,
+                   CAST(doc_id AS HUGEINT) * {_PK_STRIDE} + idx AS pk,
                    CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS h
             FROM ch
         ),
@@ -524,13 +534,13 @@ def sql_chunk_dedup_stats(text_expr: str = "text", n: int = CHUNK_WORDS) -> str:
         ),
         k AS (
             SELECT doc_id,
-                   doc_id * {_PK_STRIDE} + idx AS pk,
+                   CAST(doc_id AS HUGEINT) * {_PK_STRIDE} + idx AS pk,
                    CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS h
             FROM ch
         ),
         win AS (SELECT h, min(pk) AS wpk FROM k GROUP BY h),
         kept AS (
-            SELECT CAST(floor(wpk / {_PK_STRIDE}) AS BIGINT) AS doc_id,
+            SELECT CAST(wpk // {_PK_STRIDE} AS BIGINT) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_kept
             FROM win GROUP BY 1
         ),

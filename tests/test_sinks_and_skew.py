@@ -193,3 +193,69 @@ def test_size_aware_extraction_identical_output(spark, tmp_path):
     b = sorted((r.url, r.status, r.content_hash) for r in routed.collect())
     assert a == b
     assert sum(1 for u, s, h in b if u.startswith("fat://") and s == "completed") == 3
+
+
+def test_build_corpus_orchestrator_end_to_end(spark, tmp_path):
+    """jobs/build_corpus.py chains extract → prepare → curate → dedup
+    → tokenize → report as stage subprocesses, writes a manifest row
+    per stage, and --resume skips completed stages.  Input pages wrap
+    the driver-testdata documents (whose text carries real stopwords,
+    so the Gopher quality gate keeps a nonempty corpus)."""
+    from ocr_spark.sources import wrap_as_html
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(120)
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            "text",
+        )
+    )
+    pages = str(tmp_path / "pages.parquet")
+    wrap_as_html(docs).write.mode("overwrite").parquet(pages)
+
+    work = str(tmp_path / "build")
+    cmd = [
+        sys.executable, os.path.join(REPO, "jobs", "build_corpus.py"),
+        "--input", pages, "--workdir", work, "--buckets", "8",
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=900)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["build"] == "ok"
+
+    manifest = json.load(open(os.path.join(work, "manifest.json")))
+    stages = manifest["stages"]
+    assert set(stages) == {
+        "extract", "prepare", "curate", "dedup", "tokenize", "report"
+    }
+    assert all(s["status"] == "done" for s in stages.values())
+    for s in stages.values():
+        for p in s["outputs"]:
+            assert os.path.exists(p), p
+    # the funnel kept a nonempty corpus and never grew it
+    assert stages["extract"]["summary"]["docs"] == 120
+    assert stages["prepare"]["summary"]["docs"] == 120
+    n_curated = stages["curate"]["summary"]["output"]
+    assert 0 < n_curated <= 120
+
+    import pyarrow.parquet as pq
+
+    deduped = pq.read_table(os.path.join(work, "deduped"))
+    assert 0 < deduped.num_rows <= n_curated
+    assert "cluster_id" in deduped.column_names
+
+    # resume: every stage skips (manifest rows untouched, fast)
+    r2 = subprocess.run(
+        cmd + ["--resume"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert r2.stdout.count("resume — already done") == 6
+    assert json.loads(
+        open(os.path.join(work, "manifest.json")).read()
+    )["stages"] == stages

@@ -4388,3 +4388,35 @@ def test_src_lang_affinity_skew_is_positive_pmi(spark):
     assert got[("s0", "en")].pmi > 0 > got[("s0", "de")].pmi
     # exact micro-nat value: ln(30 / (40*40/80)) = ln(1.5)
     assert got[("s0", "en")].pmi == round(round(math.log(1.5) * 1e6) / 1e6, 6)
+
+
+def test_chunk_dedup_survives_63bit_doc_ids(spark):
+    """The packed (doc, idx) key must not overflow for hash-derived
+    doc_ids (jobs/prepare_documents.py keys by xxhash64(url) with the
+    sign bit cleared): keep-first still resolves by numeric doc_id
+    order at the top of the bigint range."""
+    from ocr_spark.operators.curation import (
+        CHUNK_WORDS,
+        chunk_dedup_rewrite,
+        chunk_dedup_stats,
+        plant_boilerplate_col,
+    )
+
+    big = (1 << 63) - 1
+    ids = [big, big - 1, 12345]
+    uniq = [
+        " ".join(f"w{d}x{i}" for i in range(2 * CHUNK_WORDS))
+        for d in range(len(ids))
+    ]
+    docs = spark.createDataFrame(
+        list(zip(ids, uniq)), "doc_id long, text string"
+    ).withColumn("text", plant_boilerplate_col(F.col("text")))
+    out = {r.doc_id: r for r in chunk_dedup_stats(docs).collect()}
+    assert set(out) == set(ids)
+    # the numerically-smallest doc_id keeps the shared chunks
+    assert out[12345].n_kept == 5 and out[12345].dup_frac == 0.0
+    for d in (big, big - 1):
+        assert out[d].n_kept == 2, out[d]
+    rw = {r.doc_id: r for r in chunk_dedup_rewrite(docs).collect()}
+    assert rw[big].n_kept == 2
+    assert "boilerplate" not in rw[big].clean_text or rw[12345].n_kept == 5
