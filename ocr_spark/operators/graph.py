@@ -982,12 +982,16 @@ def sql_graph_health() -> str:
 # the deterministic synchronous variant: every node simultaneously
 # adopts its neighbors' (most frequent, then smallest) label, a fixed
 # number of rounds.  The (count DESC, label ASC) argmax is packed into
-# ONE bigint — key = n_votes * 2^32 + (2^32 - 1 - label) — so both
-# vote reduction steps are plain max() aggregations with map-side
-# partial combine, bit-identical across engines, no window sort.
+# ONE decimal(38,0) (Spark) / HUGEINT (DuckDB) — key = n_votes * 2^62
+# + (2^62 - 1 - label) — so both vote reduction steps are plain max()
+# aggregations with map-side partial combine (16-byte accumulator),
+# bit-identical across engines, no window sort.  The pack is 2^62, not
+# 2^32: labels are dense node ids (spark.range), so label < 2^62 holds
+# for any corpus, while a 2^32 stride silently corrupts the tie-break
+# beyond 4.3e9 nodes — the exact regime the op's scale note claims.
 
 LPA_ITERS = 2
-_LPA_PACK = 1 << 32
+_LPA_PACK = 1 << 62
 
 
 def lpa_communities(edges: DataFrame, n_nodes: int, n_iter: int = LPA_ITERS) -> DataFrame:
@@ -997,7 +1001,7 @@ def lpa_communities(edges: DataFrame, n_nodes: int, n_iter: int = LPA_ITERS) -> 
 
     Scale shape: per round, (1) vote count — groupBy(dst, label) with
     partial agg, one shuffle of 24-byte rows; (2) argmax — groupBy(dst)
-    max(packed bigint), partial-combined, 16-byte rows.  Labels and
+    max(packed decimal), partial-combined, 16-byte rows.  Labels and
     votes never carry page bytes; rounds are a fixed constant, and the
     loop-invariant undirected edge list is localCheckpoint-truncated
     exactly like the PageRank loop (at production scale, materialize
@@ -1026,15 +1030,15 @@ def lpa_communities(edges: DataFrame, n_nodes: int, n_iter: int = LPA_ITERS) -> 
         )
         packed = votes.groupBy("node").agg(
             F.max(
-                F.col("n") * F.lit(_LPA_PACK)
+                F.col("n").cast("decimal(38,0)") * F.lit(_LPA_PACK)
                 + (F.lit(_LPA_PACK - 1) - F.col("label"))
             ).alias("key")
         )
         winner = packed.select(
             "node",
-            (F.lit(_LPA_PACK - 1) - F.col("key") % F.lit(_LPA_PACK)).alias(
-                "label"
-            ),
+            (F.lit(_LPA_PACK - 1) - F.col("key") % F.lit(_LPA_PACK))
+            .cast("bigint")
+            .alias("label"),
         )
         # isolated nodes (none under the linked_pages construction,
         # but the operator must not silently drop them) keep their own
@@ -1054,7 +1058,7 @@ def lpa_communities(edges: DataFrame, n_nodes: int, n_iter: int = LPA_ITERS) -> 
 
 
 def sql_lpa_communities(n_iter: int = LPA_ITERS) -> str:
-    """The same fixed rounds as chained CTEs, same bigint packing."""
+    """The same fixed rounds as chained CTEs, same HUGEINT packing."""
     pack = _LPA_PACK
     parts = [
         f"WITH e0 AS ({sql_edges()}),",
@@ -1077,11 +1081,13 @@ def sql_lpa_communities(n_iter: int = LPA_ITERS) -> str:
                 GROUP BY und.dst, l.label
             ), w{i + 1} AS (
                 SELECT node,
-                       max(n * {pack} + ({pack - 1} - label)) AS key
+                       max(CAST(n AS HUGEINT) * {pack}
+                           + ({pack - 1} - label)) AS key
                 FROM v{i + 1} GROUP BY node
             ), l{i + 1} AS (
                 SELECT n.node,
-                       COALESCE({pack - 1} - (w.key % {pack}), n.node)
+                       COALESCE(CAST({pack - 1} - (w.key % {pack})
+                                     AS BIGINT), n.node)
                            AS label
                 FROM nodes n LEFT JOIN w{i + 1} w ON n.node = w.node
             )"""
