@@ -2973,10 +2973,12 @@ def sql_lang_rebalance() -> str:
 # text — both already pipeline primitives.
 #
 # Scale shape: the (doc, word) count is map-side combined; the decile
-# assignment sorts only (score_micro, doc_id) PAIRS (16 bytes/doc) —
-# at real scale the sort becomes approx range boundaries
-# (approxQuantile) + a broadcast bucket lookup, noted here because the
-# exact ntile keeps the oracle bit-identical.
+# assignment is the T177 histogram shape — scores are already exact
+# micro units (≤ 1e6 + 1 distinct values), so ONE map-side-combined
+# (score_micro) histogram shuffles and the decile boundaries come from
+# a cumulative window over that bounded table.  No corpus-wide ntile
+# sort exists: a single reducer ordering 10^12 (score, doc) pairs is
+# exactly the plan T177 was built to avoid, and this op follows it.
 
 CALIB_BUCKETS = 10
 
@@ -2988,8 +2990,11 @@ def quality_calibration(
     text_col: str = "text",
 ) -> DataFrame:
     """(decile, n_docs, n_dups, dup_rate, mean_score): type/token-ratio
-    deciles (1-based) vs exact-duplicate incidence; score in exact
-    micro units, ratios 6dp."""
+    decile bands vs exact-duplicate incidence; score in exact micro
+    units, ratios 6dp.  decile is ceil(cum * n_buckets / n_docs) over
+    the score histogram's cumulative count (T177 banding), so every
+    document at one score level shares a band and only the bands that
+    own documents appear."""
     from pyspark.sql import Window as W
 
     key = F.col(key_col)
@@ -3021,21 +3026,32 @@ def quality_calibration(
             F.coalesce(score, F.lit(0)).alias("score_micro"),
         )
     )
-    wd = W.orderBy("score_micro", "doc_id")
+    hist = flagged.groupBy("score_micro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dup").cast("bigint").alias("nd"),
+    )
+    wcum = W.orderBy("score_micro").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = F.sum("n").over(wcum)
+    total = F.sum("n").over(W.partitionBy())
+    dec_num = cum * F.lit(n_buckets) + total - F.lit(1)
+    decile = ((dec_num - F.pmod(dec_num, total)) / total).cast("bigint")
     return (
-        flagged.withColumn("decile", F.ntile(n_buckets).over(wd))
+        hist.select(
+            "score_micro", "n", "nd", decile.alias("decile")
+        )
         .groupBy("decile")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("dup").cast("bigint").alias("n_dups"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.sum("nd").cast("bigint").alias("n_dups"),
             F.round(
-                F.sum("dup").cast("double")
-                / F.count(F.lit(1)).cast("double"),
+                F.sum("nd").cast("double") / F.sum("n").cast("double"),
                 6,
             ).alias("dup_rate"),
             F.round(
-                F.sum("score_micro").cast("double")
-                / F.count(F.lit(1)).cast("double")
+                F.sum(F.col("score_micro") * F.col("n")).cast("double")
+                / F.sum("n").cast("double")
                 / 1_000_000.0,
                 6,
             ).alias("mean_score"),
@@ -3076,19 +3092,31 @@ def sql_quality_calibration(n_buckets: int = CALIB_BUCKETS) -> str:
                        AS score_micro
             FROM documents d LEFT JOIN per p USING (doc_id)
         ),
+        hist AS (
+            SELECT score_micro,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(dup) AS BIGINT) AS nd
+            FROM flagged GROUP BY score_micro
+        ),
+        cumed AS (
+            SELECT score_micro, n, nd,
+                   sum(n) OVER (ORDER BY score_micro) AS cum,
+                   sum(n) OVER () AS tot
+            FROM hist
+        ),
         bucketed AS (
-            SELECT dup, score_micro,
-                   ntile({n_buckets})
-                       OVER (ORDER BY score_micro, doc_id) AS decile
-            FROM flagged
+            SELECT score_micro, n, nd,
+                   CAST((cum * {n_buckets} + tot - 1) // tot AS BIGINT)
+                       AS decile
+            FROM cumed
         )
         SELECT CAST(decile AS INTEGER) AS decile,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(dup) AS BIGINT) AS n_dups,
-               round(CAST(sum(dup) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
-               round(CAST(sum(score_micro) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(nd) AS BIGINT) AS n_dups,
+               round(CAST(sum(nd) AS DOUBLE)
+                     / CAST(sum(n) AS DOUBLE), 6) AS dup_rate,
+               round(CAST(sum(score_micro * n) AS DOUBLE)
+                     / CAST(sum(n) AS DOUBLE) / 1000000.0, 6)
                    AS mean_score
         FROM bucketed
         GROUP BY decile
@@ -3255,14 +3283,19 @@ def sql_numeric_density(text_expr: str = "text") -> str:
 # too-flat curve means heavy duplication (new docs add no new words),
 # a too-steep one means noise/mojibake minting junk types.  The curve
 # is evaluated at DECILE checkpoints of the corpus in the seeded
-# deterministic shuffle order (T74's layout), so "the first 30% of
+# deterministic shuffle order (T74's layout), so "the first ~30% of
 # the corpus" means the same documents at any cluster size.
 #
-# Scale shape: the decile assignment sorts (draw, doc_id) pairs only;
-# each word shuffles once for its min-draw (first occurrence); the
-# checkpoint table is 10 broadcast rows, and the per-word checkpoint
-# probe is a bounded x10 broadcast join of 8-byte rows — no
-# corpus-sized doc->decile join anywhere.
+# Scale shape: deciles are FIXED equal-width slices of the uniform
+# 60-bit draw space (decile = draw div ceil(2^60/n)) — a pure row
+# expression, deterministic at any cluster size, populations hash-
+# uniform to ±O(sqrt(n)) which a growth curve doesn't care about.  A
+# corpus-wide ntile over draw (the obvious alternative) funnels every
+# row through ONE reducer's sort; this shape shuffles nothing for the
+# assignment at all.  Each word shuffles once for its min-draw (first
+# occurrence); the checkpoint probe is a bounded x10 broadcast join of
+# 8-byte rows against constant range thresholds — no corpus-sized
+# doc->decile join anywhere.
 
 GROWTH_BUCKETS = 10
 
@@ -3276,11 +3309,15 @@ def vocab_growth(
 ) -> DataFrame:
     """(decile, docs_cum, tokens_cum, types_cum): cumulative corpus
     size and distinct-word count at seeded-shuffle-order decile
-    checkpoints — the Heaps'-law growth curve."""
+    checkpoints — the Heaps'-law growth curve.  Deciles are fixed
+    equal-width slices of the uniform 60-bit draw space (populations
+    hash-uniform, not exactly equal), so the assignment is a pure row
+    expression and every decile row appears even when empty."""
     from pyspark.sql import Window as W
 
     from ocr_spark.operators.dedup import _hash60
 
+    width = ((1 << 60) + n_buckets - 1) // n_buckets
     key = F.col(key_col)
     words = _words(F.col(text_col))
     n_tok = F.size(F.filter(words, lambda w: w != "")).cast("bigint")
@@ -3291,19 +3328,30 @@ def vocab_growth(
         n_tok.alias("n_tok"),
         draw.alias("draw"),
     )
-    wd = W.orderBy("draw", "doc_id")
-    deciled = d.withColumn("decile", F.ntile(n_buckets).over(wd))
+    deciled = d.withColumn(
+        "decile", F.expr(f"CAST(draw div {width} AS INT) + 1")
+    )
     per_dec = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_toks"),
-        F.max("draw").cast("bigint").alias("th"),
+    )
+    spine = (
+        docs.sparkSession.range(1, n_buckets + 1)
+        .select(F.col("id").cast("int").alias("decile"))
     )
     wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = per_dec.select(
-        "decile",
-        F.sum("n_docs").over(wc).cast("bigint").alias("docs_cum"),
-        F.sum("n_toks").over(wc).cast("bigint").alias("tokens_cum"),
-        "th",
+    cum = (
+        spine.join(per_dec, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+        )
+        .select(
+            "decile",
+            F.sum("n_docs").over(wc).cast("bigint").alias("docs_cum"),
+            F.sum("n_toks").over(wc).cast("bigint").alias("tokens_cum"),
+        )
     )
     first = (
         d.select("draw", F.explode(_words(F.col("text"))).alias("w"))
@@ -3313,19 +3361,22 @@ def vocab_growth(
     )
     types = (
         first.join(
-            F.broadcast(cum.select("decile", "th")),
-            F.col("min_draw") <= F.col("th"),
+            F.broadcast(spine),
+            F.col("min_draw")
+            < F.col("decile").cast("bigint") * F.lit(width),
         )
         .groupBy("decile")
         .agg(F.count(F.lit(1)).cast("bigint").alias("types_cum"))
     )
     return (
-        cum.join(types, "decile")
+        cum.join(types, "decile", "left")
         .select(
             F.col("decile").cast("int").alias("decile"),
             "docs_cum",
             "tokens_cum",
-            "types_cum",
+            F.coalesce("types_cum", F.lit(0)).cast("bigint").alias(
+                "types_cum"
+            ),
         )
     )
 
@@ -3334,6 +3385,7 @@ def sql_vocab_growth(
     n_buckets: int = GROWTH_BUCKETS, seed: str = "growth"
 ) -> str:
     w = _sql_words("text")
+    width = ((1 << 60) + n_buckets - 1) // n_buckets
     draw = (
         f"CAST('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)),"
         " 1, 15) AS BIGINT)"
@@ -3344,29 +3396,41 @@ def sql_vocab_growth(
                    CAST(len(list_filter({w}, x -> x <> '')) AS BIGINT)
                        AS n_tok,
                    {draw} AS draw,
-                   ntile({n_buckets})
-                       OVER (ORDER BY {draw}, doc_id) AS decile
+                   CAST({draw} // {width} AS INTEGER) + 1 AS decile
             FROM documents
         ),
-        cum AS (
-            SELECT decile,
-                   CAST(sum(count(*)) OVER (ORDER BY decile) AS BIGINT)
-                       AS docs_cum,
-                   CAST(sum(sum(n_tok)) OVER (ORDER BY decile) AS BIGINT)
-                       AS tokens_cum,
-                   max(draw) AS th
+        spine AS (
+            SELECT CAST(unnest(range(1, {n_buckets + 1})) AS INTEGER)
+                AS decile
+        ),
+        per AS (
+            SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_tok) AS BIGINT) AS t
             FROM d GROUP BY decile
+        ),
+        cum AS (
+            SELECT s.decile,
+                   CAST(sum(COALESCE(p.n, 0)) OVER (ORDER BY s.decile)
+                        AS BIGINT) AS docs_cum,
+                   CAST(sum(COALESCE(p.t, 0)) OVER (ORDER BY s.decile)
+                        AS BIGINT) AS tokens_cum
+            FROM spine s LEFT JOIN per p USING (decile)
         ),
         first AS (
             SELECT wd AS w, min(draw) AS min_draw
             FROM (SELECT draw, unnest({w}) AS wd FROM d)
             WHERE wd <> '' GROUP BY wd
+        ),
+        types AS (
+            SELECT s.decile, CAST(count(*) AS BIGINT) AS types_cum
+            FROM spine s
+            JOIN first f
+              ON f.min_draw < CAST(s.decile AS BIGINT) * {width}
+            GROUP BY s.decile
         )
-        SELECT CAST(c.decile AS INTEGER) AS decile, c.docs_cum,
-               c.tokens_cum,
-               CAST(count(*) AS BIGINT) AS types_cum
-        FROM cum c JOIN first f ON f.min_draw <= c.th
-        GROUP BY c.decile, c.docs_cum, c.tokens_cum
+        SELECT c.decile, c.docs_cum, c.tokens_cum,
+               CAST(COALESCE(t.types_cum, 0) AS BIGINT) AS types_cum
+        FROM cum c LEFT JOIN types t USING (decile)
     """
 
 

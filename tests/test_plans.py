@@ -429,3 +429,15 @@ def test_extraction_parity_equi_join_no_cartesian(spark, entry_mod):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial" in plan.lower()
+
+
+def test_decile_ops_have_no_corpus_ntile(spark, entry_mod):
+    """T155/T161: both decile curves must compile WITHOUT a corpus-wide
+    ntile window — quality_calibration bands over the bounded score
+    histogram (T177 shape) and vocab_growth assigns fixed hash ranges
+    in-row; an `ntile` in either plan means a single reducer sorts the
+    whole corpus again."""
+    for name in ("quality_calibration", "vocab_growth"):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        plan = _plan(df)
+        assert "ntile" not in plan.lower(), name
