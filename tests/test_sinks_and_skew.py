@@ -259,3 +259,30 @@ def test_build_corpus_orchestrator_end_to_end(spark, tmp_path):
     assert json.loads(
         open(os.path.join(work, "manifest.json")).read()
     )["stages"] == stages
+
+    # partial build (--stop-after prepare) then full --resume: the
+    # completed prefix skips, the remaining stages run — the job-level
+    # kill/rerun recovery contract
+    work2 = str(tmp_path / "build2")
+    cmd2 = [
+        sys.executable, os.path.join(REPO, "jobs", "build_corpus.py"),
+        "--input", pages, "--workdir", work2, "--buckets", "8",
+    ]
+    p1 = subprocess.run(
+        cmd2 + ["--stop-after", "prepare"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    m1 = json.load(open(os.path.join(work2, "manifest.json")))
+    assert set(m1["stages"]) == {"extract", "prepare"}
+    p2 = subprocess.run(
+        cmd2 + ["--resume"],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert p2.stdout.count("resume — already done") == 2
+    m2 = json.load(open(os.path.join(work2, "manifest.json")))
+    assert all(s["status"] == "done" for s in m2["stages"].values())
+    assert len(m2["stages"]) == 6
+    # the resumed build lands the same curated corpus
+    assert m2["stages"]["curate"]["summary"]["output"] == n_curated
