@@ -2929,6 +2929,36 @@ def q_meta_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_refresh_audit(meta_refresh_pages(docs))
 
 
+def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T182: LSH health dashboard — per-band bucket census (sizes,
+    singletons, exact candidate-pair mass, over-cap count) over the
+    standard near-dup corpus; the table MAX_MINHASH_BUCKET and the
+    (bands, rows) tuning are reviewed against."""
+    from ocr_spark.operators.dedup import minhash_band_stats, neardup_corpus
+
+    return minhash_band_stats(neardup_corpus(_tw(spark, sf_dir, "documents")))
+
+
+def q_crawl_budget_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T183: crawl-budget Pareto frontier — hosts ranked by the REAL
+    extraction path's yield with cumulative bytes/chars ppm; 'what
+    fraction of the crawl buys what fraction of the text'."""
+    from ocr_spark.operators import extract_documents
+    from ocr_spark.operators.webcorpus import (
+        crawl_budget_pareto,
+        extraction_yield,
+    )
+    from ocr_spark.sources import wrap_as_html
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.concat_ws(":", "source", "doc_id").alias("url"), "text"
+    )
+    return crawl_budget_pareto(
+        extraction_yield(extract_documents(wrap_as_html(keyed), n_partitions=8))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3074,6 +3104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_yield": q_extraction_yield,
         "extraction_parity": q_extraction_parity,
         "meta_refresh_audit": q_meta_refresh_audit,
+        "minhash_band_stats": q_minhash_band_stats,
+        "crawl_budget_pareto": q_crawl_budget_pareto,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver can only record a weaker
         # rows-only row, so these yield their window slots to the
@@ -3712,6 +3744,8 @@ def oracle_sql() -> dict[str, str]:
         "extraction_yield": _webcorpus_sql.sql_extraction_yield(),
         "extraction_parity": _webcorpus_sql.sql_extraction_parity(),
         "meta_refresh_audit": _webcorpus_sql.sql_meta_refresh_audit(),
+        "minhash_band_stats": _dedup_sql.sql_minhash_band_stats(),
+        "crawl_budget_pareto": _webcorpus_sql.sql_crawl_budget_pareto(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),

@@ -1113,3 +1113,72 @@ def sql_dup_transitivity() -> str:
                     ELSE 0.0 END AS clustering_coeff
         FROM nt, tri, ne
     """
+
+
+def minhash_band_stats(
+    corpus: DataFrame, max_bucket: int = MAX_MINHASH_BUCKET
+) -> DataFrame:
+    """T182 (band, n_buckets, n_docs, n_singleton, max_bucket,
+    n_pairs, n_over_cap): the LSH health dashboard — per-band bucket
+    census the MAX_MINHASH_BUCKET cap and the (bands, rows) tuning are
+    reviewed against.  n_pairs is the exact candidate-pair mass
+    sum(sz*(sz-1)/2); a band whose n_pairs explodes or whose
+    n_over_cap grows is the first sign boilerplate is gluing the
+    corpus into degenerate buckets.
+
+    Scale shape: bucket sizes come from ONE map-side-combined
+    (band, key) count (the same shuffle the candidate join pays —
+    never shingles); the per-band rollup is bounded at MINHASH_BANDS
+    rows.  Integer arithmetic end-to-end so the oracle is exact."""
+    sizes = (
+        _band_keyed(corpus)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum((F.col("sz") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_singleton"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.expr("(sz * (sz - 1)) div 2"))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.sum((F.col("sz") > max_bucket).cast("bigint"))
+            .cast("bigint")
+            .alias("n_over_cap"),
+        )
+        .orderBy("band")
+    )
+
+
+def sql_minhash_band_stats(max_bucket: int = MAX_MINHASH_BUCKET) -> str:
+    return f"""
+        WITH corpus AS ({sql_neardup_corpus()}),
+        shingled AS (
+            SELECT doc_id, {sql_shingles('text')} AS sh FROM corpus
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   unnest(range(0, {MINHASH_BANDS})) AS band,
+                   unnest({sql_band_keys('sh')}) AS key
+            FROM shingled
+        ),
+        sizes AS (
+            SELECT band, key, CAST(count(*) AS BIGINT) AS sz
+            FROM keyed GROUP BY band, key
+        )
+        SELECT band,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(sz) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singleton,
+               CAST(max(sz) AS BIGINT) AS max_bucket,
+               CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN sz > {max_bucket} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over_cap
+        FROM sizes GROUP BY band
+    """

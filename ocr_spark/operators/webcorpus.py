@@ -4126,3 +4126,84 @@ def sql_meta_refresh_audit() -> str:
         FROM documents
         WHERE doc_id % {_META_REFRESH_MOD} = 0
     """
+
+
+def crawl_budget_pareto(yield_table: DataFrame) -> DataFrame:
+    """T183 (source, rank, yield_ppm, bytes_cum_ppm, chars_cum_ppm):
+    the crawl-budget Pareto frontier — hosts ranked by extraction
+    yield (best first), with cumulative crawl bytes and extracted
+    chars as ppm of corpus totals.  Reading down the table answers
+    "what fraction of the crawl budget buys what fraction of the
+    useful text" — the curve a recrawl-budget review allocates
+    against (composes T179's yield with T85's tiers).
+
+    Scale shape: all windows run over the BOUNDED per-host table
+    (same class as budget_allocate/politeness_schedule), never the
+    corpus; integer ppm (`div`) end-to-end so the oracle is exact."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("yield_ppm"), F.asc("source"))
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    return (
+        yield_table.select(
+            "source",
+            "yield_ppm",
+            "bytes_in",
+            "chars_out",
+        )
+        .select(
+            "source",
+            F.row_number().over(w).cast("int").alias("rank"),
+            "yield_ppm",
+            F.expr(
+                "(1000000 * sum(bytes_in) OVER (ORDER BY yield_ppm DESC,"
+                " source ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+                " ROW)) div sum(bytes_in) OVER ()"
+            )
+            .cast("bigint")
+            .alias("bytes_cum_ppm"),
+            F.expr(
+                "(1000000 * sum(chars_out) OVER (ORDER BY yield_ppm DESC,"
+                " source ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+                " ROW)) div sum(chars_out) OVER ()"
+            )
+            .cast("bigint")
+            .alias("chars_cum_ppm"),
+        )
+    )
+
+
+def sql_crawl_budget_pareto() -> str:
+    """Oracle: the same frontier restated from the source rows (T179's
+    byte/char arithmetic + identical window frames)."""
+    from ocr_spark.sources.wrap import sql_wrapped_html
+
+    page = sql_wrapped_html("text")
+    norm = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+    return f"""
+        WITH y AS (
+            SELECT source,
+                   CAST(sum(strlen({page})) AS BIGINT) AS bytes_in,
+                   CAST(sum(length({norm})) AS BIGINT) AS chars_out,
+                   CAST((1000000 * CAST(sum(length({norm})) AS BIGINT))
+                        // CAST(sum(strlen({page})) AS BIGINT) AS BIGINT)
+                       AS yield_ppm
+            FROM documents
+            GROUP BY source
+        )
+        SELECT source,
+               CAST(row_number() OVER
+                    (ORDER BY yield_ppm DESC, source ASC) AS INTEGER)
+                   AS rank,
+               yield_ppm,
+               CAST((1000000 * sum(bytes_in) OVER
+                     (ORDER BY yield_ppm DESC, source ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    // sum(bytes_in) OVER () AS BIGINT) AS bytes_cum_ppm,
+               CAST((1000000 * sum(chars_out) OVER
+                     (ORDER BY yield_ppm DESC, source ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    // sum(chars_out) OVER () AS BIGINT) AS chars_cum_ppm
+        FROM y
+    """

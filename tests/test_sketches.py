@@ -663,3 +663,31 @@ def test_kmv_overlap_estimator_regime_tracks_exact(spark):
     assert r.m_union == 64  # estimator branch exercised
     assert abs(r.jaccard_kmv - r.jaccard_exact) < 0.5
     assert r.union_kmv > 64
+
+
+def test_minhash_band_stats_census_consistency(spark):
+    """T182: per-band bucket census — doc mass conserved per band,
+    pair mass matches the brute-force per-bucket formula, identical
+    docs collide in every band."""
+    from ocr_spark.operators.dedup import (
+        MINHASH_BANDS,
+        minhash_band_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words in this document here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.band: r for r in minhash_band_stats(docs).collect()}
+    assert set(got) == set(range(MINHASH_BANDS))
+    for r in got.values():
+        assert r.n_docs == 3
+        # docs 1 and 2 are identical -> they share a bucket in EVERY
+        # band, so each band has exactly one pair and <= 2 buckets
+        assert r.n_pairs == 1 and r.max_bucket == 2
+        assert r.n_buckets == 2 and r.n_singleton == 1
+        assert r.n_over_cap == 0

@@ -1130,3 +1130,28 @@ def test_extraction_yield_single_agg_exchange(spark):
     ex = re.findall(r"Exchange hashpartitioning", plan)
     assert len(ex) == 1, plan[:2000]
     assert "partial" in plan.lower()
+
+
+def test_crawl_budget_pareto_orders_and_accumulates(spark):
+    """T183: best-yield host ranks first; cumulative ppm reach exactly
+    1e6 at the last rank; frontier dominance (chars fraction >= bytes
+    fraction at every prefix when ranked by yield)."""
+    from ocr_spark.operators.webcorpus import crawl_budget_pareto
+
+    y = spark.createDataFrame(
+        [
+            ("good", 4, 1000, 900, 900_000),
+            ("mid", 4, 1000, 500, 500_000),
+            ("junk", 4, 2000, 100, 50_000),
+        ],
+        "source string, n_docs bigint, bytes_in bigint,"
+        " chars_out bigint, yield_ppm bigint",
+    )
+    got = sorted(crawl_budget_pareto(y).collect(), key=lambda r: r.rank)
+    assert [r.source for r in got] == ["good", "mid", "junk"]
+    assert got[-1].bytes_cum_ppm == 1_000_000
+    assert got[-1].chars_cum_ppm == 1_000_000
+    assert got[0].bytes_cum_ppm == 250_000   # 1000/4000
+    assert got[0].chars_cum_ppm == 600_000   # 900/1500
+    for r in got:
+        assert r.chars_cum_ppm >= r.bytes_cum_ppm
