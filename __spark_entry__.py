@@ -2959,6 +2959,25 @@ def q_crawl_budget_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T184: Jaccard-gate threshold sweep — kept-pair counts at 0.7 /
+    0.8 / 0.9 from ONE pair-Jaccard pass, quantized to integer milli
+    units before comparison so the sweep is engine-exact."""
+    from ocr_spark.operators.dedup import dedup_threshold_sweep
+
+    return dedup_threshold_sweep(_tw(spark, sf_dir, "documents"))
+
+
+def q_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T185: per-host PII prevalence — sparse deterministic planting
+    (email on %3, phone on %5 docs), extracted back with the T27
+    scrubber's own regexes, rolled up per source; the oracle restates
+    the planting arithmetic."""
+    from ocr_spark.operators.curation import pii_prevalence
+
+    return pii_prevalence(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3106,6 +3125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_refresh_audit": q_meta_refresh_audit,
         "minhash_band_stats": q_minhash_band_stats,
         "crawl_budget_pareto": q_crawl_budget_pareto,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "pii_prevalence": q_pii_prevalence,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver can only record a weaker
         # rows-only row, so these yield their window slots to the
@@ -3746,6 +3767,8 @@ def oracle_sql() -> dict[str, str]:
         "meta_refresh_audit": _webcorpus_sql.sql_meta_refresh_audit(),
         "minhash_band_stats": _dedup_sql.sql_minhash_band_stats(),
         "crawl_budget_pareto": _webcorpus_sql.sql_crawl_budget_pareto(),
+        "dedup_threshold_sweep": _dedup_sql.sql_dedup_threshold_sweep(),
+        "pii_prevalence": _curation_sql.sql_pii_prevalence(),
         "stream_hll": _sketches_sql.sql_hll_distinct(),
         "politeness_schedule": _webcorpus_sql.sql_politeness_schedule(),
         "url_templates": _webcorpus_sql.sql_url_templates(),

@@ -1914,3 +1914,94 @@ def sql_list_page_detect(text_expr: str = "text") -> str:
                    AS list_share
         FROM d GROUP BY host
     """
+
+
+_PII_EMAIL_MOD = 3
+_PII_PHONE_MOD = 5
+
+
+def pii_sparse_inject_col(text: Column, key: Column) -> Column:
+    """Variable-prevalence PII planting: an email on every
+    ``key % 3 == 0`` doc, a phone on every ``key % 5 == 0`` doc (both
+    at %15) — gives the prevalence rollup a non-degenerate
+    distribution, unlike :func:`pii_inject_col`'s one-of-each."""
+    email = F.when(
+        key % _PII_EMAIL_MOD == 0,
+        F.concat(
+            F.lit(" contact u"),
+            key.cast("string"),
+            F.lit("@mail"),
+            (key % 7).cast("string"),
+            F.lit(".example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        key % _PII_PHONE_MOD == 0,
+        F.concat(
+            F.lit(" call +1-555-"),
+            F.lpad((key % 10_000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.substring(text, 1, 80), email, phone)
+
+
+def pii_prevalence(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """T185 (source, n_docs, docs_with_email, docs_with_phone,
+    n_emails, n_phones): per-host PII prevalence — the governance view
+    a release review reads BEFORE deciding where the T27 scrubber must
+    run (a host with pervasive PII gets quarantined, not scrubbed).
+    Extraction is the same JVM regexes as the scrubber, so the rollup
+    counts what redaction would actually touch.  One map-side-combined
+    per-source aggregation over in-row regex counts."""
+    planted = pii_sparse_inject_col(F.col(text_col), F.col(key_col))
+    ne = F.size(F.regexp_extract_all(planted, F.lit(PII_EMAIL_RE), 0)).cast(
+        "bigint"
+    )
+    np_ = F.size(F.regexp_extract_all(planted, F.lit(PII_PHONE_RE), 0)).cast(
+        "bigint"
+    )
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            ne.alias("ne"),
+            np_.alias("np"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("ne") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("docs_with_email"),
+            F.sum((F.col("np") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("docs_with_phone"),
+            F.sum("ne").cast("bigint").alias("n_emails"),
+            F.sum("np").cast("bigint").alias("n_phones"),
+        )
+    )
+
+
+def sql_pii_prevalence() -> str:
+    """Oracle: prevalence restated from the planting arithmetic — the
+    regex extraction must recover exactly the planted occurrences."""
+    return f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN doc_id % {_PII_EMAIL_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_with_email,
+               CAST(sum(CASE WHEN doc_id % {_PII_PHONE_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_with_phone,
+               CAST(sum(CASE WHEN doc_id % {_PII_EMAIL_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_emails,
+               CAST(sum(CASE WHEN doc_id % {_PII_PHONE_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_phones
+        FROM documents
+        GROUP BY source
+    """

@@ -1182,3 +1182,88 @@ def sql_minhash_band_stats(max_bucket: int = MAX_MINHASH_BUCKET) -> str:
                     AS BIGINT) AS n_over_cap
         FROM sizes GROUP BY band
     """
+
+
+SWEEP_THRESHOLDS_MILLI = (700, 800, 900)
+
+
+def dedup_threshold_sweep(
+    docs: DataFrame,
+    thresholds_milli: tuple = SWEEP_THRESHOLDS_MILLI,
+) -> DataFrame:
+    """T184 (threshold_milli, n_pairs): how many planted near-dup
+    pairs a Jaccard gate keeps at each candidate threshold — the
+    evidence table the production cutoff (T4's 0.8) is chosen from,
+    computed from ONE pair-Jaccard pass.
+
+    Jaccard is quantized to exact integer milli units
+    ((1000*|∩|) div |∪|) BEFORE comparison, so the sweep is
+    bit-identical across engines — no float-boundary flakiness at the
+    exact threshold.  Scale shape: the pair set is the bounded planted
+    (doc, mutant) pairing (production feeds `minhash_candidate_pairs`
+    here); the sweep itself is one conditional aggregation."""
+    pairs = docs.select(
+        "doc_id",
+        F.array_distinct(shingles_col(F.col("text"))).alias("sa"),
+        F.array_distinct(
+            shingles_col(_mutated_text(F.col("text"), F.col("n_chars")))
+        ).alias("sb"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("bigint")
+    union = (
+        F.size("sa").cast("bigint") + F.size("sb").cast("bigint") - inter
+    )
+    jac_milli = F.expr(
+        f"({1000} * CAST(size(array_intersect(sa, sb)) AS BIGINT)) div "
+        "(CAST(size(sa) AS BIGINT) + CAST(size(sb) AS BIGINT)"
+        " - CAST(size(array_intersect(sa, sb)) AS BIGINT))"
+    )
+    j = pairs.select(jac_milli.alias("jm"))
+    counts = j.agg(
+        *[
+            F.sum((F.col("jm") >= t).cast("bigint")).alias(f"c{t}")
+            for t in thresholds_milli
+        ]
+    )
+    stacked = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("int").alias("threshold_milli"),
+                        F.col(f"c{t}").cast("bigint").alias("n_pairs"),
+                    )
+                    for t in thresholds_milli
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.threshold_milli", "s.n_pairs")
+
+
+def sql_dedup_threshold_sweep(
+    thresholds_milli: tuple = SWEEP_THRESHOLDS_MILLI,
+) -> str:
+    mut = sql_mutated_text("text", "n_chars")
+    arms = " UNION ALL ".join(
+        f"""SELECT CAST({t} AS INTEGER) AS threshold_milli,
+                   CAST(sum(CASE WHEN jm >= {t} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pairs
+            FROM j"""
+        for t in thresholds_milli
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT list_distinct({sql_shingles('text')}) AS sa,
+                   list_distinct({sql_shingles(mut)}) AS sb
+            FROM documents
+        ),
+        j AS (
+            SELECT (1000 * CAST(len(list_intersect(sa, sb)) AS BIGINT))
+                   // (CAST(len(sa) AS BIGINT) + CAST(len(sb) AS BIGINT)
+                       - CAST(len(list_intersect(sa, sb)) AS BIGINT))
+                       AS jm
+            FROM pairs
+        )
+        {arms}
+    """

@@ -4434,3 +4434,48 @@ def test_chunk_dedup_survives_63bit_doc_ids(spark):
     rw = {r.doc_id: r for r in chunk_dedup_rewrite(docs).collect()}
     assert rw[big].n_kept == 2
     assert "boilerplate" not in rw[big].clean_text or rw[12345].n_kept == 5
+
+
+def test_dedup_threshold_sweep_monotone_and_exact(spark):
+    """T184: kept-pair counts are monotone non-increasing in the
+    threshold, and a pair set with known milli-Jaccard values lands on
+    the exact side of each gate."""
+    from ocr_spark.operators.dedup import dedup_threshold_sweep
+
+    # identical pair (jm=1000), near pair, distant pair
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 0),
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, n_chars bigint"
+    )
+    got = {
+        r.threshold_milli: r.n_pairs
+        for r in dedup_threshold_sweep(docs).collect()
+    }
+    assert set(got) == {700, 800, 900}
+    assert got[700] >= got[800] >= got[900]
+    assert got[700] <= 2
+
+
+def test_pii_prevalence_counts_match_planting(spark):
+    """T185: the regex rollup recovers exactly the sparse planting —
+    emails on %3 docs, phones on %5, per source."""
+    from ocr_spark.operators.curation import pii_prevalence
+
+    rows = [
+        (i, "plain words with no contact info at all", f"src{i % 2}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    out = {r.source: r for r in pii_prevalence(docs).collect()}
+    # src0 holds even ids 0..28, src1 odd ids 1..29
+    assert out["src0"].n_docs == 15 and out["src1"].n_docs == 15
+    assert out["src0"].docs_with_email == 5   # 0,6,12,18,24
+    assert out["src1"].docs_with_email == 5   # 3,9,15,21,27
+    assert out["src0"].docs_with_phone == 3   # 0,10,20
+    assert out["src1"].docs_with_phone == 3   # 5,15,25
+    assert out["src0"].n_emails == 5 and out["src0"].n_phones == 3
