@@ -15,6 +15,7 @@ the release-review tables for a (curated) documents table in one pass:
   <report>/residue/        per-host extraction-residue rates (T166)
   <report>/context_fit/    context-window fit + truncation loss (T167)
   <report>/mirrors/        cross-host mirror candidates (T169)
+  <report>/pii/            per-host PII prevalence (T185)
   <report>/growth/         Heaps'-law vocabulary growth curve (T161)
   <report>/quality_deciles/ per-language quality decile bands (T177)
   <report>/affinity/       source x language PMI lift cells (T178)
@@ -145,6 +146,12 @@ def main() -> None:
         emit("residue", residue_audit(docs, text_col=text))
         emit("context_fit", context_fit(docs, text_col=text))
         emit("mirrors", mirror_detect(docs, text_col=text))
+        from ocr_spark.operators.curation import pii_prevalence
+
+        emit(
+            "pii",
+            pii_prevalence(docs, key_col=key, text_col=text),
+        )
     emit("growth", vocab_growth(docs, key_col=key, text_col=text))
 
     corpus = docs.select(

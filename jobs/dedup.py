@@ -74,6 +74,13 @@ def main() -> None:
         action="store_true",
         help="write only canonical docs instead of annotating all",
     )
+    ap.add_argument(
+        "--band-stats",
+        default=None,
+        help="also write the per-band LSH bucket census (T182: sizes, "
+        "singleton share, candidate-pair mass, over-cap counts) to "
+        "this path — the table the bucket cap is reviewed against",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="ocr_spark-dedup")
@@ -164,6 +171,13 @@ def main() -> None:
     spark.createDataFrame(
         [(n, c) for n, c in stages], "stage string, n_docs long"
     ).coalesce(1).write.mode("overwrite").parquet(args.report)
+    if args.band_stats:
+        from ocr_spark.operators.dedup import minhash_band_stats
+
+        minhash_band_stats(
+            docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text")),
+            max_bucket=args.max_bucket,
+        ).coalesce(1).write.mode("overwrite").parquet(args.band_stats)
     for n, c in stages:
         print(f"{n}: {c}")
 

@@ -1120,12 +1120,22 @@ def test_dedup_job_end_to_end(spark, tmp_path):
             "--output", out,
             "--report", rep,
             "--jaccard", "0.5",
+            "--band-stats", str(tmp_path / "bands"),
         ],
         capture_output=True,
         text=True,
         timeout=420,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
+    bands = spark.read.parquet(str(tmp_path / "bands")).collect()
+    from ocr_spark.operators.dedup import MINHASH_BANDS
+
+    assert {r.band for r in bands} == set(range(MINHASH_BANDS))
+    # every doc with >=1 shingle appears in every band (shingle-less
+    # docs have no signature and are absent from all bands alike)
+    n_sig = {r.n_docs for r in bands}
+    assert len(n_sig) == 1 and 0 < n_sig.pop() <= 450
+    assert all(r.n_pairs >= 0 and r.n_over_cap == 0 for r in bands)
     result = spark.read.parquet(out)
     rows = {r.doc_id: r for r in result.collect()}
     report = {r.stage: r.n_docs for r in spark.read.parquet(rep).collect()}
@@ -3137,6 +3147,12 @@ def test_corpus_report_job_end_to_end(spark, tmp_path):
     assert sum(r.n for r in aff) == 500
     # PMI is a log-lift: mean lift weighted by observed counts ~ 0
     assert all(r.expected > 0 for r in aff)
+    pii = spark.read.parquet(f"{rep}/pii").collect()
+    assert sum(r.n_docs for r in pii) == 500
+    # sparse planting: every host has SOME docs carrying an email but
+    # never all of them
+    assert all(0 < r.docs_with_email < r.n_docs for r in pii)
+    assert all(r.n_emails >= r.docs_with_email for r in pii)
 
 
 # ---------------------------------------------------------------------------
