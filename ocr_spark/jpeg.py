@@ -18,10 +18,24 @@ with). The two encoders carry bit-identical quantized coefficients,
 so decoding either stream must give the same pixels — the pinned
 cross-mode invariant.
 
-Arithmetic coding, 12-bit, lossless, and hierarchical modes raise
-NotImplementedError — that remains the PIL/libjpeg seam.
+Arithmetic coding (sequential DCT, SOF9) is implemented for real:
+the QM-coder probability-estimation state machine of ITU-T T.81
+Table D.3 with the Annex D encoder / Annex F decoder flowcharts and
+the Annex F DC/AC conditioning-context statistical model (DAC
+marker, L/U DC conditioning, Kx AC band split). A matching
+grayscale/flat-chroma SOF9 encoder produces fixture streams carrying
+bit-identical quantized coefficients to the Huffman encoders, so all
+three entropy modes must reconstruct identical pixels — the pinned
+cross-mode invariant. Caveat: no reference codec exists in this
+sandbox, so the state table transcription is validated by
+self-consistency (encode→decode roundtrip + cross-mode pixel
+identity), not by interop against libjpeg streams.
 
-Format reference: ITU-T T.81 (public spec); tables from its Annex K.
+Progressive-arithmetic (SOF10), 12-bit, lossless, and hierarchical
+modes raise NotImplementedError — that remains the PIL/libjpeg seam.
+
+Format reference: ITU-T T.81 (public spec); tables from its Annexes
+D (arithmetic coding), F (conditioning model), and K (quant/Huffman).
 """
 
 from __future__ import annotations
@@ -694,11 +708,12 @@ def _run_scan(scan_data, scan_comps, ss, se, ah, al, progressive, comps,
 
 def decode_luma(payload: bytes) -> tuple:
     """Decode a JPEG's luma channel: returns (width, height,
-    mean_luma). Handles baseline sequential (SOF0/1) and progressive
-    (SOF2) streams — spectral selection, successive approximation,
-    EOB runs, restart markers. Raises NotImplementedError for
-    arithmetic/lossless/hierarchical/12-bit streams (the libjpeg
-    seam); ValueError on malformed data."""
+    mean_luma). Handles baseline sequential (SOF0/1), progressive
+    (SOF2) — spectral selection, successive approximation, EOB runs,
+    restart markers — and sequential arithmetic-coded (SOF9)
+    streams. Raises NotImplementedError for progressive-arithmetic/
+    lossless/hierarchical/12-bit streams (the libjpeg seam);
+    ValueError on malformed data."""
     width, height, visible = decode_luma_grid(payload)
     return width, height, float(visible.mean())
 
@@ -716,6 +731,8 @@ def decode_luma_grid(payload: bytes) -> tuple:
     comps = []  # (id, h, v, tq)
     restart_interval = 0
     progressive = False
+    arith = False
+    dc_cond, ac_cond = {}, {}  # DAC conditioning: (L, U) / Kx per table
     coefs = {}  # cid -> int64 (block_rows, block_cols, 64) zigzag order
     grids = {}  # cid -> (mcu-aligned by, bx, exact nby, nbx)
     saw_scan = False
@@ -750,8 +767,9 @@ def decode_luma_grid(payload: bytes) -> tuple:
                     tab[_ZIGZAG[i]] = seg[p + i]
                 qtabs[tq] = tab.reshape(8, 8)
                 p += 64
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # baseline/prog/arith
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             precision, height, width, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -772,12 +790,22 @@ def decode_luma_grid(payload: bytes) -> tuple:
                 by, bx = mcuy * cv, mcux * ch
                 grids[cid] = (by, bx, nby, nbx)
                 coefs[cid] = np.zeros((by, bx, 64), dtype=np.int64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "arithmetic/lossless/hierarchical JPEG needs a real codec "
-                "library at this seam"
+                "progressive-arithmetic/lossless/hierarchical JPEG needs "
+                "a real codec library at this seam"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                val = seg[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (val & 0xF, val >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = val  # Kx
+                p += 2
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -799,11 +827,17 @@ def decode_luma_grid(payload: bytes) -> tuple:
                 scan_comps.append((cs, tds >> 4, tds & 0xF))
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             a = seg[3 + 2 * ns]
-            consumed = _run_scan(
-                payload[nxt:], scan_comps, ss, se, a >> 4, a & 0xF,
-                progressive, comps, coefs, grids, huff_dc, huff_ac,
-                restart_interval,
-            )
+            if arith:
+                consumed = _run_scan_arith(
+                    payload[nxt:], scan_comps, comps, coefs, grids,
+                    dc_cond, ac_cond, restart_interval,
+                )
+            else:
+                consumed = _run_scan(
+                    payload[nxt:], scan_comps, ss, se, a >> 4, a & 0xF,
+                    progressive, comps, coefs, grids, huff_dc, huff_ac,
+                    restart_interval,
+                )
             saw_scan = True
             pos = nxt + consumed
             continue
@@ -823,3 +857,552 @@ def decode_luma_grid(payload: bytes) -> tuple:
     )
     visible = np.clip(luma[:height, :width], 0, 255)
     return width, height, np.round(visible).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# arithmetic entropy coding (sequential DCT, SOF9) — T.81 Annexes D/F
+# ---------------------------------------------------------------------------
+#
+# Probability-estimation state machine, transcribed from ITU-T T.81
+# Table D.3: (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS).  Rows
+# 0-13 are the fast-attack startup chain; switch rows flip the MPS
+# sense on an LPS renormalization.  Index 113 is the non-adaptive
+# "fixed" bin (Qe ~ 0.5) the AC sign decision uses — it never leaves
+# state 113, so sign bits cost ~1 bit each, uncoded in effect.
+
+_ARITH_RAW = [
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1),
+    # index 113: the fixed, never-adapting ~0.5 bin for AC signs
+    (0x5A1D, 113, 113, 0),
+]
+
+# packed per state: (Qe, nl, nm) where nl carries the switch flag in
+# bit 7 so "next = (sv & 0x80) ^ nl" both advances the state index
+# and flips the MPS bit on a switch row in one XOR.
+_ARITH_TAB = [(qe, (sw << 7) | nlps, nmps) for qe, nlps, nmps, sw in _ARITH_RAW]
+
+_FIXED_BIN_STATE = 113
+
+
+class _ArithEnc:
+    """QM arithmetic encoder (T.81 Annex D register conventions):
+    16-bit interval register A, code register C with 3 spacer bits
+    (output byte at C>>19), CT=11 countdown, carry resolved over
+    lazily-buffered output with stacked-0xFF accounting, 0xFF bytes
+    followed by a stuffed 0x00."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # pending output byte; -1 = none yet
+        self.sc = 0  # run of buffered 0xFF bytes (may still carry)
+        self.zc = 0  # run of buffered 0x00 bytes (dropped if trailing)
+        self.out = bytearray()
+
+    # -- byte plumbing ----------------------------------------------
+    def _flush_zeros(self):
+        while self.zc:
+            self.out.append(0x00)
+            self.zc -= 1
+
+    def _emit_carry(self):
+        """A carry rippled out of C: buffered byte +1, every stacked
+        0xFF becomes 0x00."""
+        if self.buffer >= 0:
+            self._flush_zeros()
+            self.out.append(self.buffer + 1)
+            if self.buffer + 1 == 0xFF:
+                self.out.append(0x00)  # bit stuffing
+        self.zc += self.sc
+        self.sc = 0
+
+    def _emit_settled(self):
+        """No carry possible any more for buffer + stacked 0xFFs."""
+        if self.buffer == 0:
+            self.zc += 1
+        elif self.buffer >= 0:
+            self._flush_zeros()
+            self.out.append(self.buffer)
+        if self.sc:
+            self._flush_zeros()
+            while self.sc:
+                self.out.append(0xFF)
+                self.out.append(0x00)
+                self.sc -= 1
+
+    def _byte_out(self):
+        t = self.c >> 19
+        if t > 0xFF:
+            self._emit_carry()
+            # spacer bits guarantee t & 0xFF cannot be 0xFF here
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1
+        else:
+            self._emit_settled()
+            self.buffer = t
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def _renorm(self):
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byte_out()
+
+    # -- coding -----------------------------------------------------
+    def encode(self, bins, i, bit):
+        sv = bins[i]
+        qe, nl, nm = _ARITH_TAB[sv & 0x7F]
+        self.a -= qe
+        if bit != (sv >> 7):
+            # LPS: takes the top of the interval unless the MPS
+            # subinterval shrank below Qe (conditional exchange)
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            bins[i] = (sv & 0x80) ^ nl
+        else:
+            if self.a >= 0x8000:
+                return  # no renorm -> no estimation update
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            bins[i] = (sv & 0x80) ^ nm
+        self._renorm()
+
+    def flush(self) -> bytes:
+        """T.81 D.1.8 termination: pick the code-interval value with
+        the most trailing zeros, push out the remaining bytes."""
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            self._emit_carry()
+        else:
+            self._emit_settled()
+        if self.c & 0x7FFF800:
+            self._flush_zeros()
+            b = (self.c >> 19) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+        return bytes(self.out)
+
+
+class _ArithDec:
+    """QM arithmetic decoder (T.81 Annex F): C accumulates raw data
+    bytes and is compared against A<<CT, so renormalization never
+    shifts C — only the alignment counter moves. Hitting a marker
+    (0xFF + non-stuffing byte) switches to feeding zero bytes, per
+    the spec's convention for the end of the entropy segment; the
+    marker itself is left unconsumed at ``pos``."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.at_marker = False
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # forces the two-byte INITDEC fill
+
+    def _byte(self):
+        if self.at_marker:
+            return 0
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            self.at_marker = True
+            return 0
+        b = d[self.pos]
+        self.pos += 1
+        if b != 0xFF:
+            return b
+        # swallow fill 0xFFs, then classify
+        while self.pos < n and d[self.pos] == 0xFF:
+            self.pos += 1
+        if self.pos < n and d[self.pos] == 0x00:
+            self.pos += 1  # stuffed zero: data byte 0xFF
+            return 0xFF
+        # a real marker (or truncation): rewind onto the 0xFF
+        self.pos -= 1
+        self.at_marker = True
+        return 0
+
+    def decode(self, bins, i):
+        # renormalize / feed (also performs INITDEC on first use)
+        while self.a < 0x8000:
+            self.ct -= 1
+            if self.ct < 0:
+                self.c = (self.c << 8) | self._byte()
+                self.ct += 8
+                if self.ct < 0:
+                    self.ct += 1
+                    if self.ct == 0:
+                        self.a = 0x8000  # doubled below -> 0x10000
+            self.a <<= 1
+        sv = bins[i]
+        qe, nl, nm = _ARITH_TAB[sv & 0x7F]
+        self.a -= qe
+        t = self.a << self.ct
+        if self.c >= t:
+            self.c -= t
+            # upper subinterval: LPS, unless conditional exchange
+            if self.a < qe:
+                bins[i] = (sv & 0x80) ^ nm
+            else:
+                bins[i] = (sv & 0x80) ^ nl
+                sv ^= 0x80
+            self.a = qe
+        elif self.a < 0x8000:
+            if self.a < qe:
+                bins[i] = (sv & 0x80) ^ nl
+                sv ^= 0x80
+            else:
+                bins[i] = (sv & 0x80) ^ nm
+        return sv >> 7
+
+
+# -- Annex F statistical model: one 8x8 block ------------------------
+
+
+def _arith_encode_block(enc, dc_bins, ac_bins, fixed, dc_ctx, dc_last,
+                        ci, L, U, Kx, zz):
+    """Sequential DC diff + AC coefficients for one block (encoder
+    side of T.81 F.1.4; bin layout per Tables F.4/F.5)."""
+    st = dc_ctx[ci]
+    v = zz[0] - dc_last[ci]
+    if v == 0:
+        enc.encode(dc_bins, st, 0)
+        dc_ctx[ci] = 0
+    else:
+        dc_last[ci] = zz[0]
+        enc.encode(dc_bins, st, 1)
+        if v > 0:
+            enc.encode(dc_bins, st + 1, 0)
+            st += 2  # SP
+            sign = 0
+        else:
+            v = -v
+            enc.encode(dc_bins, st + 1, 1)
+            st += 3  # SN
+            sign = 1
+        m = 0
+        v1 = v - 1
+        if v1:
+            enc.encode(dc_bins, st, 1)
+            m = 1
+            st = 20  # X1
+            v2 = v1
+            while v2 >> 1:
+                v2 >>= 1
+                enc.encode(dc_bins, st, 1)
+                m <<= 1
+                st += 1
+        enc.encode(dc_bins, st, 0)
+        if m < ((1 << L) >> 1):
+            dc_ctx[ci] = 0
+        elif m > ((1 << U) >> 1):
+            dc_ctx[ci] = 12 + 4 * sign
+        else:
+            dc_ctx[ci] = 4 + 4 * sign
+        st += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            enc.encode(dc_bins, st, 1 if (v1 & mm) else 0)
+
+    ke = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            ke = k
+            break
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(ac_bins, st, 0)  # not end-of-block
+        v = zz[k]
+        while v == 0:
+            enc.encode(ac_bins, st + 1, 0)
+            st += 3
+            k += 1
+            v = zz[k]
+        enc.encode(ac_bins, st + 1, 1)
+        if v > 0:
+            enc.encode(fixed, 0, 0)
+        else:
+            v = -v
+            enc.encode(fixed, 0, 1)
+        st += 2
+        m = 0
+        v1 = v - 1
+        if v1:
+            enc.encode(ac_bins, st, 1)
+            m = 1
+            v2 = v1
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(ac_bins, st, 1)
+                m <<= 1
+                st = 189 if k <= Kx else 217  # X2 low/high band
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(ac_bins, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(ac_bins, st, 0)
+        st += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            enc.encode(ac_bins, st, 1 if (v1 & mm) else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(ac_bins, 3 * (k - 1), 1)  # end-of-block
+
+
+def _arith_decode_block(dec, dc_bins, ac_bins, fixed, dc_ctx, dc_last,
+                        ci, L, U, Kx, blk):
+    """Decoder mirror of ``_arith_encode_block`` (T.81 F.2.4)."""
+    st = dc_ctx[ci]
+    if dec.decode(dc_bins, st):
+        sign = dec.decode(dc_bins, st + 1)
+        st += 2 + sign
+        m = dec.decode(dc_bins, st)
+        if m:
+            st = 20  # X1
+            while dec.decode(dc_bins, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("DC magnitude overflow")
+                st += 1
+        if m < ((1 << L) >> 1):
+            dc_ctx[ci] = 0
+        elif m > ((1 << U) >> 1):
+            dc_ctx[ci] = 12 + 4 * sign
+        else:
+            dc_ctx[ci] = 4 + 4 * sign
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(dc_bins, st):
+                v |= m
+        v += 1
+        if sign:
+            v = -v
+        dc_last[ci] += v
+    else:
+        dc_ctx[ci] = 0
+    blk[0] = dc_last[ci]
+
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(ac_bins, st):
+            break  # end-of-block
+        while dec.decode(ac_bins, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("AC run overflow")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(ac_bins, st)
+        if m:
+            if dec.decode(ac_bins, st):
+                m <<= 1
+                st = 189 if k <= Kx else 217
+                while dec.decode(ac_bins, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(ac_bins, st):
+                v |= m
+        v += 1
+        if sign:
+            v = -v
+        blk[k] = v
+        k += 1
+
+
+def _run_scan_arith(scan_data, scan_comps, comps, coefs, grids,
+                    dc_cond, ac_cond, restart_interval):
+    """Arithmetic sequential scan: decode every MCU into the
+    coefficient arrays; returns scan-data bytes consumed. Statistics
+    areas, DC contexts, and the coder registers reset at every
+    restart marker (T.81 F.2.4.4)."""
+    by_id = {cid: (h, v) for cid, h, v, _tq in comps}
+    comp_index = {cid: idx for idx, (cid, *_rest) in enumerate(comps)}
+    if len(scan_comps) == 1:
+        cid0 = scan_comps[0][0]
+        _by, _bx, nby, nbx = grids[cid0]
+        units = nby * nbx
+    else:
+        mcux, mcuy = grids["__mcu__"]
+        units = mcux * mcuy
+
+    def fresh_stats():
+        dc_stats = {td for _c, td, _ta in scan_comps}
+        ac_stats = {ta for _c, _td, ta in scan_comps}
+        return (
+            {t: bytearray(64) for t in dc_stats},
+            {t: bytearray(256) for t in ac_stats},
+            bytearray([_FIXED_BIN_STATE]),
+            [0] * len(comps),
+            [0] * len(comps),
+        )
+
+    dec = _ArithDec(scan_data)
+    dc_bins, ac_bins, fixed, dc_ctx, dc_last = fresh_stats()
+
+    def _one(blk, cid, td, ta):
+        L, U = dc_cond.get(td, (0, 1))
+        Kx = ac_cond.get(ta, 5)
+        _arith_decode_block(
+            dec, dc_bins[td], ac_bins[ta], fixed, dc_ctx, dc_last,
+            comp_index[cid], L, U, Kx, blk,
+        )
+
+    for unit in range(units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            p = dec.pos
+            n = len(scan_data)
+            while p + 1 < n and not (
+                scan_data[p] == 0xFF and 0xD0 <= scan_data[p + 1] <= 0xD7
+            ):
+                p += 1
+            if p + 1 >= n:
+                raise ValueError("missing restart marker")
+            dec = _ArithDec(scan_data, p + 2)
+            dc_bins, ac_bins, fixed, dc_ctx, dc_last = fresh_stats()
+        if len(scan_comps) == 1:
+            cid, td, ta = scan_comps[0]
+            byi, bxi = divmod(unit, nbx)
+            _one(coefs[cid][byi, bxi], cid, td, ta)
+        else:
+            my, mx = divmod(unit, mcux)
+            for cid, td, ta in scan_comps:
+                ch, cv = by_id[cid]
+                for v in range(cv):
+                    for hblk in range(ch):
+                        _one(coefs[cid][my * cv + v, mx * ch + hblk],
+                             cid, td, ta)
+    return dec.pos
+
+
+# -- SOF9 fixture encoder --------------------------------------------
+
+_FLAT128_ZZ = [0] * 64  # an all-128 block quantizes to all-zero
+
+
+def encode_gray_arith(pixels: np.ndarray, restart_interval: int = 0,
+                      n_components: int = 1) -> bytes:
+    """Encode an 8-bit grayscale array as a sequential
+    arithmetic-coded JPEG (SOF9). Carries bit-identical quantized
+    coefficients to ``encode_gray``/``encode_gray_progressive`` via
+    the shared ``_quant_zz_blocks``. ``n_components=3`` emits an
+    interleaved stream whose 2nd/3rd components are flat 128 planes
+    (1x1 sampling), exercising the multi-component MCU loop and
+    per-component DC conditioning contexts; the luma plane is
+    unchanged. ``restart_interval`` (in MCUs) emits DRI + RSTn with a
+    full coder/statistics reset per T.81 F.1.4.4."""
+    h, w = pixels.shape
+    blocks = _quant_zz_blocks(pixels)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(_Q50_ZZ[i]) for i in range(64)
+    )
+    # SOF9: 8-bit sequential arithmetic
+    nc = n_components
+    out += (
+        b"\xff\xc9"
+        + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+        + b"".join(bytes([cid, 0x11, 0]) for cid in range(1, nc + 1))
+    )
+    # DAC: DC conditioning 0 (L=0, U=1), AC conditioning 0 (Kx=5)
+    out += b"\xff\xcc" + struct.pack(">H", 6) + bytes([0x00, 0x10, 0x10, 5])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 6 + 2 * nc, nc)
+        + b"".join(bytes([cid, 0x00]) for cid in range(1, nc + 1))
+        + bytes([0, 63, 0])
+    )
+
+    def fresh():
+        return (
+            _ArithEnc(),
+            bytearray(64),
+            bytearray(256),
+            bytearray([_FIXED_BIN_STATE]),
+            [0] * nc,
+            [0] * nc,
+        )
+
+    enc, dc_bins, ac_bins, fixed, dc_ctx, dc_last = fresh()
+    rst = 0
+    for unit, zz in enumerate(blocks):
+        if restart_interval and unit and unit % restart_interval == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            enc, dc_bins, ac_bins, fixed, dc_ctx, dc_last = fresh()
+        for ci in range(nc):
+            _arith_encode_block(
+                enc, dc_bins, ac_bins, fixed, dc_ctx, dc_last, ci,
+                0, 1, 5, zz if ci == 0 else _FLAT128_ZZ,
+            )
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

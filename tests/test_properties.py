@@ -283,3 +283,26 @@ def test_png_adam7_equals_linear(h, w, ct_depth, seed):
                                     filters=[4, 3, 2, 1, 0], interlace=1,
                                     **kw))
     assert lin == adam
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_arithmetic_equals_baseline(h, w, seed):
+    """The SOF9 arithmetic encoder carries bit-identical quantized
+    coefficients to the baseline encoder, so decode_luma of the two
+    streams must be EXACTLY equal for any pixel content — this pins
+    the whole QM-coder path (state machine, conditional exchange,
+    carry/stuffing byte plumbing, DC/AC conditioning contexts)
+    against the independently-tested Huffman path."""
+    import numpy as np
+
+    from ocr_spark.jpeg import decode_luma, encode_gray, encode_gray_arith
+
+    px = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+    assert decode_luma(encode_gray(px)) == decode_luma(
+        encode_gray_arith(px)
+    )

@@ -4495,3 +4495,90 @@ def test_pii_prevalence_counts_match_planting(spark):
     assert out["src0"].docs_with_phone == 3   # 0,10,20
     assert out["src1"].docs_with_phone == 3   # 5,15,25
     assert out["src0"].n_emails == 5 and out["src0"].n_phones == 3
+
+
+def test_multimodal_jpeg_arithmetic_decodes_for_real():
+    """Sequential arithmetic-coded JPEG (SOF9, T.81 Annex D QM-coder
+    + Annex F conditioning model) decodes through the same
+    decode_image seam, BIT-IDENTICAL to the baseline stream of the
+    same pixels, across: grayscale, interleaved 3-component MCUs
+    (per-component DC contexts), and restart intervals (full coder +
+    statistics reset per RSTn). The flat / spike fixtures force long
+    EOB and zero-run decision chains; the noise fixtures force the
+    magnitude-category X bins on both sides of the Kx band split."""
+    import numpy as np
+
+    from ocr_spark.jpeg import encode_gray, encode_gray_arith
+    from ocr_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(11)
+    fixtures = [rng.randint(0, 256, (h, w)).astype(np.uint8)
+                for (h, w) in [(8, 8), (17, 23), (40, 56)]]
+    y, x = np.mgrid[0:24, 0:40]
+    fixtures.append(((x * 3 + y * 5) % 256).astype(np.uint8))  # gradient
+    fixtures.append(np.full((32, 32), 77, np.uint8))  # flat: EOB chains
+    spike = np.full((40, 48), 128, np.uint8)
+    spike[7, 11] = 255
+    spike[30, 40] = 0
+    fixtures.append(spike)  # sparse: zero-run decision chains
+    for px in fixtures:
+        want = M.decode_image(encode_gray(px))
+        assert M.decode_image(encode_gray_arith(px)) == want
+        assert M.decode_image(encode_gray_arith(px, n_components=3)) == want
+        assert (
+            M.decode_image(encode_gray_arith(px, restart_interval=2)) == want
+        )
+
+
+def test_jpeg_qm_coder_is_a_real_adaptive_coder():
+    """Guards against a self-consistent-but-degenerate state table:
+    (a) 20k bits at P(1)=0.05 must code within 10% of the Shannon
+    entropy floor (the QM-coder's documented overhead is ~2-6%; a
+    botched transcription decodes fine but pays far more), (b) the
+    fixed ~0.5 bin must cost ~1 bit/symbol and never adapt, (c) the
+    arithmetic stream of a realistic image must beat the Huffman
+    stream of the same coefficients (T.81's own selling point for the
+    mode)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from ocr_spark.jpeg import (
+        _FIXED_BIN_STATE,
+        _ArithDec,
+        _ArithEnc,
+        encode_gray,
+        encode_gray_arith,
+    )
+
+    rng = random.Random(7)
+    bits = [1 if rng.random() < 0.05 else 0 for _ in range(20000)]
+    enc = _ArithEnc()
+    bins = bytearray(1)
+    for b in bits:
+        enc.encode(bins, 0, b)
+    data = enc.flush()
+    floor = -(0.05 * math.log2(0.05) + 0.95 * math.log2(0.95)) * len(bits)
+    assert len(data) * 8 < floor * 1.10
+    dec = _ArithDec(data)
+    bins2 = bytearray(1)
+    assert [dec.decode(bins2, 0) for _ in range(len(bits))] == bits
+
+    sbits = [rng.randint(0, 1) for _ in range(1000)]
+    enc = _ArithEnc()
+    fb = bytearray([_FIXED_BIN_STATE])
+    for b in sbits:
+        enc.encode(fb, 0, b)
+    d2 = enc.flush()
+    assert fb[0] & 0x7F == _FIXED_BIN_STATE  # never adapts
+    assert len(d2) * 8 <= len(sbits) + 64  # ~1 bit/symbol
+    dec = _ArithDec(d2)
+    fb2 = bytearray([_FIXED_BIN_STATE])
+    assert [dec.decode(fb2, 0) for _ in range(len(sbits))] == sbits
+
+    npr = np.random.RandomState(3)
+    base = npr.randint(0, 64, (48, 64)).astype(float)
+    img = (base * 0.5 + 96 + 48 * np.sin(np.arange(64) / 9.0)[None, :])
+    img = img.clip(0, 255).astype(np.uint8)
+    assert len(encode_gray_arith(img)) < len(encode_gray(img))
