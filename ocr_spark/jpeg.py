@@ -18,21 +18,24 @@ with). The two encoders carry bit-identical quantized coefficients,
 so decoding either stream must give the same pixels — the pinned
 cross-mode invariant.
 
-Arithmetic coding (sequential DCT, SOF9) is implemented for real:
-the QM-coder probability-estimation state machine of ITU-T T.81
-Table D.3 with the Annex D encoder / Annex F decoder flowcharts and
-the Annex F DC/AC conditioning-context statistical model (DAC
-marker, L/U DC conditioning, Kx AC band split). A matching
-grayscale/flat-chroma SOF9 encoder produces fixture streams carrying
-bit-identical quantized coefficients to the Huffman encoders, so all
-three entropy modes must reconstruct identical pixels — the pinned
-cross-mode invariant. Caveat: no reference codec exists in this
-sandbox, so the state table transcription is validated by
-self-consistency (encode→decode roundtrip + cross-mode pixel
-identity), not by interop against libjpeg streams.
+Arithmetic coding — sequential (SOF9) AND progressive (SOF10) —
+is implemented for real: the QM-coder probability-estimation state
+machine of ITU-T T.81 Table D.3 with the Annex D encoder / Annex F
+decoder flowcharts, the Annex F DC/AC conditioning-context
+statistical model (DAC marker, L/U DC conditioning, Kx AC band
+split), and the §G progressive models (DC refinement on the fixed
+bin, AC successive-approximation correction/newly-significant
+bins). Matching SOF9/SOF10 fixture encoders produce streams
+carrying bit-identical quantized coefficients to the Huffman
+encoders, so all four entropy modes must reconstruct identical
+pixels — the pinned cross-mode invariant. Caveat: no reference
+codec exists in this sandbox, so the state table transcription is
+validated by self-consistency (encode→decode roundtrip + cross-mode
+pixel identity + near-entropy coding efficiency), not by interop
+against libjpeg streams.
 
-Progressive-arithmetic (SOF10), 12-bit, lossless, and hierarchical
-modes raise NotImplementedError — that remains the PIL/libjpeg seam.
+12-bit, lossless, and hierarchical modes raise NotImplementedError —
+that remains the PIL/libjpeg seam.
 
 Format reference: ITU-T T.81 (public spec); tables from its Annexes
 D (arithmetic coding), F (conditioning model), and K (quant/Huffman).
@@ -710,10 +713,10 @@ def decode_luma(payload: bytes) -> tuple:
     """Decode a JPEG's luma channel: returns (width, height,
     mean_luma). Handles baseline sequential (SOF0/1), progressive
     (SOF2) — spectral selection, successive approximation, EOB runs,
-    restart markers — and sequential arithmetic-coded (SOF9)
-    streams. Raises NotImplementedError for progressive-arithmetic/
-    lossless/hierarchical/12-bit streams (the libjpeg seam);
-    ValueError on malformed data."""
+    restart markers — and arithmetic-coded (SOF9 sequential, SOF10
+    progressive) streams. Raises NotImplementedError for lossless/
+    hierarchical/12-bit streams (the libjpeg seam); ValueError on
+    malformed data."""
     width, height, visible = decode_luma_grid(payload)
     return width, height, float(visible.mean())
 
@@ -767,9 +770,11 @@ def decode_luma_grid(payload: bytes) -> tuple:
                     tab[_ZIGZAG[i]] = seg[p + i]
                 qtabs[tq] = tab.reshape(8, 8)
                 p += 64
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # baseline/prog/arith
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential
+            # arithmetic, SOF10 progressive arithmetic
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             precision, height, width, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -790,11 +795,11 @@ def decode_luma_grid(payload: bytes) -> tuple:
                 by, bx = mcuy * cv, mcux * ch
                 grids[cid] = (by, bx, nby, nbx)
                 coefs[cid] = np.zeros((by, bx, 64), dtype=np.int64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive-arithmetic/lossless/hierarchical JPEG needs "
-                "a real codec library at this seam"
+                "lossless/hierarchical JPEG needs a real codec library "
+                "at this seam"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
@@ -829,8 +834,9 @@ def decode_luma_grid(payload: bytes) -> tuple:
             a = seg[3 + 2 * ns]
             if arith:
                 consumed = _run_scan_arith(
-                    payload[nxt:], scan_comps, comps, coefs, grids,
-                    dc_cond, ac_cond, restart_interval,
+                    payload[nxt:], scan_comps, ss, se, a >> 4, a & 0xF,
+                    progressive, comps, coefs, grids, dc_cond, ac_cond,
+                    restart_interval,
                 )
             else:
                 consumed = _run_scan(
@@ -1110,67 +1116,111 @@ class _ArithDec:
 # -- Annex F statistical model: one 8x8 block ------------------------
 
 
-def _arith_encode_block(enc, dc_bins, ac_bins, fixed, dc_ctx, dc_last,
-                        ci, L, U, Kx, zz):
-    """Sequential DC diff + AC coefficients for one block (encoder
-    side of T.81 F.1.4; bin layout per Tables F.4/F.5)."""
+def _arith_enc_dc_diff(enc, dc_bins, dc_ctx, dc_last, ci, L, U, value):
+    """DC-difference model, encoder side (T.81 F.1.4.1, bins per
+    Table F.4). ``value`` is the (point-transformed) DC for this
+    block; ``dc_last`` tracks the same domain."""
     st = dc_ctx[ci]
-    v = zz[0] - dc_last[ci]
+    v = value - dc_last[ci]
     if v == 0:
         enc.encode(dc_bins, st, 0)
         dc_ctx[ci] = 0
+        return
+    dc_last[ci] = value
+    enc.encode(dc_bins, st, 1)
+    if v > 0:
+        enc.encode(dc_bins, st + 1, 0)
+        st += 2  # SP
+        sign = 0
     else:
-        dc_last[ci] = zz[0]
+        v = -v
+        enc.encode(dc_bins, st + 1, 1)
+        st += 3  # SN
+        sign = 1
+    m = 0
+    v1 = v - 1
+    if v1:
         enc.encode(dc_bins, st, 1)
-        if v > 0:
-            enc.encode(dc_bins, st + 1, 0)
-            st += 2  # SP
-            sign = 0
-        else:
-            v = -v
-            enc.encode(dc_bins, st + 1, 1)
-            st += 3  # SN
-            sign = 1
-        m = 0
-        v1 = v - 1
-        if v1:
+        m = 1
+        st = 20  # X1
+        v2 = v1
+        while v2 >> 1:
+            v2 >>= 1
             enc.encode(dc_bins, st, 1)
-            m = 1
-            st = 20  # X1
-            v2 = v1
-            while v2 >> 1:
-                v2 >>= 1
-                enc.encode(dc_bins, st, 1)
-                m <<= 1
-                st += 1
-        enc.encode(dc_bins, st, 0)
-        if m < ((1 << L) >> 1):
-            dc_ctx[ci] = 0
-        elif m > ((1 << U) >> 1):
-            dc_ctx[ci] = 12 + 4 * sign
-        else:
-            dc_ctx[ci] = 4 + 4 * sign
-        st += 14
-        mm = m
-        while mm >> 1:
-            mm >>= 1
-            enc.encode(dc_bins, st, 1 if (v1 & mm) else 0)
+            m <<= 1
+            st += 1
+    enc.encode(dc_bins, st, 0)
+    if m < ((1 << L) >> 1):
+        dc_ctx[ci] = 0
+    elif m > ((1 << U) >> 1):
+        dc_ctx[ci] = 12 + 4 * sign
+    else:
+        dc_ctx[ci] = 4 + 4 * sign
+    st += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        enc.encode(dc_bins, st, 1 if (v1 & mm) else 0)
+
+
+def _arith_dec_dc_diff(dec, dc_bins, dc_ctx, dc_last, ci, L, U):
+    """Decoder mirror of ``_arith_enc_dc_diff``: accumulates the
+    decoded difference into ``dc_last[ci]``."""
+    st = dc_ctx[ci]
+    if not dec.decode(dc_bins, st):
+        dc_ctx[ci] = 0
+        return
+    sign = dec.decode(dc_bins, st + 1)
+    st += 2 + sign
+    m = dec.decode(dc_bins, st)
+    if m:
+        st = 20  # X1
+        while dec.decode(dc_bins, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("DC magnitude overflow")
+            st += 1
+    if m < ((1 << L) >> 1):
+        dc_ctx[ci] = 0
+    elif m > ((1 << U) >> 1):
+        dc_ctx[ci] = 12 + 4 * sign
+    else:
+        dc_ctx[ci] = 4 + 4 * sign
+    v = m
+    st += 14
+    while m >> 1:
+        m >>= 1
+        if dec.decode(dc_bins, st):
+            v |= m
+    v += 1
+    dc_last[ci] += -v if sign else v
+
+
+def _arith_enc_ac(enc, ac_bins, fixed, Kx, zz, ss, se, al):
+    """AC coefficient model, encoder side (T.81 F.1.4.2 sequential /
+    G.1.3.2 progressive-first; bins per Table F.5). Values are
+    point-transformed by ``al`` (magnitude shift, sign kept)."""
+
+    def tval(k):
+        t = zz[k]
+        a = abs(t) >> al
+        return -a if t < 0 else a
 
     ke = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
+    for k in range(se, ss - 1, -1):
+        if tval(k):
             ke = k
             break
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
-        enc.encode(ac_bins, st, 0)  # not end-of-block
-        v = zz[k]
+        enc.encode(ac_bins, st, 0)  # not end-of-band
+        v = tval(k)
         while v == 0:
             enc.encode(ac_bins, st + 1, 0)
             st += 3
             k += 1
-            v = zz[k]
+            v = tval(k)
         enc.encode(ac_bins, st + 1, 1)
         if v > 0:
             enc.encode(fixed, 0, 0)
@@ -1201,54 +1251,22 @@ def _arith_encode_block(enc, dc_bins, ac_bins, fixed, dc_ctx, dc_last,
             mm >>= 1
             enc.encode(ac_bins, st, 1 if (v1 & mm) else 0)
         k += 1
-    if ke < 63:
-        enc.encode(ac_bins, 3 * (k - 1), 1)  # end-of-block
+    if ke < se:
+        enc.encode(ac_bins, 3 * (k - 1), 1)  # end-of-band
 
 
-def _arith_decode_block(dec, dc_bins, ac_bins, fixed, dc_ctx, dc_last,
-                        ci, L, U, Kx, blk):
-    """Decoder mirror of ``_arith_encode_block`` (T.81 F.2.4)."""
-    st = dc_ctx[ci]
-    if dec.decode(dc_bins, st):
-        sign = dec.decode(dc_bins, st + 1)
-        st += 2 + sign
-        m = dec.decode(dc_bins, st)
-        if m:
-            st = 20  # X1
-            while dec.decode(dc_bins, st):
-                m <<= 1
-                if m == 0x8000:
-                    raise ValueError("DC magnitude overflow")
-                st += 1
-        if m < ((1 << L) >> 1):
-            dc_ctx[ci] = 0
-        elif m > ((1 << U) >> 1):
-            dc_ctx[ci] = 12 + 4 * sign
-        else:
-            dc_ctx[ci] = 4 + 4 * sign
-        v = m
-        st += 14
-        while m >> 1:
-            m >>= 1
-            if dec.decode(dc_bins, st):
-                v |= m
-        v += 1
-        if sign:
-            v = -v
-        dc_last[ci] += v
-    else:
-        dc_ctx[ci] = 0
-    blk[0] = dc_last[ci]
-
-    k = 1
-    while k <= 63:
+def _arith_dec_ac(dec, ac_bins, fixed, Kx, blk, ss, se, al):
+    """Decoder mirror of ``_arith_enc_ac``: stores values scaled
+    back up by ``al``."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(ac_bins, st):
-            break  # end-of-block
+            break  # end-of-band
         while dec.decode(ac_bins, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("AC run overflow")
         sign = dec.decode(fixed, 0)
         st += 2
@@ -1269,18 +1287,89 @@ def _arith_decode_block(dec, dc_bins, ac_bins, fixed, dc_ctx, dc_last,
             if dec.decode(ac_bins, st):
                 v |= m
         v += 1
-        if sign:
-            v = -v
-        blk[k] = v
+        blk[k] = (-v if sign else v) << al
         k += 1
 
 
-def _run_scan_arith(scan_data, scan_comps, comps, coefs, grids,
-                    dc_cond, ac_cond, restart_interval):
-    """Arithmetic sequential scan: decode every MCU into the
-    coefficient arrays; returns scan-data bytes consumed. Statistics
-    areas, DC contexts, and the coder registers reset at every
-    restart marker (T.81 F.2.4.4)."""
+def _arith_enc_ac_refine(enc, ac_bins, fixed, zz, ss, se, ah, al):
+    """AC successive-approximation refinement, encoder side (T.81
+    G.1.3.3, Figure G.10): correction bit (st+2) for
+    previously-nonzero coefficients, newly-significant ones as a
+    (st+1) decision + fixed-bin sign."""
+    ke = ss - 1
+    for k in range(se, ss - 1, -1):
+        if abs(zz[k]) >> al:
+            ke = k
+            break
+    kex = ss - 1
+    for k in range(ke, ss - 1, -1):
+        if abs(zz[k]) >> ah:
+            kex = k
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(ac_bins, st, 0)  # end-of-band decision
+        while True:
+            t = zz[k]
+            a = abs(t) >> al
+            if a:
+                if a >> 1:  # previously nonzero: correction bit
+                    enc.encode(ac_bins, st + 2, a & 1)
+                else:  # newly significant
+                    enc.encode(ac_bins, st + 1, 1)
+                    enc.encode(fixed, 0, 1 if t < 0 else 0)
+                break
+            enc.encode(ac_bins, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(ac_bins, 3 * (k - 1), 1)  # end-of-band
+
+
+def _arith_dec_ac_refine(dec, ac_bins, fixed, blk, ss, se, al):
+    """Decoder mirror of ``_arith_enc_ac_refine``."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = 0
+    for k in range(se, 0, -1):
+        if blk[k]:
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(ac_bins, st):
+            break  # end-of-band
+        while True:
+            if blk[k]:
+                if dec.decode(ac_bins, st + 2):
+                    blk[k] += p1 if blk[k] > 0 else m1
+                break
+            if dec.decode(ac_bins, st + 1):
+                blk[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("AC refine run overflow")
+        k += 1
+
+
+def _run_scan_arith(scan_data, scan_comps, ss, se, ah, al, progressive,
+                    comps, coefs, grids, dc_cond, ac_cond,
+                    restart_interval):
+    """Arithmetic scan driver (sequential F.2.4 and progressive
+    G.2): decode every MCU of one scan into the coefficient arrays;
+    returns scan-data bytes consumed. Statistics areas, DC contexts,
+    and the coder registers reset at every restart marker."""
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
     by_id = {cid: (h, v) for cid, h, v, _tq in comps}
     comp_index = {cid: idx for idx, (cid, *_rest) in enumerate(comps)}
     if len(scan_comps) == 1:
@@ -1306,12 +1395,25 @@ def _run_scan_arith(scan_data, scan_comps, comps, coefs, grids,
     dc_bins, ac_bins, fixed, dc_ctx, dc_last = fresh_stats()
 
     def _one(blk, cid, td, ta):
+        ci = comp_index[cid]
         L, U = dc_cond.get(td, (0, 1))
         Kx = ac_cond.get(ta, 5)
-        _arith_decode_block(
-            dec, dc_bins[td], ac_bins[ta], fixed, dc_ctx, dc_last,
-            comp_index[cid], L, U, Kx, blk,
-        )
+        if not progressive:
+            _arith_dec_dc_diff(dec, dc_bins[td], dc_ctx, dc_last, ci, L, U)
+            blk[0] = dc_last[ci]
+            _arith_dec_ac(dec, ac_bins[ta], fixed, Kx, blk, 1, 63, 0)
+        elif ss == 0:
+            if ah == 0:  # DC first
+                _arith_dec_dc_diff(
+                    dec, dc_bins[td], dc_ctx, dc_last, ci, L, U
+                )
+                blk[0] = dc_last[ci] << al
+            elif dec.decode(fixed, 0):  # DC refinement: fixed bin
+                blk[0] = int(blk[0]) | (1 << al)
+        elif ah == 0:  # AC first
+            _arith_dec_ac(dec, ac_bins[ta], fixed, Kx, blk, ss, se, al)
+        else:  # AC refinement
+            _arith_dec_ac_refine(dec, ac_bins[ta], fixed, blk, ss, se, al)
 
     for unit in range(units):
         if restart_interval and unit and unit % restart_interval == 0:
@@ -1340,7 +1442,7 @@ def _run_scan_arith(scan_data, scan_comps, comps, coefs, grids,
     return dec.pos
 
 
-# -- SOF9 fixture encoder --------------------------------------------
+# -- SOF9/SOF10 fixture encoders -------------------------------------
 
 _FLAT128_ZZ = [0] * 64  # an all-128 block quantizes to all-zero
 
@@ -1399,10 +1501,78 @@ def encode_gray_arith(pixels: np.ndarray, restart_interval: int = 0,
             rst += 1
             enc, dc_bins, ac_bins, fixed, dc_ctx, dc_last = fresh()
         for ci in range(nc):
-            _arith_encode_block(
-                enc, dc_bins, ac_bins, fixed, dc_ctx, dc_last, ci,
-                0, 1, 5, zz if ci == 0 else _FLAT128_ZZ,
+            czz = zz if ci == 0 else _FLAT128_ZZ
+            _arith_enc_dc_diff(
+                enc, dc_bins, dc_ctx, dc_last, ci, 0, 1, czz[0]
             )
+            _arith_enc_ac(enc, ac_bins, fixed, 5, czz, 1, 63, 0)
     out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_gray_arith_progressive(pixels: np.ndarray) -> bytes:
+    """Encode an 8-bit grayscale array as a progressive
+    arithmetic-coded JPEG (SOF10): the same scan script as the
+    progressive Huffman encoder — DC first (Al=1), DC refine, AC
+    first over bands (1,5)/(6,63) at Al=1, AC refine at Al=0 — with
+    every scan arithmetic-coded under fresh statistics (T.81 G.1.3).
+    Carries bit-identical quantized coefficients to the other three
+    encoders."""
+    h, w = pixels.shape
+    blocks = _quant_zz_blocks(pixels)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(_Q50_ZZ[i]) for i in range(64)
+    )
+    # SOF10: 8-bit progressive arithmetic, 1 component
+    out += (
+        b"\xff\xca"
+        + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + bytes([1, 0x11, 0])
+    )
+    out += b"\xff\xcc" + struct.pack(">H", 6) + bytes([0x00, 0x10, 0x10, 5])
+
+    def sos(ss, se, ah, al):
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00, ss, se, (ah << 4) | al])
+        )
+
+    def fresh():
+        return (
+            _ArithEnc(),
+            bytearray(64),
+            bytearray(256),
+            bytearray([_FIXED_BIN_STATE]),
+            [0],
+            [0],
+        )
+
+    # DC first, Al=1 (arithmetic shift per G.1.2.1)
+    enc, dc_bins, _ac, fixed, dc_ctx, dc_last = fresh()
+    for zz in blocks:
+        _arith_enc_dc_diff(enc, dc_bins, dc_ctx, dc_last, 0, 0, 1,
+                           zz[0] >> 1)
+    out += sos(0, 0, 0, 1) + enc.flush()
+
+    # DC refine: one fixed-bin decision per block
+    enc, _dc, _ac, fixed, _ctx, _last = fresh()
+    for zz in blocks:
+        enc.encode(fixed, 0, zz[0] & 1)
+    out += sos(0, 0, 1, 0) + enc.flush()
+
+    bands = ((1, 5), (6, 63))
+    for ss, se in bands:
+        enc, _dc, ac_bins, fixed, _ctx, _last = fresh()
+        for zz in blocks:
+            _arith_enc_ac(enc, ac_bins, fixed, 5, zz, ss, se, 1)
+        out += sos(ss, se, 0, 1) + enc.flush()
+    for ss, se in bands:
+        enc, _dc, ac_bins, fixed, _ctx, _last = fresh()
+        for zz in blocks:
+            _arith_enc_ac_refine(enc, ac_bins, fixed, zz, ss, se, 1, 0)
+        out += sos(ss, se, 1, 0) + enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

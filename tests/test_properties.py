@@ -292,17 +292,23 @@ def test_png_adam7_equals_linear(h, w, ct_depth, seed):
     st.integers(min_value=0, max_value=2**32 - 1),
 )
 def test_jpeg_arithmetic_equals_baseline(h, w, seed):
-    """The SOF9 arithmetic encoder carries bit-identical quantized
-    coefficients to the baseline encoder, so decode_luma of the two
-    streams must be EXACTLY equal for any pixel content — this pins
-    the whole QM-coder path (state machine, conditional exchange,
-    carry/stuffing byte plumbing, DC/AC conditioning contexts)
-    against the independently-tested Huffman path."""
+    """The SOF9/SOF10 arithmetic encoders carry bit-identical
+    quantized coefficients to the baseline encoder, so decode_luma of
+    the three streams must be EXACTLY equal for any pixel content —
+    this pins the whole QM-coder path (state machine, conditional
+    exchange, carry/stuffing byte plumbing, DC/AC conditioning
+    contexts, progressive refinement bins) against the
+    independently-tested Huffman path."""
     import numpy as np
 
-    from ocr_spark.jpeg import decode_luma, encode_gray, encode_gray_arith
+    from ocr_spark.jpeg import (
+        decode_luma,
+        encode_gray,
+        encode_gray_arith,
+        encode_gray_arith_progressive,
+    )
 
     px = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
-    assert decode_luma(encode_gray(px)) == decode_luma(
-        encode_gray_arith(px)
-    )
+    want = decode_luma(encode_gray(px))
+    assert decode_luma(encode_gray_arith(px)) == want
+    assert decode_luma(encode_gray_arith_progressive(px)) == want

@@ -2014,15 +2014,15 @@ def test_multimodal_jpeg_decodes_for_real():
     _, _, _, mean = M.decode_image(encode_gray(px))
     assert abs(mean - px.mean()) < 1.5
 
-    # arithmetic-coded SOF10 stays a seam; a baseline stream whose
-    # SOF marker is flipped to SOF2 is now *parsed* as progressive and
+    # lossless SOF11 stays a seam; a baseline stream whose SOF
+    # marker is flipped to SOF2 is now *parsed* as progressive and
     # must be rejected as malformed (its scan says Ss=0,Se=63 — illegal
     # for a progressive DC scan), not silently mis-decoded
     import pytest as _pt
 
     blob = bytearray(encode_gray(px))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xCA
+    blob[sof + 1] = 0xCB
     with _pt.raises(NotImplementedError):
         M.decode_image(bytes(blob))
     blob[sof + 1] = 0xC2
@@ -4498,17 +4498,22 @@ def test_pii_prevalence_counts_match_planting(spark):
 
 
 def test_multimodal_jpeg_arithmetic_decodes_for_real():
-    """Sequential arithmetic-coded JPEG (SOF9, T.81 Annex D QM-coder
-    + Annex F conditioning model) decodes through the same
-    decode_image seam, BIT-IDENTICAL to the baseline stream of the
-    same pixels, across: grayscale, interleaved 3-component MCUs
-    (per-component DC contexts), and restart intervals (full coder +
-    statistics reset per RSTn). The flat / spike fixtures force long
-    EOB and zero-run decision chains; the noise fixtures force the
-    magnitude-category X bins on both sides of the Kx band split."""
+    """Arithmetic-coded JPEG — sequential (SOF9) AND progressive
+    (SOF10, §G scan script: DC first/refine + banded AC
+    first/refine) — decodes through the same decode_image seam,
+    BIT-IDENTICAL to the baseline stream of the same pixels, across:
+    grayscale, interleaved 3-component MCUs (per-component DC
+    contexts), and restart intervals (full coder + statistics reset
+    per RSTn). The flat / spike fixtures force long EOB and zero-run
+    decision chains; the noise fixtures force the magnitude-category
+    X bins on both sides of the Kx band split."""
     import numpy as np
 
-    from ocr_spark.jpeg import encode_gray, encode_gray_arith
+    from ocr_spark.jpeg import (
+        encode_gray,
+        encode_gray_arith,
+        encode_gray_arith_progressive,
+    )
     from ocr_spark.operators import multimodal as M
 
     rng = np.random.RandomState(11)
@@ -4528,6 +4533,7 @@ def test_multimodal_jpeg_arithmetic_decodes_for_real():
         assert (
             M.decode_image(encode_gray_arith(px, restart_interval=2)) == want
         )
+        assert M.decode_image(encode_gray_arith_progressive(px)) == want
 
 
 def test_jpeg_qm_coder_is_a_real_adaptive_coder():
