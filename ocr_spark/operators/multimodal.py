@@ -417,6 +417,21 @@ def demux_video_info(payload: bytes) -> tuple:
             t.duration_ms(),
             sum(t.sizes),
         )
+    if payload.startswith(b"\x00\x00\x00\x01") or payload.startswith(
+        b"\x00\x00\x01"
+    ):
+        # raw Annex B H.264: NAL census via the real bitstream parser
+        # (no timestamps in an elementary stream -> 25 fps assumed,
+        # same convention as the fake format)
+        from ocr_spark.h264 import stream_info
+
+        info = stream_info(payload)
+        return (
+            info["n_slices"],
+            info["n_idr"],
+            info["n_slices"] * 40.0,
+            len(payload),
+        )
     if not payload.startswith(FAKE_VID_MAGIC):
         raise ValueError("unknown media format")
     n_frames, w, h = struct.unpack_from("<III", payload, len(FAKE_VID_MAGIC))
@@ -425,15 +440,28 @@ def demux_video_info(payload: bytes) -> tuple:
 
 def sample_frames(payload: bytes, stride: int = 4) -> list:
     """Frame sampling: decode every ``stride``-th frame, return
-    [(frame_idx, mean_luma)] — the video analog of thumbnailing. For
-    MP4 the demux half is real (``sample_stride_frames`` yields the
-    seek plan); decoding the H.264 sample bytes to luma is the
-    remaining ffmpeg/pyav seam."""
+    [(frame_idx, mean_luma)] — the video analog of thumbnailing.
+    Raw Annex B H.264 elementary streams decode for REAL when their
+    macroblocks are I_PCM (``ocr_spark/h264.py``: NAL/SPS/PPS/slice
+    parse + lossless PCM reconstruction); coded-residual macroblocks
+    raise inside — the narrowed ffmpeg seam. For MP4 the demux half
+    is real (``sample_stride_frames`` yields the seek plan); decoding
+    the contained codec payloads is the same seam."""
+    if payload.startswith(b"\x00\x00\x00\x01") or payload.startswith(
+        b"\x00\x00\x01"
+    ):
+        from ocr_spark.h264 import decode_annexb_luma
+
+        frames = decode_annexb_luma(payload)
+        return [
+            (f, float(frames[f].mean())) for f in range(0, len(frames), stride)
+        ]
     if len(payload) > 8 and payload[4:8] == _MP4_FTYP:
         raise NotImplementedError(
             "MP4 demux is real (ocr_spark.mp4.sample_stride_frames gives "
             "the seek plan); decoding the codec payloads needs "
-            "ffmpeg/pyav at this seam"
+            "ffmpeg/pyav at this seam (raw Annex B I_PCM streams decode "
+            "via ocr_spark.h264)"
         )
     if not payload.startswith(FAKE_VID_MAGIC):
         raise ValueError("unknown media format")

@@ -312,3 +312,28 @@ def test_jpeg_arithmetic_equals_baseline(h, w, seed):
     want = decode_luma(encode_gray(px))
     assert decode_luma(encode_gray_arith(px)) == want
     assert decode_luma(encode_gray_arith_progressive(px)) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=30).map(lambda v: 2 * v),
+    st.integers(min_value=1, max_value=30).map(lambda v: 2 * v),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_h264_ipcm_roundtrip_exact(h, w, n_frames, seed):
+    """I_PCM is lossless, so encode_gray_ipcm -> decode_annexb_luma
+    must reproduce every frame EXACTLY for any even dimensions
+    (4:2:0 crop units) — pinning Exp-Golomb coding, SPS cropping,
+    byte alignment, and emulation prevention in both directions."""
+    import numpy as np
+
+    from ocr_spark.h264 import decode_annexb_luma, encode_gray_ipcm
+
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, (h, w)).astype(np.uint8)
+              for _ in range(n_frames)]
+    out = decode_annexb_luma(encode_gray_ipcm(frames))
+    assert len(out) == n_frames
+    for want, got in zip(frames, out):
+        assert np.array_equal(want, got)
