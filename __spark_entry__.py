@@ -872,6 +872,19 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_codec_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T186: REAL-codec decode census — every row plants and decodes
+    a genuine PNG, baseline-JPEG, or H.264-I_PCM payload (constant
+    frames, closed-form dims/value in doc_id) through the full codec
+    stack in one Arrow batch. The driver-facing proof the real
+    codecs run Spark-side; lossless/DC-exact construction makes the
+    output pure SQL."""
+    from ocr_spark.operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.codec_census_from_docs(docs)
+
+
 def q_parse_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6: the reference's byte-identical response parser as a pandas
     UDF, driven through the fenced-JSON path. Responses are built
@@ -3127,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget_pareto": q_crawl_budget_pareto,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "pii_prevalence": q_pii_prevalence,
+        "media_codec_census": q_media_codec_census,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver can only record a weaker
         # rows-only row, so these yield their window slots to the
@@ -3546,6 +3560,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + doc_id % 32 AS INT) AS height,
                    (16 + doc_id % 48) * (16 + doc_id % 32) AS n_pixels,
                    round(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS mean_luma
+            FROM documents
+        """,
+        "media_codec_census": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'jpeg'
+                        ELSE 'h264' END AS codec,
+                   CAST(16 + 2 * (doc_id % 24) AS INT) AS width,
+                   CAST(16 + 2 * (doc_id % 16) AS INT) AS height,
+                   CAST(2 * (doc_id % 112) AS BIGINT) AS luma
             FROM documents
         """,
         "token_count": """
