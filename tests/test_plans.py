@@ -441,3 +441,14 @@ def test_decile_ops_have_no_corpus_ntile(spark, entry_mod):
         df = entry_mod.queries()[name](spark, SF_DIR)
         plan = _plan(df)
         assert "ntile" not in plan.lower(), name
+
+
+def test_media_codec_census_plan_is_narrow(spark, entry_mod):
+    """T186 census: one pruned scan (doc_id only) -> one MapInPandas;
+    zero Exchange — planting + decoding real codec payloads is
+    embarrassingly parallel and must stay that way at 100 TB."""
+    df = entry_mod.q_media_codec_census(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert "text" not in plan.split("ReadSchema")[-1], plan
