@@ -490,3 +490,116 @@ def encode_gray_ipcm(frames) -> bytes:
         bw.rbsp_trailing()
         out += nal(3, 5, bw.rbsp())
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AVCC layer (MP4 carriage): avcC record + length-prefixed NALs
+# ---------------------------------------------------------------------------
+#
+# Inside ISO BMFF the codec config travels as an AVCDecoderConfiguration
+# Record ('avcC' in the stsd sample entry) and samples carry
+# length-prefixed NAL units instead of Annex B start codes
+# (ISO/IEC 14496-15, public spec). Parsing avcC is how a pipeline
+# gets width/height for an MP4 without touching a single sample.
+
+
+def build_avcc(sps_nal: bytes, pps_nal: bytes,
+               length_size: int = 4) -> bytes:
+    """Assemble an AVCDecoderConfigurationRecord from raw SPS/PPS
+    NAL units (header byte + EPB-escaped payload, no start codes)."""
+    import struct
+
+    return (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3],
+               0xFC | (length_size - 1), 0xE0 | 1])
+        + struct.pack(">H", len(sps_nal)) + sps_nal
+        + bytes([1])
+        + struct.pack(">H", len(pps_nal)) + pps_nal
+    )
+
+
+def parse_avcc(record: bytes) -> dict:
+    """Parse an avcC record: SPS/PPS lists + NAL length size; the
+    first SPS is parsed through to exact pixel dimensions."""
+    import struct
+
+    if not record or record[0] != 1:
+        raise ValueError("not an avcC record")
+    length_size = (record[4] & 3) + 1
+    n_sps = record[5] & 0x1F
+    pos = 6
+    sps_list = []
+    for _ in range(n_sps):
+        (ln,) = struct.unpack_from(">H", record, pos)
+        pos += 2
+        sps_list.append(record[pos : pos + ln])
+        pos += ln
+    n_pps = record[pos]
+    pos += 1
+    pps_list = []
+    for _ in range(n_pps):
+        (ln,) = struct.unpack_from(">H", record, pos)
+        pos += 2
+        pps_list.append(record[pos : pos + ln])
+        pos += ln
+    sps = parse_sps(unescape_rbsp(sps_list[0][1:])) if sps_list else None
+    return {
+        "length_size": length_size,
+        "sps_nals": sps_list,
+        "pps_nals": pps_list,
+        "width": sps["width"] if sps else None,
+        "height": sps["height"] if sps else None,
+        "profile_idc": sps["profile_idc"] if sps else None,
+    }
+
+
+def split_avcc_sample(sample: bytes, length_size: int = 4) -> list:
+    """Split one length-prefixed (AVCC) sample into raw NAL units."""
+    nals = []
+    pos = 0
+    n = len(sample)
+    while pos + length_size <= n:
+        ln = int.from_bytes(sample[pos : pos + length_size], "big")
+        pos += length_size
+        if pos + ln > n:
+            raise ValueError("truncated AVCC NAL")
+        nals.append(sample[pos : pos + ln])
+        pos += ln
+    return nals
+
+
+def annexb_to_avcc(stream: bytes, length_size: int = 4) -> tuple:
+    """Repackage an Annex B stream as (avcC record, [samples]) — one
+    sample per slice NAL, parameter sets lifted into the record. The
+    inverse of what a demuxer does; used to make MP4-shaped fixtures
+    from the Annex B fixture encoder."""
+    sps_nal = pps_nal = None
+    samples = []
+    for nal in split_annexb(stream):
+        if not nal:
+            continue
+        ntype = nal[0] & 0x1F
+        if ntype == 7:
+            sps_nal = nal
+        elif ntype == 8:
+            pps_nal = nal
+        elif ntype in (1, 5):
+            samples.append(len(nal).to_bytes(length_size, "big") + nal)
+    if sps_nal is None or pps_nal is None:
+        raise ValueError("stream lacks SPS/PPS")
+    return build_avcc(sps_nal, pps_nal, length_size), samples
+
+
+def decode_avcc_sample_luma(sample: bytes, avcc: dict):
+    """Decode one AVCC sample's I/IDR slice to a luma frame using the
+    record's parameter sets (I_PCM macroblocks; coded residuals raise
+    — the ffmpeg seam)."""
+    sps = parse_sps(unescape_rbsp(avcc["sps_nals"][0][1:]))
+    pps = parse_pps(unescape_rbsp(avcc["pps_nals"][0][1:]))
+    for nal in split_avcc_sample(sample, avcc["length_size"]):
+        ntype = nal[0] & 0x1F
+        if ntype in (1, 5):
+            return _decode_idr_ipcm(
+                unescape_rbsp(nal[1:]), sps, pps, ntype == 5
+            )
+    raise ValueError("sample has no slice NAL")

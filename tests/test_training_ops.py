@@ -4651,3 +4651,35 @@ def test_h264_ipcm_decodes_for_real():
     )
     with _pt.raises(NotImplementedError):
         h264.decode_annexb_luma(bad)
+
+
+def test_h264_avcc_layer_roundtrips():
+    """MP4-carriage shape (ISO/IEC 14496-15): Annex B fixture ->
+    avcC record + length-prefixed samples; parse_avcc recovers exact
+    crop-adjusted dimensions from the record alone (the
+    dims-without-decoding path an MP4 pipeline uses), and each AVCC
+    sample decodes losslessly via the record's parameter sets."""
+    import numpy as np
+
+    from ocr_spark import h264
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (30, 44)).astype(np.uint8)
+              for _ in range(3)]
+    stream = h264.encode_gray_ipcm(frames)
+    record, samples = h264.annexb_to_avcc(stream)
+    info = h264.parse_avcc(record)
+    assert (info["width"], info["height"]) == (44, 30)
+    assert info["profile_idc"] == 66 and info["length_size"] == 4
+    assert len(samples) == 3
+    for want, sample in zip(frames, samples):
+        assert np.array_equal(
+            h264.decode_avcc_sample_luma(sample, info), want
+        )
+    # 2-byte length prefixes parse identically
+    rec2, samp2 = h264.annexb_to_avcc(stream, length_size=2)
+    info2 = h264.parse_avcc(rec2)
+    assert info2["length_size"] == 2
+    assert np.array_equal(
+        h264.decode_avcc_sample_luma(samp2[0], info2), frames[0]
+    )
