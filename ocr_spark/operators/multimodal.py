@@ -12,12 +12,15 @@ combination incl. palette/alpha/16-bit/sub-byte and Adam7 interlace;
 zlib + manual chunk/filter parsing, stdlib+numpy only), WAV (PCM at
 every container width — 8/16/24/32-bit — via the stdlib ``wave``
 parser), and JPEG — baseline sequential, progressive (SOF2,
-spectral selection + successive approximation), AND arithmetic-coded
-(SOF9 sequential + SOF10 progressive, T.81 QM-coder) via the numpy +
-stdlib codec in ``ocr_spark/jpeg.py`` — are genuinely decoded; MP4
-demux covers both classic (stbl) and fragmented (moof/traf/trun)
-layouts (``ocr_spark/mp4.py``). Lossless/hierarchical JPEG and
-codec-payload decode (H.264) remain clearly marked
+spectral selection + successive approximation), arithmetic-coded
+(SOF9 sequential + SOF10 progressive, T.81 QM-coder), AND lossless
+(SOF3, Annex H DPCM, all 7 predictors) via the numpy + stdlib codec
+in ``ocr_spark/jpeg.py`` — are genuinely decoded; MP4 demux covers
+both classic (stbl) and fragmented (moof/traf/trun) layouts
+(``ocr_spark/mp4.py``); the H.264 bitstream layer (Annex B + AVCC)
+parses NAL/SPS/PPS/slices and decodes I_PCM losslessly
+(``ocr_spark/h264.py``). Hierarchical/12-bit JPEG and
+coded-residual H.264 decode remain clearly marked
 ``NotImplementedError`` seams (PIL / ffmpeg plug in there in
 production).  Everything Spark-side — schema,
 Arrow batch shape, mapInPandas signatures, metadata struct, partition
@@ -262,16 +265,16 @@ def decode_image(payload: bytes) -> tuple:
 
     PNG and JPEG — baseline sequential AND progressive (SOF2) —
     decode for real (``_png_decode`` / ``jpeg.decode_luma``);
-    lossless/hierarchical JPEG is the remaining seam where PIL/libvips
+    hierarchical/12-bit JPEG is the remaining seam where PIL/libvips
     would plug in on a production image.
     """
     if payload.startswith(_PNG_MAGIC):
         return _png_decode(payload)
     if payload.startswith(_JPEG_MAGIC):
-        # baseline, progressive, and arithmetic (SOF9/SOF10) JPEG
-        # decode for real (numpy + stdlib, ocr_spark/jpeg.py);
-        # lossless/hierarchical streams raise NotImplementedError
-        # inside — the remaining PIL seam
+        # baseline, progressive, arithmetic (SOF9/SOF10), and
+        # lossless (SOF3) JPEG decode for real (numpy + stdlib,
+        # ocr_spark/jpeg.py); hierarchical/12-bit streams raise
+        # NotImplementedError inside — the remaining PIL seam
         from ocr_spark.jpeg import decode_luma
 
         w, h, mean = decode_luma(payload)

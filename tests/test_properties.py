@@ -337,3 +337,26 @@ def test_h264_ipcm_roundtrip_exact(h, w, n_frames, seed):
     assert len(out) == n_frames
     for want, got in zip(frames, out):
         assert np.array_equal(want, got)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_lossless_roundtrip_exact(h, w, pred, seed):
+    """SOF3 lossless JPEG is exact by definition: encode -> decode
+    must reproduce the pixel grid bit-for-bit for every predictor
+    (T.81 Table H.1) on arbitrary content — pinning the DPCM
+    prediction order, the 2^16 difference modulo, and the extended
+    SSSS 0..16 Huffman table in both directions."""
+    import numpy as np
+
+    from ocr_spark.jpeg import decode_lossless_luma, encode_gray_lossless
+
+    px = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+    gw, gh, luma = decode_lossless_luma(encode_gray_lossless(px, pred))
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(luma, px)

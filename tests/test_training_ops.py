@@ -4683,3 +4683,28 @@ def test_h264_avcc_layer_roundtrips():
     assert np.array_equal(
         h264.decode_avcc_sample_luma(samp2[0], info2), frames[0]
     )
+
+
+def test_multimodal_jpeg_lossless_decodes_for_real():
+    """Lossless (SOF3) JPEG decodes through the same decode_image
+    seam with EXACT mean luma (no compression tolerance — the mode
+    is lossless), for all seven Annex H predictors; the remaining
+    seam is hierarchical/arithmetic-lossless (SOF5-7/11/13-15)."""
+    import numpy as np
+    import pytest as _pt
+
+    from ocr_spark.jpeg import encode_gray_lossless
+    from ocr_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, (19, 31)).astype(np.uint8)
+    for pred in range(1, 8):
+        w, h, n, mean = M.decode_image(encode_gray_lossless(px, pred))
+        assert (w, h, n) == (31, 19, 31 * 19)
+        assert mean == px.mean()  # exact, not approximate
+
+    blob = bytearray(encode_gray_lossless(px))
+    sof = blob.find(b"\xff\xc3")
+    blob[sof + 1] = 0xC7  # hierarchical lossless: still the seam
+    with _pt.raises(NotImplementedError):
+        M.decode_image(bytes(blob))
