@@ -1639,20 +1639,15 @@ def _run_scan_lossless(scan_data, scan_comps, pred, al, comps, planes,
                 raise NotImplementedError(
                     "subsampled lossless scans need a real codec"
                 )
-    unit = 0
+    if restart_interval:
+        # H.2.4 resets the prediction to the default at each RSTn;
+        # no fixture needs it — declare the seam instead of silently
+        # mispredicting a real-world restart stream
+        raise NotImplementedError(
+            "restart markers in lossless scans are not decoded here"
+        )
     for y in range(rows):
         for x in range(w):
-            if restart_interval and unit and unit % restart_interval == 0:
-                reader.align()
-                while (reader.pos + 1 < len(reader.data)
-                       and reader.data[reader.pos] == 0xFF):
-                    m = reader.data[reader.pos + 1]
-                    if 0xD0 <= m <= 0xD7:
-                        reader.pos += 2
-                        break
-                    reader.pos += 1
-                # restart: prediction reinitializes (H.2.4)
-                restart_base = (y, x)
             for cid, td, _ta in scan_comps:
                 plane = planes[cid]
                 ssss = _huff_decode(reader, huff_dc[td])
@@ -1660,11 +1655,8 @@ def _run_scan_lossless(scan_data, scan_comps, pred, al, comps, planes,
                     diff = 32768
                 else:
                     diff = _extend(reader.receive(ssss), ssss)
-                # restart boundaries re-enter first-row semantics via
-                # the modulo arithmetic below (encoder mirrors)
                 p = _lossless_predict(plane, x, y, w, pred, default)
                 plane[y][x] = (p + diff) & 0xFFFF
-            unit += 1
     return reader.pos
 
 
