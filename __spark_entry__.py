@@ -885,6 +885,24 @@ def q_media_codec_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.codec_census_from_docs(docs)
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T187: pairwise cross-source shingle containment — the
+    mixture-governance matrix that flags double-counted text between
+    components before training. Bounded source-set collection per
+    gram; integer-ppm containment for engine exactness."""
+    from ocr_spark.operators.corpus_ops import source_overlap_matrix
+
+    return source_overlap_matrix(_t(spark, sf_dir, "documents"))
+
+
+def q_host_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T188: deterministic per-source exemplar sample (k=3) under a
+    seeded uniform hash order — the rerun-stable labeling/QA draw."""
+    from ocr_spark.operators.corpus_ops import host_exemplars
+
+    return host_exemplars(_t(spark, sf_dir, "documents"))
+
+
 def q_parse_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6: the reference's byte-identical response parser as a pandas
     UDF, driven through the fenced-JSON path. Responses are built
@@ -3141,6 +3159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "pii_prevalence": q_pii_prevalence,
         "media_codec_census": q_media_codec_census,
+        "source_overlap_matrix": q_source_overlap_matrix,
+        "host_exemplars": q_host_exemplars,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver can only record a weaker
         # rows-only row, so these yield their window slots to the
@@ -3577,6 +3597,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
             FROM documents
         """,
+        "source_overlap_matrix": _corpus_sql.sql_source_overlap_matrix(),
+        "host_exemplars": _corpus_sql.sql_host_exemplars(),
         "quality_gopher": _corpus_sql.sql_quality_query(),
         "langid_cjk": f"""
             SELECT doc_id, lang,

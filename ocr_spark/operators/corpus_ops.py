@@ -3987,3 +3987,146 @@ def sql_src_lang_affinity() -> str:
         FROM m
         ORDER BY source, lang
     """
+
+
+# ---------------------------------------------------------------------------
+# T187: pairwise cross-source n-gram containment matrix
+# ---------------------------------------------------------------------------
+#
+# The mixture-governance view of T92's two-way overlap: for every
+# ordered source pair (a, b), what fraction of a's distinct shingle
+# vocabulary also appears in b?  High containment between two mixture
+# components means their token budgets double-count the same text —
+# the signal that a cross-source dedup pass (or a weight cut) is
+# needed BEFORE training, not after.
+#
+# Scale shape: one distinct over (source, shingle) bounds the working
+# set to vocab x sources; a single groupBy(shingle) collects the
+# bounded source set per gram (<= n_sources elements — the documented
+# bound: sources are mixture components, dozens at most, NOT hosts);
+# pair expansion is therefore <= n_sources^2 per gram and the final
+# rollup is map-side combined into <= n_sources^2 rows. The per-source
+# totals table is bounded and broadcast. No corpus-wide sort, no
+# unbounded state.
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(src_a, src_b, n_both, n_a, containment_ppm) for every ordered
+    source pair sharing at least one distinct k-word shingle;
+    containment_ppm = floor(1e6 * |grams(a) ∩ grams(b)| / |grams(a)|),
+    integer-exact across engines."""
+    from ocr_spark.operators.dedup import shingles_col
+
+    g = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.array_distinct(shingles_col(F.col(text_col)))
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    totals = g.groupBy("src").agg(F.count(F.lit(1)).alias("n_a"))
+    pairs = (
+        g.groupBy("sh")
+        .agg(F.collect_set("src").alias("srcs"))
+        .select(F.explode("srcs").alias("src_a"), "srcs")
+        .select("src_a", F.explode("srcs").alias("src_b"))
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.withColumnRenamed("src", "src_a")), "src_a"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.expr("n_both * 1000000 div n_a").alias("containment_ppm"),
+        )
+    )
+
+
+def sql_source_overlap_matrix() -> str:
+    from ocr_spark.operators.dedup import sql_shingles
+
+    return f"""
+        WITH g AS (
+            SELECT DISTINCT src, sh FROM (
+                SELECT source AS src,
+                       unnest(list_distinct({sql_shingles("text")})) AS sh
+                FROM documents)
+        ),
+        tot AS (SELECT src, count(*) AS n_a FROM g GROUP BY src),
+        pair AS (
+            SELECT x.src AS src_a, y.src AS src_b, count(*) AS n_both
+            FROM g x JOIN g y USING (sh)
+            WHERE x.src <> y.src
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST(n_a AS BIGINT) AS n_a,
+               (n_both * 1000000) // n_a AS containment_ppm
+        FROM pair JOIN tot ON pair.src_a = tot.src
+    """
+
+
+# ---------------------------------------------------------------------------
+# T188: deterministic per-host exemplar sample
+# ---------------------------------------------------------------------------
+#
+# Human-eval / labeling workflows need k exemplar documents per host
+# that are (a) stable across reruns and cluster sizes, (b) unbiased
+# within the host (no "first k by ingestion order" artifacts). A
+# uniform hash order gives both. One hash-partitioned window per
+# source; per-host state is the k-row rank counter. At Zipf scale the
+# hot host's partition is large but the window carries no buffering
+# beyond row_number; AQE skew handling splits it if needed.
+
+
+def host_exemplars(
+    docs: DataFrame,
+    k: int = 3,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(source, rank, doc_id): the k hash-first documents per source
+    under a seeded uniform order — rerun-stable and engine-exact."""
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.dedup import _hash60
+
+    h = _hash60(F.concat(F.lit("ex:"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(F.asc("h"), F.asc(key_col))
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(key_col).alias("doc_id"),
+            h.alias("h"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("source", "rank", "doc_id")
+    )
+
+
+def sql_host_exemplars(k: int = 3) -> str:
+    h = ("CAST('0x' || substr(md5('ex:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+         "AS BIGINT)")
+    return f"""
+        SELECT source, rank, doc_id FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY {h} ASC, doc_id ASC
+                   ) AS rank
+            FROM documents
+        ) WHERE rank <= {k}
+    """

@@ -452,3 +452,12 @@ def test_media_codec_census_plan_is_narrow(spark, entry_mod):
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
     assert "text" not in plan.split("ReadSchema")[-1], plan
+
+
+def test_source_overlap_matrix_plan_bounds(spark, entry_mod):
+    """T187: gram-keyed exchanges only — the per-source totals join
+    must be broadcast (bounded table), and nothing sorts the corpus."""
+    df = entry_mod.q_source_overlap_matrix(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
