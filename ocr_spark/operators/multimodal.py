@@ -698,9 +698,54 @@ def codec_census_from_docs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_census_batches, CENSUS_SCHEMA)
 
 
+SAFE_DECODED_SCHEMA = DECODED_SCHEMA + ", status string, error string"
+
+
+def _decode_batches_safe(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = (
+        "doc_id", "kind", "width", "height", "n_pixels", "mean_luma",
+        "status", "error",
+    )
+    for b in batches:
+        out = {k: [] for k in cols}
+        for doc_id, kind, payload in zip(
+            b["doc_id"], b["kind"], b["payload"]
+        ):
+            try:
+                w, h, n, mean = decode_image(payload)
+                row = (w, h, n, mean, "completed", None)
+            except NotImplementedError as exc:
+                row = (None, None, None, None, "unsupported", str(exc)[:200])
+            except Exception as exc:  # corrupt payload: error row, R2
+                row = (None, None, None, None, "error", str(exc)[:200])
+            out["doc_id"].append(doc_id)
+            out["kind"].append(kind)
+            for k, v in zip(cols[2:], row):
+                out[k].append(v)
+        df = pd.DataFrame(out)
+        df["width"] = df["width"].astype("Int32")
+        df["height"] = df["height"].astype("Int32")
+        df["n_pixels"] = df["n_pixels"].astype("Int64")
+        yield df
+
+
 def decode_media(media: DataFrame) -> DataFrame:
-    """media -> per-item decoded metadata + features (Arrow-batched)."""
+    """media -> per-item decoded metadata + features (Arrow-batched).
+    STRICT variant for trusted/planted media (the oracle-gated query
+    path): a malformed payload raises and fails the task. Crawled
+    media goes through ``decode_media_safe``."""
     return media.mapInPandas(_decode_batches, DECODED_SCHEMA)
+
+
+def decode_media_safe(media: DataFrame) -> DataFrame:
+    """Crawl-facing decode: per-row try/except -> status/error
+    columns (the R2 poison-row rule the extraction stage follows —
+    one corrupt JPEG among 10^12 pages must cost one error row, not
+    the stage). ``status`` is 'completed' / 'unsupported' (declared
+    codec seams) / 'error' (malformed bytes)."""
+    return media.mapInPandas(_decode_batches_safe, SAFE_DECODED_SCHEMA)
 
 
 def media_thumbnails(media: DataFrame) -> DataFrame:

@@ -4708,3 +4708,62 @@ def test_multimodal_jpeg_lossless_decodes_for_real():
     blob[sof + 1] = 0xC7  # hierarchical lossless: still the seam
     with _pt.raises(NotImplementedError):
         M.decode_image(bytes(blob))
+
+
+def test_decode_media_safe_poison_rows(spark):
+    """R2 for the media leg: one corrupt / truncated / unsupported
+    payload among good ones costs one status row, never the stage.
+    Also a no-hang fuzz: every random corruption of valid
+    PNG/JPEG/H.264 streams must terminate decode_image promptly with
+    either a result or an exception (the safe stage maps both to
+    rows)."""
+    import numpy as np
+
+    from ocr_spark.jpeg import encode_gray, encode_gray_arith
+    from ocr_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(17)
+    px = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    good_jpeg = encode_gray(px)
+    good_arith = encode_gray_arith(px)
+    png = M._tiny_gray_png(20, 10, 77)
+    rows = [
+        (1, "jpeg", good_jpeg),
+        (2, "jpeg", good_jpeg[: len(good_jpeg) // 2]),  # truncated
+        (3, "png", png[:30]),  # truncated PNG
+        (4, "other", b"\x00\x01garbage"),  # unknown magic
+        (5, "jpeg", b"\xff\xd8\xff" + bytes(40)),  # junk after SOI
+        (6, "jpeg", good_arith),
+        (7, "png", png),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, kind string, payload binary"
+    )
+    out = {r["doc_id"]: r for r in M.decode_media_safe(media).collect()}
+    assert out[1]["status"] == "completed" and out[1]["width"] == 40
+    assert out[6]["status"] == "completed" and out[6]["width"] == 40
+    assert out[7]["status"] == "completed" and out[7]["width"] == 20
+    for bad in (2, 3, 4, 5):
+        assert out[bad]["status"] in ("error", "unsupported"), out[bad]
+        assert out[bad]["width"] is None
+        assert out[bad]["error"]
+
+    # corruption fuzz: decode terminates (result or exception), fast
+    streams = [good_jpeg, good_arith, png]
+    for i in range(120):
+        base = bytearray(streams[i % 3])
+        mode = i % 4
+        if mode == 0:  # flip a byte
+            base[rng.randint(2, len(base))] = rng.randint(0, 256)
+        elif mode == 1:  # truncate
+            base = base[: rng.randint(2, len(base))]
+        elif mode == 2:  # duplicate a slice
+            p = rng.randint(2, len(base))
+            base = base[:p] + base[p - 2 : p] + base[p:]
+        else:  # zero a run
+            p = rng.randint(2, len(base))
+            base[p : p + 8] = bytes(min(8, len(base) - p))
+        try:
+            M.decode_image(bytes(base))
+        except Exception:
+            pass  # any exception is acceptable; hanging is not
