@@ -716,9 +716,10 @@ def decode_luma(payload: bytes) -> tuple:
     mean_luma). Handles baseline sequential (SOF0/1), progressive
     (SOF2) — spectral selection, successive approximation, EOB runs,
     restart markers — arithmetic-coded (SOF9 sequential, SOF10
-    progressive), and lossless (SOF3 DPCM) streams. Raises
-    NotImplementedError for hierarchical/12-bit/arithmetic-lossless
-    streams (the libjpeg seam); ValueError on malformed data."""
+    progressive), lossless (SOF3 DPCM), and 12-bit extended
+    sequential/progressive streams. Raises NotImplementedError for
+    hierarchical/12-bit-arithmetic/arithmetic-lossless streams (the
+    libjpeg seam); ValueError on malformed data."""
     width, height, visible = decode_luma_grid(payload)
     return width, height, float(visible.mean())
 
@@ -765,21 +766,29 @@ def decode_luma_grid(payload: bytes) -> tuple:
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
                 p += 1
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
                 tab = np.empty(64)
-                for i in range(64):
-                    tab[_ZIGZAG[i]] = seg[p + i]
+                if pq == 0:
+                    for i in range(64):
+                        tab[_ZIGZAG[i]] = seg[p + i]
+                    p += 64
+                else:  # Pq=1: 16-bit entries (12-bit precision streams)
+                    vals = struct.unpack_from(">64H", seg, p)
+                    for i in range(64):
+                        tab[_ZIGZAG[i]] = vals[i]
+                    p += 128
                 qtabs[tq] = tab.reshape(8, 8)
-                p += 64
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/1 baseline, SOF2 progressive, SOF9 sequential
             # arithmetic, SOF10 progressive arithmetic
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
             precision, height, width, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
-            if precision != 8:
-                raise NotImplementedError("12-bit JPEG")
+            if precision not in (8, 12):
+                raise NotImplementedError(f"{precision}-bit JPEG")
+            if precision == 12 and arith:
+                raise NotImplementedError(
+                    "12-bit arithmetic JPEG stays a seam"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -861,11 +870,16 @@ def decode_luma_grid(payload: bytes) -> tuple:
     nat = np.empty_like(zzc)
     nat[:, _ZIGZAG] = zzc
     blocks = nat.reshape(-1, 8, 8) * qtabs[ltq]
-    px = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C) + 128.0
+    shift = float(1 << (precision - 1))  # 128 (8-bit) / 2048 (12-bit)
+    px = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C) + shift
     luma = (
         px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
     )
-    visible = np.clip(luma[:height, :width], 0, 255)
+    visible = np.clip(luma[:height, :width], 0, (1 << precision) - 1)
+    if precision != 8:
+        # the metadata API is 8-bit: scale down (uint8 grid contract);
+        # re-clip because 4095/16 rounds up past 255
+        visible = np.clip(visible / float(1 << (precision - 8)), 0, 255)
     return width, height, np.round(visible).astype(np.uint8)
 
 
@@ -1791,6 +1805,110 @@ def encode_gray_lossless(pixels: np.ndarray, predictor: int = 4) -> bytes:
             if ssss and ssss != 16:
                 bw.write(amp, ssss)
             recon[y][x] = int(px[y][x])
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential encoder (SOF1, for test fixtures)
+# ---------------------------------------------------------------------------
+
+# extended Huffman specs for 12-bit: DC categories 0..15 (one code per
+# length 10..13 beyond the Annex K shape), AC symbols as a flat 8-bit
+# canonical table over EOB, ZRL, and (run, size) for size 1..14
+# (226 codes, Kraft 226/256 < 1).
+_DC12_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0]
+_DC12_VALS = list(range(16))
+_AC12_VALS = sorted([0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+])
+_AC12_BITS = [0] * 16
+_AC12_BITS[7] = len(_AC12_VALS)
+
+
+def encode_gray12(pixels: np.ndarray) -> bytes:
+    """Encode a 12-bit grayscale array (uint16, 0..4095) as an
+    extended sequential JPEG (SOF1, precision 12, Pq=1 16-bit quant
+    table). The fixture for the 12-bit decode path; a DC-only
+    (constant) image survives quantization exactly, which the tests
+    exploit for bit-exact assertions."""
+    h, w = pixels.shape
+    q = np.empty(64)
+    for i, z in enumerate(_ZIGZAG):
+        q[z] = _Q50_ZZ[i]
+    qtab = q.reshape(8, 8)
+    dc_codes = _canonical_codes(_DC12_BITS, _DC12_VALS)
+    ac_codes = _canonical_codes(_AC12_BITS, _AC12_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    # DQT with Pq=1 (16-bit entries)
+    out += (
+        b"\xff\xdb"
+        + struct.pack(">H", 2 + 1 + 128)
+        + b"\x10"
+        + b"".join(struct.pack(">H", int(_Q50_ZZ[i])) for i in range(64))
+    )
+    out += (
+        b"\xff\xc1"
+        + struct.pack(">HBHHB", 11, 12, h, w, 1)
+        + bytes([1, 0x11, 0])
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_DC12_VALS))
+        + b"\x00"
+        + bytes(_DC12_BITS)
+        + bytes(_DC12_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_AC12_VALS))
+        + b"\x10"
+        + bytes(_AC12_BITS)
+        + bytes(_AC12_VALS)
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+
+    bw = _BitWriter()
+    prev_dc = 0
+    bh, bwn = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(
+        pixels.astype(np.float64),
+        ((0, bh * 8 - h), (0, bwn * 8 - w)),
+        mode="edge",
+    )
+    for by in range(bh):
+        for bx in range(bwn):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 2048.0
+            quant = np.round((_C @ block @ _C.T) / qtab).astype(int)
+            zz = [int(quant.flat[z]) for z in _ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            size, bits = _magnitude(diff)
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    if run == 16:
+                        code, length = ac_codes[0xF0]
+                        bw.write(code, length)
+                        run = 0
+                    continue
+                size, bits = _magnitude(zz[i])
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]
+                bw.write(code, length)
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"

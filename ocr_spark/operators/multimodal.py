@@ -13,13 +13,14 @@ zlib + manual chunk/filter parsing, stdlib+numpy only), WAV (PCM at
 every container width — 8/16/24/32-bit — via the stdlib ``wave``
 parser), and JPEG — baseline sequential, progressive (SOF2,
 spectral selection + successive approximation), arithmetic-coded
-(SOF9 sequential + SOF10 progressive, T.81 QM-coder), AND lossless
-(SOF3, Annex H DPCM, all 7 predictors) via the numpy + stdlib codec
+(SOF9 sequential + SOF10 progressive, T.81 QM-coder), lossless
+(SOF3, Annex H DPCM, all 7 predictors), AND 12-bit extended
+sequential via the numpy + stdlib codec
 in ``ocr_spark/jpeg.py`` — are genuinely decoded; MP4 demux covers
 both classic (stbl) and fragmented (moof/traf/trun) layouts
 (``ocr_spark/mp4.py``); the H.264 bitstream layer (Annex B + AVCC)
 parses NAL/SPS/PPS/slices and decodes I_PCM losslessly
-(``ocr_spark/h264.py``). Hierarchical/12-bit JPEG and
+(``ocr_spark/h264.py``). Hierarchical/arithmetic-lossless JPEG and
 coded-residual H.264 decode remain clearly marked
 ``NotImplementedError`` seams (PIL / ffmpeg plug in there in
 production).  Everything Spark-side — schema,
@@ -265,16 +266,16 @@ def decode_image(payload: bytes) -> tuple:
 
     PNG and JPEG — baseline sequential AND progressive (SOF2) —
     decode for real (``_png_decode`` / ``jpeg.decode_luma``);
-    hierarchical/12-bit JPEG is the remaining seam where PIL/libvips
+    hierarchical JPEG is the remaining seam where PIL/libvips
     would plug in on a production image.
     """
     if payload.startswith(_PNG_MAGIC):
         return _png_decode(payload)
     if payload.startswith(_JPEG_MAGIC):
-        # baseline, progressive, arithmetic (SOF9/SOF10), and
-        # lossless (SOF3) JPEG decode for real (numpy + stdlib,
-        # ocr_spark/jpeg.py); hierarchical/12-bit streams raise
-        # NotImplementedError inside — the remaining PIL seam
+        # baseline, progressive, arithmetic (SOF9/SOF10), lossless
+        # (SOF3), and 12-bit JPEG decode for real (numpy + stdlib,
+        # ocr_spark/jpeg.py); hierarchical/12-bit-arithmetic streams
+        # raise NotImplementedError inside — the remaining PIL seam
         from ocr_spark.jpeg import decode_luma
 
         w, h, mean = decode_luma(payload)

@@ -4767,3 +4767,35 @@ def test_decode_media_safe_poison_rows(spark):
             M.decode_image(bytes(base))
         except Exception:
             pass  # any exception is acceptable; hanging is not
+
+
+def test_multimodal_jpeg_12bit_decodes_for_real():
+    """12-bit extended sequential JPEG (SOF1 precision 12, Pq=1
+    16-bit quant tables, 2048 level shift) decodes through the same
+    seam, output scaled to the 8-bit metadata contract. Constant
+    images are DC-only and land within 1/255 of v/16 exactly; smooth
+    and noise content stay within normal quantization loss. 12-bit
+    arithmetic remains a declared seam."""
+    import numpy as np
+    import pytest as _pt
+
+    from ocr_spark.jpeg import encode_gray12
+    from ocr_spark.operators import multimodal as M
+
+    for v in (0, 1024, 2048, 3072, 4094):
+        img = np.full((20, 28), v, dtype=np.uint16)
+        w, h, n, mean = M.decode_image(encode_gray12(img))
+        assert (w, h, n) == (28, 20, 28 * 20)
+        assert abs(mean - min(255, round(v / 16))) <= 1
+
+    y, x = np.mgrid[0:32, 0:48]
+    img = ((x * 40 + y * 60) % 4096).astype(np.uint16)
+    _, _, _, mean = M.decode_image(encode_gray12(img))
+    assert abs(mean - np.clip(img / 16.0, 0, 255).mean()) < 1.0
+
+    # 12-bit + arithmetic: still the declared seam
+    blob = bytearray(encode_gray12(img))
+    sof = blob.find(b"\xff\xc1")
+    blob[sof + 1] = 0xC9
+    with _pt.raises(NotImplementedError):
+        M.decode_image(bytes(blob))
