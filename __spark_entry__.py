@@ -903,6 +903,27 @@ def q_host_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_exemplars(_t(spark, sf_dir, "documents"))
 
 
+_RI_RELATIONS = [
+    ("documents->embeddings", "documents", "doc_id", "embeddings", "vec_id"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T189: FK coverage audit across the warehouse — distinct-key
+    counts, matched counts, and integer-ppm coverage in both
+    directions for each declared relation. The gate a join-dependent
+    stage checks before trusting its own output."""
+    from ocr_spark.operators.corpus_ops import referential_integrity
+
+    rels = [
+        (name, _t(spark, sf_dir, ct), ck, _t(spark, sf_dir, pt), pk)
+        for name, ct, ck, pt, pk in _RI_RELATIONS
+    ]
+    return referential_integrity(rels)
+
+
 def q_parse_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6: the reference's byte-identical response parser as a pandas
     UDF, driven through the fenced-JSON path. Responses are built
@@ -3161,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_codec_census": q_media_codec_census,
         "source_overlap_matrix": q_source_overlap_matrix,
         "host_exemplars": q_host_exemplars,
+        "referential_integrity": q_referential_integrity,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver can only record a weaker
         # rows-only row, so these yield their window slots to the
@@ -3599,6 +3621,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "source_overlap_matrix": _corpus_sql.sql_source_overlap_matrix(),
         "host_exemplars": _corpus_sql.sql_host_exemplars(),
+        "referential_integrity": _corpus_sql.sql_referential_integrity(
+            _RI_RELATIONS
+        ),
         "quality_gopher": _corpus_sql.sql_quality_query(),
         "langid_cjk": f"""
             SELECT doc_id, lang,

@@ -4130,3 +4130,79 @@ def sql_host_exemplars(k: int = 3) -> str:
             FROM documents
         ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# T189: referential-integrity audit across warehouse tables
+# ---------------------------------------------------------------------------
+#
+# Every multi-table pipeline needs the FK coverage check before a
+# join-dependent stage runs: how many child rows have a parent, how
+# many parents have at least one child. One distinct-key projection
+# per side, one key-shuffled join per relation, bounded 1-row output
+# per relation — the shape survives any scale because only DISTINCT
+# keys shuffle (child fan-in collapses map-side).
+
+
+def referential_integrity(relations) -> "DataFrame":
+    """``relations``: list of (name, child_df, child_key, parent_df,
+    parent_key). Returns one row per relation: (relation, n_child,
+    n_child_matched, child_coverage_ppm, n_parent, n_parent_matched,
+    parent_coverage_ppm), counting DISTINCT keys on both sides."""
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        c = child.select(F.col(ckey).alias("k")).distinct()
+        p = parent.select(F.col(pkey).alias("k")).distinct()
+        both = c.join(p, "k", "left_semi")
+        stats = (
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(both.agg(F.count(F.lit(1)).alias("n_child_matched")))
+            .crossJoin(p.agg(F.count(F.lit(1)).alias("n_parent")))
+            .crossJoin(
+                p.join(c, "k", "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_parent_matched"))
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_child_matched",
+                F.expr(
+                    "n_child_matched * 1000000 div n_child"
+                ).alias("child_coverage_ppm"),
+                "n_parent",
+                "n_parent_matched",
+                F.expr(
+                    "n_parent_matched * 1000000 div n_parent"
+                ).alias("parent_coverage_ppm"),
+            )
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_referential_integrity(relations) -> str:
+    """DuckDB mirror over the registered table views; ``relations``
+    is [(name, child_table, child_key, parent_table, parent_key)]."""
+    parts = []
+    for name, ct, ck, pt, pk in relations:
+        parts.append(f"""
+        SELECT '{name}' AS relation,
+               (SELECT count(DISTINCT {ck}) FROM {ct}) AS n_child,
+               (SELECT count(DISTINCT {ck}) FROM {ct}
+                WHERE {ck} IN (SELECT {pk} FROM {pt})) AS n_child_matched,
+               ((SELECT count(DISTINCT {ck}) FROM {ct}
+                 WHERE {ck} IN (SELECT {pk} FROM {pt})) * 1000000)
+                 // (SELECT count(DISTINCT {ck}) FROM {ct})
+                 AS child_coverage_ppm,
+               (SELECT count(DISTINCT {pk}) FROM {pt}) AS n_parent,
+               (SELECT count(DISTINCT {pk}) FROM {pt}
+                WHERE {pk} IN (SELECT {ck} FROM {ct})) AS n_parent_matched,
+               ((SELECT count(DISTINCT {pk}) FROM {pt}
+                 WHERE {pk} IN (SELECT {ck} FROM {ct})) * 1000000)
+                 // (SELECT count(DISTINCT {pk}) FROM {pt})
+                 AS parent_coverage_ppm
+        """)
+    return " UNION ALL ".join(parts)
