@@ -924,6 +924,18 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return referential_integrity(rels)
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T190: dbt-test/Deequ-style per-column profile of the documents
+    table — nulls, exact distinct cardinality, value-length bounds —
+    one scan, one exchange, one governance row per column."""
+    from ocr_spark.operators.corpus_ops import table_profile
+
+    return table_profile(_t(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
 def q_parse_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6: the reference's byte-identical response parser as a pandas
     UDF, driven through the fenced-JSON path. Responses are built
@@ -3183,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": q_source_overlap_matrix,
         "host_exemplars": q_host_exemplars,
         "referential_integrity": q_referential_integrity,
+        "table_profile": q_table_profile,
         # rows+pytest-gated (eigendecomposition / zlib not
         # SQL-expressible — the driver can only record a weaker
         # rows-only row, so these yield their window slots to the
@@ -3623,6 +3636,9 @@ def oracle_sql() -> dict[str, str]:
         "host_exemplars": _corpus_sql.sql_host_exemplars(),
         "referential_integrity": _corpus_sql.sql_referential_integrity(
             _RI_RELATIONS
+        ),
+        "table_profile": _corpus_sql.sql_table_profile(
+            "documents", _PROFILE_COLS
         ),
         "quality_gopher": _corpus_sql.sql_quality_query(),
         "langid_cjk": f"""

@@ -4206,3 +4206,61 @@ def sql_referential_integrity(relations) -> str:
                  AS parent_coverage_ppm
         """)
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# T190: per-column table profile (null / distinct / length bounds)
+# ---------------------------------------------------------------------------
+#
+# The dbt-test / Deequ-style column profile every warehouse runs on
+# ingest: null counts, exact distinct cardinality, and value-length
+# bounds per column, unpivoted to one governance row per column.
+# One scan; the distinct counts are the only shuffled aggregates and
+# Spark executes the multi-distinct agg as an expand + single
+# exchange — bounded output (n_columns rows).
+
+
+def table_profile(df: DataFrame, columns) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_len, max_len) per
+    requested column; lengths are string lengths of the cast value
+    (integer-exact across engines)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.length(s)).alias(f"__mn_{c}"),
+            F.max(F.length(s)).alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col(f"__nn_{c}").cast("bigint").alias("n_nulls"),
+                F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"__mn_{c}").cast("bigint").alias("min_len"),
+                F.col(f"__mx_{c}").cast("bigint").alias("max_len"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sql_table_profile(table: str, columns) -> str:
+    parts = []
+    for c in columns:
+        parts.append(f"""
+        SELECT '{c}' AS column,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min(length(CAST({c} AS VARCHAR))) AS BIGINT) AS min_len,
+               CAST(max(length(CAST({c} AS VARCHAR))) AS BIGINT) AS max_len
+        FROM {table}
+        """)
+    return " UNION ALL ".join(parts)
