@@ -4151,28 +4151,40 @@ def referential_integrity(relations) -> "DataFrame":
     parent_coverage_ppm), counting DISTINCT keys on both sides."""
     outs = []
     for name, child, ckey, parent, pkey in relations:
-        c = child.select(F.col(ckey).alias("k")).distinct()
-        p = parent.select(F.col(pkey).alias("k")).distinct()
-        both = c.join(p, "k", "left_semi")
+        # one scan per side: distinct keys flagged, full-outer join,
+        # one bounded aggregate. On distinct keys the child-matched
+        # and parent-matched counts are both |K_child ∩ K_parent|.
+        c = (
+            child.select(F.col(ckey).alias("k"))
+            .distinct()
+            .withColumn("in_c", F.lit(1))
+        )
+        p = (
+            parent.select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("in_p", F.lit(1))
+        )
         stats = (
-            c.agg(F.count(F.lit(1)).alias("n_child"))
-            .crossJoin(both.agg(F.count(F.lit(1)).alias("n_child_matched")))
-            .crossJoin(p.agg(F.count(F.lit(1)).alias("n_parent")))
-            .crossJoin(
-                p.join(c, "k", "left_semi")
-                .agg(F.count(F.lit(1)).alias("n_parent_matched"))
+            c.join(p, "k", "full_outer")
+            .agg(
+                F.count("in_c").alias("n_child"),
+                F.sum(
+                    (F.col("in_c").isNotNull()
+                     & F.col("in_p").isNotNull()).cast("bigint")
+                ).alias("n_matched"),
+                F.count("in_p").alias("n_parent"),
             )
             .select(
                 F.lit(name).alias("relation"),
                 "n_child",
-                "n_child_matched",
+                F.col("n_matched").alias("n_child_matched"),
                 F.expr(
-                    "n_child_matched * 1000000 div n_child"
+                    "n_matched * 1000000 div n_child"
                 ).alias("child_coverage_ppm"),
                 "n_parent",
-                "n_parent_matched",
+                F.col("n_matched").alias("n_parent_matched"),
                 F.expr(
-                    "n_parent_matched * 1000000 div n_parent"
+                    "n_matched * 1000000 div n_parent"
                 ).alias("parent_coverage_ppm"),
             )
         )

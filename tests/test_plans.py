@@ -461,3 +461,13 @@ def test_source_overlap_matrix_plan_bounds(spark, entry_mod):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_referential_integrity_plan_single_scan_per_side(spark, entry_mod):
+    """T189: each of the 3 relations costs exactly one scan per side
+    (6 total) — the crossJoin-of-aggregates shape that re-scanned
+    every table ~3x is the regression this guards against."""
+    df = entry_mod.q_referential_integrity(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 6, plan
+    assert plan.count("Exchange") <= 12, plan
